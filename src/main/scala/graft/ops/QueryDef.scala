@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** One named engine query: a Spark implementation plus (when the semantics
+  * are ANSI-SQL-expressible) an equivalent DuckDB oracle statement run by
+  * the driver against the same parquet tables.
+  *
+  * `headline` marks the queries timed by [[graft.Bench]] at sf0.1.
+  */
+final case class QueryDef(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    headline: Boolean = false)
+
+/** Shared helpers for oracle-exact numerics.
+  *
+  * The driver hash-compares Spark parquet output against DuckDB results, so
+  * every float has to be bit-identical across both engines. Strategy:
+  *   - sums of doubles go through `decimal(18,6)` (exact, associative —
+  *     immune to partial-aggregation reordering on a cluster) and are cast
+  *     back to double at the end (one deterministic IEEE rounding);
+  *   - averages/ratios are a single IEEE double division of two values that
+  *     are themselves exact — deterministic on both engines;
+  *   - raw double columns pass through untouched (bit-exact by definition).
+  */
+object Q {
+  val D6: DecimalType = DecimalType(18, 6)
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 only reads with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (as a long). Normalize to
+    * microsecond TimestampType via integer division (a double division
+    * would lose precision: epoch-ns ≈ 1.7e18 > 2^53). DuckDB's
+    * `cast(ts as timestamp)` truncates ns→us the same way. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+
+  /** Exact (decimal-routed) sum of a double expression, returned as double. */
+  def sumd(c: Column): Column = sum(c.cast(D6)).cast(DoubleType)
+
+  /** DuckDB spelling of [[sumd]]. */
+  def oSumd(expr: String): String =
+    s"cast(sum(cast(($expr) as decimal(18,6))) as double)"
+
+  /** Exact average: decimal sum divided by count — one IEEE division. */
+  def avgd(c: Column): Column = sumd(c) / count(lit(1))
+  def oAvgd(expr: String): String = s"(${oSumd(expr)} / count(*))"
+
+  /** Microsecond-exact timestamp rendering, identical in Spark and DuckDB
+    * (DuckDB side must cast ns timestamps to `timestamp` first). */
+  def tsStr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+  def oTsStr(expr: String): String =
+    s"strftime(cast(($expr) as timestamp), '%Y-%m-%d %H:%M:%S.%f')"
+
+  def dateStr(c: Column): Column = date_format(c, "yyyy-MM-dd")
+  def oDateStr(expr: String): String =
+    s"strftime(cast(($expr) as date), '%Y-%m-%d')"
+}

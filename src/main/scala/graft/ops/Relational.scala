@@ -1,0 +1,528 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Layer-B relational operator battery (SURVEY.md §2.2): scans, projection/
+  * filter, joins (broadcast/sort-merge/semi/anti), aggregation (hash,
+  * rollup/cube, distinct), windows, sort/limit/top-k, set ops, scalar
+  * functions, subquery shapes. Reference has none of these (gasket-rs is a
+  * SEDA pipeline framework — see `/root/reference/gasket/src/messaging.rs`);
+  * they are engine obligations exercised over the driver tables.
+  *
+  * Scale notes (100 TB mindset): dimension joins (`nation`, `region`,
+  * `supplier`, `part`) are explicitly `broadcast()`; fact-fact joins
+  * (`lineitem ⋈ orders`) are left to sort-merge + AQE; every query filters
+  * and projects as early as possible so parquet pushdown kicks in.
+  */
+object Relational {
+
+  private def li(s: SparkSession, d: String) = table(s, d, "lineitem")
+  private def ord(s: SparkSession, d: String) = table(s, d, "orders")
+  private def cust(s: SparkSession, d: String) = table(s, d, "customer")
+  private def supp(s: SparkSession, d: String) = table(s, d, "supplier")
+  private def part(s: SparkSession, d: String) = table(s, d, "part")
+  private def nat(s: SparkSession, d: String) = table(s, d, "nation")
+  private def reg(s: SparkSession, d: String) = table(s, d, "region")
+  private def ev(s: SparkSession, d: String) = events(s, d)
+
+  // ---------------------------------------------------------------- q01
+  /** TPC-H Q1 shape: wide hash aggregation with map-side partial agg. */
+  val q01 = QueryDef(
+    "q01_pricing_summary",
+    (s, d) => {
+      import s.implicits._
+      li(s, d)
+        .where($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sumd($"l_quantity").as("sum_qty"),
+          sumd($"l_extendedprice").as("sum_base_price"),
+          sumd($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+          sumd($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
+          avgd($"l_quantity").as("avg_qty"),
+          avgd($"l_discount").as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+    Some(s"""
+      SELECT l_returnflag, l_linestatus,
+             ${oSumd("l_quantity")} AS sum_qty,
+             ${oSumd("l_extendedprice")} AS sum_base_price,
+             ${oSumd("l_extendedprice * (cast(1 as double) - l_discount)")} AS sum_disc_price,
+             ${oSumd("l_extendedprice * (cast(1 as double) - l_discount) * (cast(1 as double) + l_tax)")} AS sum_charge,
+             ${oAvgd("l_quantity")} AS avg_qty,
+             ${oAvgd("l_discount")} AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= timestamp '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus"""),
+    headline = true)
+
+  // ---------------------------------------------------------------- q02
+  /** Projection + filter; both must reach the parquet scan (pushdown). */
+  val q02 = QueryDef(
+    "q02_filter_project",
+    (s, d) => {
+      import s.implicits._
+      li(s, d)
+        .where($"l_quantity" > 45.0 && $"l_shipdate" >= lit("1997-01-01").cast("timestamp")
+          && $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+        .select($"l_orderkey", $"l_linenumber",
+          ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             l_extendedprice * (cast(1 as double) - l_discount) AS revenue
+      FROM lineitem
+      WHERE l_quantity > 45.0 AND l_shipdate >= timestamp '1997-01-01'
+        AND l_shipdate < timestamp '1998-01-01'"""))
+
+  // ---------------------------------------------------------------- q03
+  /** TPC-H Q3 shape: fact⋈fact⋈dim join, agg, deterministic top-10. */
+  val q03 = QueryDef(
+    "q03_shipping_priority",
+    (s, d) => {
+      import s.implicits._
+      cust(s, d).where($"c_mktsegment" === "BUILDING")
+        .join(ord(s, d), $"c_custkey" === $"o_custkey")
+        .where($"o_orderdate" < lit("1998-06-30").cast("timestamp"))
+        .join(li(s, d), $"o_orderkey" === $"l_orderkey")
+        .where($"l_shipdate" > lit("1998-06-30").cast("timestamp"))
+        .groupBy($"l_orderkey", $"o_orderdate")
+        .agg(sumd($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+        .select($"l_orderkey", dateStr($"o_orderdate").as("o_orderdate"), $"revenue")
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    },
+    Some(s"""
+      SELECT l_orderkey, ${oDateStr("o_orderdate")} AS o_orderdate,
+             ${oSumd("l_extendedprice * (cast(1 as double) - l_discount)")} AS revenue
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < timestamp '1998-06-30'
+        AND l_shipdate  > timestamp '1998-06-30'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, l_orderkey LIMIT 10"""),
+    headline = true)
+
+  // ---------------------------------------------------------------- q04
+  /** EXISTS → left-semi join, then aggregation (TPC-H Q4 shape). */
+  val q04 = QueryDef(
+    "q04_order_priority",
+    (s, d) => {
+      import s.implicits._
+      val big = li(s, d).where($"l_quantity" >= 48.0).select($"l_orderkey")
+      ord(s, d)
+        .join(big, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity >= 48.0)
+      GROUP BY o_orderpriority"""))
+
+  // ---------------------------------------------------------------- q05
+  /** TPC-H Q5 shape: 6-way join; dims broadcast, facts sort-merge. */
+  val q05 = QueryDef(
+    "q05_local_supplier_volume",
+    (s, d) => {
+      import s.implicits._
+      val asia = broadcast(
+        nat(s, d).join(broadcast(reg(s, d).where($"r_name" === "ASIA")),
+          $"n_regionkey" === $"r_regionkey"))
+      cust(s, d)
+        .join(ord(s, d), $"c_custkey" === $"o_custkey")
+        .where($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+        .join(li(s, d), $"o_orderkey" === $"l_orderkey")
+        .join(broadcast(supp(s, d)),
+          $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(asia, $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(sumd($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+    },
+    Some(s"""
+      SELECT n_name,
+             ${oSumd("l_extendedprice * (cast(1 as double) - l_discount)")} AS revenue
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= timestamp '1996-01-01'
+        AND o_orderdate <  timestamp '1997-01-01'
+      GROUP BY n_name"""),
+    headline = true)
+
+  // ---------------------------------------------------------------- q06
+  /** TPC-H Q6: highly selective scan-agg — pushdown showcase. */
+  val q06 = QueryDef(
+    "q06_forecast_revenue",
+    (s, d) => {
+      import s.implicits._
+      li(s, d)
+        .where($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+          $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24.0)
+        .agg(sumd($"l_extendedprice" * $"l_discount").as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    Some(s"""
+      SELECT ${oSumd("l_extendedprice * l_discount")} AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      WHERE l_shipdate >= timestamp '1996-01-01'
+        AND l_shipdate <  timestamp '1997-01-01'
+        AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0"""),
+    headline = true)
+
+  // ---------------------------------------------------------------- q07
+  /** Ranking window: deterministic top-3 orders per customer. */
+  val q07 = QueryDef(
+    "q07_topk_per_customer",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      ord(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" <= 3)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) t
+      WHERE rn <= 3"""))
+
+  // ---------------------------------------------------------------- q08
+  /** Frame windows: running sum (decimal-exact) + lag over a unique order. */
+  val q08 = QueryDef(
+    "q08_running_totals",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"l_suppkey")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      li(s, d)
+        .withColumn("running_qty",
+          sum($"l_quantity".cast(D6))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"))
+        .withColumn("prev_qty", lag($"l_quantity", 1).over(w))
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+          $"l_quantity", $"running_qty", $"prev_qty")
+    },
+    Some("""
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+             cast(sum(cast(l_quantity as decimal(18,6)))
+                  OVER (PARTITION BY l_suppkey
+                        ORDER BY l_shipdate, l_orderkey, l_linenumber
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  as double) AS running_qty,
+             lag(l_quantity, 1) OVER (PARTITION BY l_suppkey
+                        ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
+      FROM lineitem"""),
+    headline = true)
+
+  // ---------------------------------------------------------------- q09
+  /** ROLLUP hierarchy totals (null-free keys via sentinel coalesce). */
+  val q09 = QueryDef(
+    "q09_rollup_returns",
+    (s, d) => {
+      import s.implicits._
+      li(s, d)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), sumd($"l_quantity").as("sum_qty"))
+        .select(coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+          coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+          $"n", $"sum_qty")
+    },
+    Some(s"""
+      SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             coalesce(l_linestatus, 'ALL') AS linestatus,
+             count(*) AS n, ${oSumd("l_quantity")} AS sum_qty
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))
+
+  // ---------------------------------------------------------------- q10
+  /** CUBE over two dims. */
+  val q10 = QueryDef(
+    "q10_cube_orders",
+    (s, d) => {
+      import s.implicits._
+      ord(s, d)
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"), sumd($"o_totalprice").as("sum_price"))
+        .select(coalesce($"o_orderstatus", lit("ALL")).as("orderstatus"),
+          coalesce($"o_orderpriority", lit("ALL")).as("orderpriority"),
+          $"n", $"sum_price")
+    },
+    Some(s"""
+      SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+             coalesce(o_orderpriority, 'ALL') AS orderpriority,
+             count(*) AS n, ${oSumd("o_totalprice")} AS sum_price
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)"""))
+
+  // ---------------------------------------------------------------- q11
+  /** Set ops: INTERSECT / EXCEPT branches tagged and unioned. */
+  val q11 = QueryDef(
+    "q11_set_ops",
+    (s, d) => {
+      import s.implicits._
+      val rich = cust(s, d).where($"c_acctbal" > 5000.0).select($"c_custkey")
+      val active = ord(s, d)
+        .where($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+        .select($"o_custkey".as("c_custkey")).distinct()
+      rich.intersect(active).withColumn("tag", lit("rich_active"))
+        .unionByName(rich.except(active).withColumn("tag", lit("rich_inactive")))
+    },
+    Some("""
+      WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0),
+           active AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+                      WHERE o_orderdate >= timestamp '1997-01-01'
+                        AND o_orderdate <  timestamp '1998-01-01')
+      SELECT c_custkey, 'rich_active' AS tag FROM (SELECT * FROM rich INTERSECT SELECT * FROM active)
+      UNION ALL
+      SELECT c_custkey, 'rich_inactive' AS tag FROM (SELECT * FROM rich EXCEPT SELECT * FROM active)"""))
+
+  // ---------------------------------------------------------------- q12
+  /** Multi-column exact distinct aggregation (expand + two-phase agg). */
+  val q12 = QueryDef(
+    "q12_distinct_counts",
+    (s, d) => {
+      import s.implicits._
+      li(s, d)
+        .where($"l_shipdate" >= lit("1997-01-01").cast("timestamp"))
+        .agg(countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_suppkey").as("n_supps"),
+          countDistinct($"l_orderkey").as("n_orders"),
+          count(lit(1)).as("n_rows"))
+    },
+    Some("""
+      SELECT count(DISTINCT l_partkey) AS n_parts,
+             count(DISTINCT l_suppkey) AS n_supps,
+             count(DISTINCT l_orderkey) AS n_orders,
+             count(*) AS n_rows
+      FROM lineitem WHERE l_shipdate >= timestamp '1997-01-01'"""))
+
+  // ---------------------------------------------------------------- q13
+  /** NOT EXISTS → left-anti join (against a filtered fact so the result is
+    * non-empty at every SF). */
+  val q13 = QueryDef(
+    "q13_customers_without_big_orders",
+    (s, d) => {
+      import s.implicits._
+      val big = ord(s, d).where($"o_totalprice" > 400000.0).select($"o_custkey")
+      cust(s, d)
+        .join(big, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+    },
+    Some("""
+      SELECT c_custkey, c_name, c_mktsegment FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)"""))
+
+  // ---------------------------------------------------------------- q14
+  /** Conditional aggregation ratio (TPC-H Q14 promo-revenue shape). */
+  val q14 = QueryDef(
+    "q14_promo_revenue",
+    (s, d) => {
+      import s.implicits._
+      val rev = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+      li(s, d)
+        .where($"l_shipdate" >= lit("1997-03-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-04-01").cast("timestamp"))
+        .join(broadcast(part(s, d)), $"l_partkey" === $"p_partkey")
+        .agg(
+          (lit(100.0) * sumd(when($"p_type" === "PROMO", rev).otherwise(0.0)) /
+            sumd(rev)).as("promo_pct"),
+          count(lit(1)).as("n_items"))
+    },
+    Some(s"""
+      SELECT (cast(100 as double) *
+              ${oSumd("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (cast(1 as double) - l_discount) ELSE cast(0 as double) END")} /
+              ${oSumd("l_extendedprice * (cast(1 as double) - l_discount)")}) AS promo_pct,
+             count(*) AS n_items
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= timestamp '1997-03-01'
+        AND l_shipdate <  timestamp '1997-04-01'"""))
+
+  // ---------------------------------------------------------------- q15
+  /** Scalar-subquery max: supplier(s) with peak revenue (TPC-H Q15). */
+  val q15 = QueryDef(
+    "q15_top_supplier",
+    (s, d) => {
+      import s.implicits._
+      val rev = li(s, d)
+        .where($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+        .groupBy($"l_suppkey")
+        .agg(sumd($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("total_revenue"))
+      rev.withColumn("max_rev", max($"total_revenue").over(Window.partitionBy()))
+        .where($"total_revenue" === $"max_rev")
+        .join(broadcast(supp(s, d)), $"l_suppkey" === $"s_suppkey")
+        .select($"s_suppkey", $"s_name", $"total_revenue")
+    },
+    Some(s"""
+      WITH rev AS (
+        SELECT l_suppkey,
+               ${oSumd("l_extendedprice * (cast(1 as double) - l_discount)")} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= timestamp '1996-01-01'
+          AND l_shipdate <  timestamp '1996-04-01'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, total_revenue
+      FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      WHERE total_revenue = (SELECT max(total_revenue) FROM rev)"""))
+
+  // ---------------------------------------------------------------- q16
+  /** NOT IN subquery → anti join + grouped distinct counts (Q16 shape). */
+  val q16 = QueryDef(
+    "q16_part_brand_stats",
+    (s, d) => {
+      import s.implicits._
+      val heavy = li(s, d).where($"l_quantity" > 49.0).select($"l_partkey").distinct()
+      part(s, d)
+        .join(heavy, $"p_partkey" === $"l_partkey", "left_anti")
+        .groupBy($"p_brand")
+        .agg(countDistinct($"p_size").as("n_sizes"), count(lit(1)).as("n_parts"))
+    },
+    Some("""
+      SELECT p_brand, count(DISTINCT p_size) AS n_sizes, count(*) AS n_parts
+      FROM part
+      WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 49.0)
+      GROUP BY p_brand"""))
+
+  // ---------------------------------------------------------------- q17
+  /** Correlated-aggregate shape (TPC-H Q17): per-part avg as a join. */
+  val q17 = QueryDef(
+    "q17_small_quantity_revenue",
+    (s, d) => {
+      import s.implicits._
+      val avgQ = li(s, d).groupBy($"l_partkey".as("ap_partkey"))
+        .agg(avgd($"l_quantity").as("avg_qty"))
+      li(s, d)
+        .join(avgQ, $"l_partkey" === $"ap_partkey")
+        .where($"l_quantity" < lit(0.5) * $"avg_qty")
+        .agg(sumd($"l_extendedprice").as("total_price"), count(lit(1)).as("n_items"))
+    },
+    Some(s"""
+      WITH a AS (SELECT l_partkey AS ap_partkey, ${oAvgd("l_quantity")} AS avg_qty
+                 FROM lineitem GROUP BY l_partkey)
+      SELECT ${oSumd("l_extendedprice")} AS total_price, count(*) AS n_items
+      FROM lineitem JOIN a ON l_partkey = ap_partkey
+      WHERE l_quantity < cast(0.5 as double) * avg_qty"""),
+    headline = true)
+
+  // ---------------------------------------------------------------- q18
+  /** Large-order filter via grouped HAVING then joins (TPC-H Q18). */
+  val q18 = QueryDef(
+    "q18_large_orders",
+    (s, d) => {
+      import s.implicits._
+      val bigOrders = li(s, d).groupBy($"l_orderkey")
+        .agg(sumd($"l_quantity").as("sum_qty"))
+        .where($"sum_qty" > 300.0)
+      ord(s, d)
+        .join(bigOrders, $"o_orderkey" === $"l_orderkey")
+        .join(cust(s, d), $"o_custkey" === $"c_custkey")
+        .select($"c_custkey", $"c_name", $"o_orderkey",
+          dateStr($"o_orderdate").as("o_orderdate"), $"o_totalprice", $"sum_qty")
+    },
+    Some(s"""
+      WITH big AS (SELECT l_orderkey, ${oSumd("l_quantity")} AS sum_qty
+                   FROM lineitem GROUP BY l_orderkey
+                   HAVING ${oSumd("l_quantity")} > 300.0)
+      SELECT c_custkey, c_name, o_orderkey, ${oDateStr("o_orderdate")} AS o_orderdate,
+             o_totalprice, sum_qty
+      FROM orders JOIN big ON o_orderkey = l_orderkey
+      JOIN customer ON o_custkey = c_custkey"""),
+    headline = true)
+
+  // ---------------------------------------------------------------- q19
+  /** Scalar function coverage: string/date/math, all integer-exact. */
+  val q19 = QueryDef(
+    "q19_scalar_functions",
+    (s, d) => {
+      import s.implicits._
+      ord(s, d)
+        .where($"o_orderkey" % 10 === 0)
+        .select(
+          $"o_orderkey",
+          upper(substring($"o_orderpriority", 3, 20)).as("pri_word"),
+          concat($"o_orderstatus", lit("-"), $"o_orderpriority").as("status_pri"),
+          length($"o_orderpriority").as("pri_len"),
+          year($"o_orderdate").as("o_year"),
+          month($"o_orderdate").as("o_month"),
+          dayofmonth($"o_orderdate").as("o_day"),
+          datediff(to_date($"o_orderdate"), to_date(lit("1995-01-01"))).as("days_since"),
+          floor($"o_totalprice").cast("long").as("price_floor"),
+          ($"o_orderkey" % 7).as("key_mod"),
+          abs($"o_totalprice" - 250000.0).as("price_dev"))
+    },
+    Some("""
+      SELECT o_orderkey,
+             upper(substring(o_orderpriority, 3, 20)) AS pri_word,
+             concat(o_orderstatus, '-', o_orderpriority) AS status_pri,
+             cast(length(o_orderpriority) as int) AS pri_len,
+             cast(year(o_orderdate) as int) AS o_year,
+             cast(month(o_orderdate) as int) AS o_month,
+             cast(day(o_orderdate) as int) AS o_day,
+             cast(date_diff('day', DATE '1995-01-01', cast(o_orderdate as date)) as int) AS days_since,
+             cast(floor(o_totalprice) as bigint) AS price_floor,
+             o_orderkey % 7 AS key_mod,
+             abs(o_totalprice - cast(250000 as double)) AS price_dev
+      FROM orders WHERE o_orderkey % 10 = 0"""))
+
+  // ---------------------------------------------------------------- q20
+  /** Semi-structured: JSON field extraction + aggregation. */
+  val q20 = QueryDef(
+    "q20_json_events",
+    (s, d) => {
+      import s.implicits._
+      ev(s, d)
+        .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+          min($"k").as("min_k"), max($"k").as("max_k"))
+    },
+    Some("""
+      SELECT event_type, count(*) AS n,
+             cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as bigint) AS sum_k,
+             cast(min(cast(json_extract_string(props, '$.k') as bigint)) as bigint) AS min_k,
+             cast(max(cast(json_extract_string(props, '$.k') as bigint)) as bigint) AS max_k
+      FROM events GROUP BY event_type"""))
+
+  // ---------------------------------------------------------------- q21
+  /** Event-time tumbling window (batch form; streaming twin in
+    * [[graft.streaming]] is asserted equivalent by test). */
+  val q21 = QueryDef(
+    "q21_hourly_events",
+    (s, d) => {
+      import s.implicits._
+      ev(s, d)
+        .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+        .agg(count(lit(1)).as("n"), sumd($"value").as("sum_value"))
+        .select(tsStr($"hour").as("hour"), $"event_type", $"n", $"sum_value")
+    },
+    Some(s"""
+      SELECT ${oTsStr("date_trunc('hour', cast(ts as timestamp))")} AS hour,
+             event_type, count(*) AS n, ${oSumd("value")} AS sum_value
+      FROM events GROUP BY 1, 2"""),
+    headline = true)
+
+  val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21)
+}

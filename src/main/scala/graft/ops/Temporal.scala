@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+import Q._
+
+/** Temporal operators: as-of join, plus sketch-style aggregates that have
+  * no exact SQL twin (rows-only checked by the driver). */
+object Temporal {
+
+  /** As-of join: each purchase event picks up the latest prior (or
+    * simultaneous) click by the same user. Oracle is DuckDB's native
+    * ASOF LEFT JOIN — both sides must produce identical pairs. */
+  val q22 = QueryDef(
+    "q22_asof_purchase_click",
+    (s, d) => {
+      import s.implicits._
+      val events = Q.events(s, d)
+      val purchases = events.where($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts", $"value")
+      val clicks = events.where($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts", $"value")
+      AsOfJoin(purchases, clicks, key = "user_id",
+        leftTime = "ts", rightTime = "ts",
+        rightCols = Seq("event_id", "value"), prefix = "click_")
+        .select($"event_id", $"user_id", tsStr($"ts").as("pts"),
+          $"value", $"click_event_id", $"click_value")
+    },
+    Some(s"""
+      WITH p AS (SELECT event_id, user_id, cast(ts as timestamp) AS ts, value
+                 FROM events WHERE event_type = 'purchase'),
+           c AS (SELECT event_id, user_id, cast(ts as timestamp) AS ts, value
+                 FROM events WHERE event_type = 'click')
+      SELECT p.event_id AS event_id, p.user_id AS user_id,
+             ${oTsStr("p.ts")} AS pts, p.value AS value,
+             c.event_id AS click_event_id, c.value AS click_value
+      FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND p.ts >= c.ts"""),
+    headline = true)
+
+  /** HyperLogLog approximate distinct — approximate by design, so no SQL
+    * oracle (driver records the weaker rows-only check). */
+  val q23 = QueryDef(
+    "q23_approx_distinct",
+    (s, d) => {
+      import s.implicits._
+      table(s, d, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
+          count(lit(1)).as("n"))
+    },
+    None)
+
+  val all: Seq[QueryDef] = Seq(q22, q23)
+}

@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run each oracle SQL in
+DuckDB over the same parquet tables and compare against the parquet written
+by graft.Verify. Strict: sorted columns, sorted rows, exact values (floats
+must be bit-identical; tiny-ulp diffs are reported, not forgiven).
+
+Usage: python3 tools/verify_local.py <sfDir> <verifyOutDir>
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        rr = []
+        for i in idx:
+            v = r[i]
+            if isinstance(v, float) and math.isnan(v):
+                v = "NaN"
+            rr.append(v)
+        out.append(tuple(rr))
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return [cols[i] for i in idx], out
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"create view {t} as select * from read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.execute(
+                f"select * from read_parquet('{out_dir}/{name}/*.parquet')")
+            g_cols, g_rows = canon(got.fetchall(), [d[0] for d in got.description])
+            want = con.execute(sql)
+            w_cols, w_rows = canon(want.fetchall(), [d[0] for d in want.description])
+        except Exception as e:
+            print(f"FAIL {name}: exception {e}")
+            n_bad += 1
+            continue
+        if g_cols != w_cols:
+            print(f"FAIL {name}: columns {g_cols} vs oracle {w_cols}")
+            n_bad += 1
+        elif len(g_rows) != len(w_rows):
+            print(f"FAIL {name}: {len(g_rows)} rows vs oracle {len(w_rows)}")
+            n_bad += 1
+        elif g_rows != w_rows:
+            bad = [(a, b) for a, b in zip(g_rows, w_rows) if a != b]
+            print(f"FAIL {name}: {len(bad)}/{len(g_rows)} differing rows; "
+                  f"first: got={bad[0][0]} want={bad[0][1]}")
+            n_bad += 1
+        else:
+            print(f"ok   {name} ({len(g_rows)} rows)")
+            n_ok += 1
+    print(f"== {n_ok} ok, {n_bad} fail")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
