@@ -8,7 +8,9 @@ object SparkEntry {
 
   /** Every registered engine query, in declaration order. */
   def registry: Seq[QueryDef] =
-    graft.ops.Relational.all ++ graft.ops.Temporal.all
+    graft.ops.Relational.all ++ graft.ops.Temporal.all ++
+      graft.ops.TextOps.all ++ graft.ops.DedupOps.all ++
+      graft.ops.SimilarityOps.all ++ graft.ops.MultimodalOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

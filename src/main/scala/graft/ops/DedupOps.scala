@@ -1,0 +1,173 @@
+package graft.ops
+
+import Q._
+
+/** Near-duplicate detection over `documents` / `embeddings` — the core
+  * dedup stages of a large-scale training-data pipeline:
+  *
+  *  - d02: MinHash + LSH banding (the 100 TB scale path: candidate pairs
+  *    come from equality joins on band keys, never a cross join),
+  *  - d03: SimHash 32-bit fingerprints,
+  *  - d04: blocked n-gram Jaccard (blocking key = (lang, source)),
+  *  - d05: blocked embedding-cosine near-dup (blocking key = label).
+  *
+  * All hashes are the portable `char_fold` polynomial (codegen'd Catalyst
+  * expression on the Spark side, longhand `list_reduce` in DuckDB), so
+  * every query is exactly oracle-checkable — both engines produce the SAME
+  * candidates, not just similar ones.
+  */
+object DedupOps {
+
+  /** MinHash signature (k=16 via 2-hash affine family) + LSH (8 bands × 2
+    * rows), then exact shingle-Jaccard verification of candidates.
+    * Planted near-dups in the driver data sit at jaccard ≥ 0.8; banding
+    * with r=2 gives ≥ 0.999 recall at that threshold. */
+  val d02 = QueryDef(
+    "d02_minhash_lsh",
+    (s, d) => withViews(s, d, "documents")(s"""
+      WITH t AS (SELECT doc_id, split($sNorm, ' ') AS w FROM documents),
+      sh AS (SELECT doc_id, array_distinct(transform(sequence(1, size(w)-2),
+               i -> concat_ws(' ', slice(w, i, 3)))) AS sset
+             FROM t WHERE size(w) >= 3),
+      hh AS (SELECT doc_id, sset,
+               transform(sset, x -> char_fold(x, 7)) AS h1,
+               transform(sset, x -> char_fold(x, 13)) AS h2
+             FROM sh),
+      sig AS (SELECT doc_id, transform(sequence(0, 15), i ->
+                array_min(zip_with(h1, h2,
+                  (a, b) -> (a * (2*i+1) + b * (2*i+3)) % 4294967311))) AS sg
+              FROM hh),
+      bands AS (SELECT doc_id, bj,
+                  concat_ws(',', CAST(element_at(sg, bj*2+1) AS STRING),
+                                 CAST(element_at(sg, bj*2+2) AS STRING)) AS bkey
+                FROM sig LATERAL VIEW explode(sequence(0, 7)) x AS bj),
+      cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+               FROM bands a JOIN bands b
+                 ON a.bj = b.bj AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      ver AS (SELECT ida, idb,
+                CAST(size(filter(sa.sset, x -> array_contains(sb.sset, x))) AS DOUBLE) /
+                CAST(size(sa.sset) + size(sb.sset)
+                     - size(filter(sa.sset, x -> array_contains(sb.sset, x))) AS DOUBLE) AS jaccard
+              FROM cand JOIN sh sa ON cand.ida = sa.doc_id
+                        JOIN sh sb ON cand.idb = sb.doc_id)
+      SELECT ida AS doc_a, idb AS doc_b, jaccard FROM ver WHERE jaccard >= 0.8"""),
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split($oNorm, ' ') AS w FROM documents),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+               i -> array_to_string(w[i:i+2], ' '))) AS sset
+             FROM t WHERE len(w) >= 3),
+      hh AS (SELECT doc_id, sset,
+               list_transform(sset, x -> ${oCharFold("x", 7)}) AS h1,
+               list_transform(sset, x -> ${oCharFold("x", 13)}) AS h2
+             FROM sh),
+      sig AS (SELECT doc_id, list_transform(range(0, 16), i ->
+                list_aggregate(list_transform(list_zip(h1, h2),
+                  s -> (s[1] * (2*i+1) + s[2] * (2*i+3)) % 4294967311), 'min')) AS sg
+              FROM hh),
+      bands AS (SELECT doc_id, bj,
+                  CAST(sg[bj*2+1] AS VARCHAR) || ',' || CAST(sg[bj*2+2] AS VARCHAR) AS bkey
+                FROM sig, (SELECT unnest(range(0, 8)) AS bj) bx),
+      cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+               FROM bands a JOIN bands b
+                 ON a.bj = b.bj AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      ver AS (SELECT ida, idb,
+                CAST(len(list_filter(sa.sset, x -> list_contains(sb.sset, x))) AS DOUBLE) /
+                CAST(len(sa.sset) + len(sb.sset)
+                     - len(list_filter(sa.sset, x -> list_contains(sb.sset, x))) AS DOUBLE) AS jaccard
+              FROM cand JOIN sh sa ON cand.ida = sa.doc_id
+                        JOIN sh sb ON cand.idb = sb.doc_id)
+      SELECT ida AS doc_a, idb AS doc_b, jaccard FROM ver WHERE jaccard >= 0.8"""),
+    headline = true)
+
+  /** SimHash: 32-bit majority-vote fingerprint over token hashes.
+    * Row-wise (no shuffle); hamming-ball grouping composes downstream. */
+  val d03 = QueryDef(
+    "d03_simhash",
+    (s, d) => withViews(s, d, "documents")(s"""
+      WITH t AS (SELECT doc_id, split($sNorm, ' ') AS w FROM documents),
+      h AS (SELECT doc_id, transform(w, x -> char_fold(x, 7)) AS hs FROM t)
+      SELECT doc_id,
+             aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, j) ->
+               acc + CASE WHEN aggregate(hs, CAST(0 AS BIGINT),
+                 (a, h) -> a + CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0
+               THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END) AS simhash
+      FROM h"""),
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split($oNorm, ' ') AS w FROM documents),
+      h AS (SELECT doc_id, list_transform(w, x -> ${oCharFold("x", 7)}) AS hs FROM t)
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(0, 32), j ->
+                 CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(hs, h -> CASE WHEN (h >> j) & 1 = 1
+                     THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+                   (a, b) -> a + b) > 0
+                 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)),
+               (a, b) -> a + b) AS simhash
+      FROM h"""))
+
+  /** Blocked n-gram (word-bigram) Jaccard: candidate pairs only within a
+    * (lang, source) block — the classic blocking-key pattern that keeps
+    * pair counts linear-ish as the corpus grows. */
+  val d04 = QueryDef(
+    "d04_ngram_jaccard",
+    (s, d) => withViews(s, d, "documents")(s"""
+      WITH t AS (SELECT doc_id, lang, source, split($sNorm, ' ') AS w FROM documents),
+      g AS (SELECT doc_id, lang, source,
+              array_distinct(transform(sequence(1, size(w)-1),
+                i -> concat_ws(' ', slice(w, i, 2)))) AS grams
+            FROM t WHERE size(w) >= 2),
+      p AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+              CAST(size(filter(a.grams, x -> array_contains(b.grams, x))) AS DOUBLE) /
+              CAST(size(a.grams) + size(b.grams)
+                   - size(filter(a.grams, x -> array_contains(b.grams, x))) AS DOUBLE) AS jaccard
+            FROM g a JOIN g b
+              ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+      SELECT ida AS doc_a, idb AS doc_b, jaccard FROM p WHERE jaccard >= 0.3"""),
+    Some(s"""
+      WITH t AS (SELECT doc_id, lang, source, string_split($oNorm, ' ') AS w FROM documents),
+      g AS (SELECT doc_id, lang, source,
+              list_distinct(list_transform(range(1, len(w)),
+                i -> array_to_string(w[i:i+1], ' '))) AS grams
+            FROM t WHERE len(w) >= 2),
+      p AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+              CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE) /
+              CAST(len(a.grams) + len(b.grams)
+                   - len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE) AS jaccard
+            FROM g a JOIN g b
+              ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+      SELECT ida AS doc_a, idb AS doc_b, jaccard FROM p WHERE jaccard >= 0.3"""))
+
+  /** Embedding-cosine near-dup, blocked by label. Dot products fold
+    * left-to-right in both engines → bit-identical doubles. */
+  val d05 = QueryDef(
+    "d05_embedding_neardup",
+    (s, d) => withViews(s, d, "embeddings")(s"""
+      WITH e AS (SELECT vec_id, label,
+                   transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      n AS (SELECT vec_id, label, v,
+              sqrt(aggregate(v, CAST(0 AS DOUBLE), (a, x) -> a + x * x)) AS nrm
+            FROM e),
+      p AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+              aggregate(zip_with(a.v, b.v, (x, y) -> x * y),
+                CAST(0 AS DOUBLE), (acc, z) -> acc + z) / (a.nrm * b.nrm) AS cos
+            FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+      SELECT ida AS vec_a, idb AS vec_b, cos FROM p WHERE cos >= 0.4"""),
+    Some("""
+      WITH e AS (SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      n AS (SELECT vec_id, label, v,
+              sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+            FROM e),
+      p AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+              list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(list_zip(a.v, b.v), s -> s[1] * s[2])),
+                (acc, z) -> acc + z) / (a.nrm * b.nrm) AS cos
+            FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+      SELECT ida AS vec_a, idb AS vec_b, cos FROM p WHERE cos >= 0.4"""))
+
+  val all: Seq[QueryDef] = Seq(d02, d03, d04, d05)
+}

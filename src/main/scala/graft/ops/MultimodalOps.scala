@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Multimodal-column plumbing: media payloads ride as opaque `binary`
+  * columns with typed metadata; decode / feature-extract runs as a
+  * per-partition batch stage (`mapPartitions` over a typed Dataset — the
+  * Scala analogue of `mapInPandas`: one iterator per partition, codec state
+  * initialized once per partition, rows streamed through).
+  *
+  * The actual codec is a STUB (no image/audio libraries in this container):
+  * `decodeStub` derives deterministic fake dimensions from the byte
+  * payload. The Spark-side plumbing — binary schema, encoder round-trip,
+  * partition-wise batching, metadata struct — is real and oracle-checked
+  * (the fake is a pure function of payload length, expressible in SQL).
+  */
+object MultimodalOps {
+
+  final case class MediaIn(doc_id: Long, payload: Array[Byte], source: String)
+  final case class MediaMeta(doc_id: Long, media_type: String, width: Long,
+      height: Long, n_frames: Long, size_bytes: Long)
+
+  /** STUB decode: real implementation would parse the container header /
+    * decode frames here (per-partition codec init, then per-row decode). */
+  private def decodeStub(in: MediaIn): MediaMeta = {
+    val len = in.payload.length.toLong
+    MediaMeta(
+      doc_id = in.doc_id,
+      media_type = if (len % 3 == 0) "image" else if (len % 3 == 1) "audio" else "video",
+      width = (len * 31 + 7) % 640 + 1,
+      height = (len * 17 + 3) % 480 + 1,
+      n_frames = len % 30 + 1,
+      size_bytes = len)
+  }
+
+  /** Reusable stage: binary-payload Dataset → metadata Dataset. */
+  def decodeMetadata(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaIn].mapPartitions { it =>
+      // per-partition codec bootstrap would go here (mirrors
+      // Worker::bootstrap, /root/reference/gasket/src/framework.rs:103)
+      it.map(decodeStub)
+    }.toDF()
+  }
+
+  /** Documents' text bytes stand in for media payloads; metadata is a pure
+    * function of payload length → SQL oracle (ASCII text: chars == bytes). */
+  val m01 = QueryDef(
+    "m01_media_metadata",
+    (s, d) => {
+      import s.implicits._
+      val media = table(s, d, "documents")
+        .select($"doc_id", $"text".cast("binary").as("payload"), $"source")
+      decodeMetadata(s, media)
+    },
+    Some("""
+      WITH b AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS len FROM documents)
+      SELECT doc_id,
+             CASE WHEN len % 3 = 0 THEN 'image'
+                  WHEN len % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS media_type,
+             (len * 31 + 7) % 640 + 1 AS width,
+             (len * 17 + 3) % 480 + 1 AS height,
+             len % 30 + 1 AS n_frames,
+             len AS size_bytes
+      FROM b"""))
+
+  val all: Seq[QueryDef] = Seq(m01)
+}

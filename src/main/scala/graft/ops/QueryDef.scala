@@ -67,4 +67,28 @@ object Q {
   def dateStr(c: Column): Column = date_format(c, "yyyy-MM-dd")
   def oDateStr(expr: String): String =
     s"strftime(cast(($expr) as date), '%Y-%m-%d')"
+
+  /** Register the named driver tables as temp views (plus graft SQL
+    * functions) and run a Spark-SQL statement against them. */
+  def withViews(s: SparkSession, d: String, names: String*)(sql: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    names.foreach { n =>
+      val df = if (n == "events") events(s, d) else table(s, d, n)
+      df.createOrReplaceTempView(n)
+    }
+    s.sql(sql)
+  }
+
+  /** Normalized document text. Spark spelling (backslash-escaped string
+    * literals) vs DuckDB spelling (needs the 'g' flag for replace-all). */
+  val sNorm = """lower(trim(regexp_replace(text, '\\s+', ' ')))"""
+  val oNorm = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
+
+  /** DuckDB longhand for [[graft.functions.CharFold]]: identical fold, so
+    * hash-based dedup queries stay oracle-checkable. */
+  def oCharFold(e: String, seed: Int): String =
+    s"""list_reduce(list_prepend(CAST($seed AS BIGINT),
+       |  list_transform(range(1, length($e)+1),
+       |    i -> CAST(ascii(substring($e, i, 1)) AS BIGINT))),
+       |  (a, c) -> (a * 31 + c) % 4294967296)""".stripMargin
 }

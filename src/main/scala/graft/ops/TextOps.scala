@@ -1,0 +1,144 @@
+package graft.ops
+
+import Q._
+
+/** Text-analysis operators over the `documents` table: token statistics,
+  * heuristic language ID, quality scoring, and fingerprinting — the
+  * per-document stages of a training-data pipeline. All are pure row-wise
+  * projections (no shuffle; fully parallel at any scale) except d01's
+  * group-by-fingerprint, which shuffles only the 16-byte digest + id.
+  */
+object TextOps {
+
+  // Stopword sets for the n-gram/stopword language heuristic. The guess is
+  // a deterministic function of the text (not expected to equal the `lang`
+  // column); ties break by the fixed en > es > de > fr priority.
+  private val en = "('the','a','of','and','to','in','is')"
+  private val es = "('el','la','de','y','que','en')"
+  private val de = "('der','die','und','das','ist')"
+  private val fr = "('le','les','et','des','un')"
+
+  /** Token statistics: counts are exact integers; ratios are single IEEE
+    * divisions of exact operands (bit-identical across engines). */
+  val t01 = QueryDef(
+    "t01_token_stats",
+    (s, d) => withViews(s, d, "documents")(s"""
+      WITH t AS (SELECT doc_id, split($sNorm, ' ') AS w FROM documents)
+      SELECT doc_id,
+             CAST(size(w) AS BIGINT) AS n_tokens,
+             CAST(size(array_distinct(w)) AS BIGINT) AS n_uniq,
+             aggregate(w, CAST(0 AS BIGINT), (a, x) -> a + length(x)) AS total_chars,
+             CAST(aggregate(w, CAST(0 AS BIGINT), (a, x) -> a + length(x)) AS DOUBLE)
+               / CAST(size(w) AS DOUBLE) AS avg_token_len,
+             CAST(size(array_distinct(w)) AS DOUBLE) / CAST(size(w) AS DOUBLE) AS ttr
+      FROM t"""),
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split($oNorm, ' ') AS w FROM documents)
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(w, x -> CAST(length(x) AS BIGINT))), (a, x) -> a + x) AS total_chars,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(w, x -> CAST(length(x) AS BIGINT))), (a, x) -> a + x) AS DOUBLE)
+               / CAST(len(w) AS DOUBLE) AS avg_token_len,
+             CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS ttr
+      FROM t"""))
+
+  /** Heuristic language ID: stopword-hit counts per language, fixed
+    * priority on ties. */
+  val t02 = QueryDef(
+    "t02_lang_id",
+    (s, d) => withViews(s, d, "documents")(s"""
+      WITH t AS (SELECT doc_id, lang, split($sNorm, ' ') AS w FROM documents),
+      sc AS (SELECT doc_id, lang,
+               CAST(size(filter(w, x -> x IN $en)) AS BIGINT) AS s_en,
+               CAST(size(filter(w, x -> x IN $es)) AS BIGINT) AS s_es,
+               CAST(size(filter(w, x -> x IN $de)) AS BIGINT) AS s_de,
+               CAST(size(filter(w, x -> x IN $fr)) AS BIGINT) AS s_fr
+             FROM t)
+      SELECT doc_id, lang AS labeled_lang, s_en, s_es, s_de, s_fr,
+             CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                  WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                  WHEN s_de >= s_fr THEN 'de'
+                  ELSE 'fr' END AS guessed_lang
+      FROM sc"""),
+    Some(s"""
+      WITH t AS (SELECT doc_id, lang, string_split($oNorm, ' ') AS w FROM documents),
+      sc AS (SELECT doc_id, lang,
+               CAST(len(list_filter(w, x -> x IN $en)) AS BIGINT) AS s_en,
+               CAST(len(list_filter(w, x -> x IN $es)) AS BIGINT) AS s_es,
+               CAST(len(list_filter(w, x -> x IN $de)) AS BIGINT) AS s_de,
+               CAST(len(list_filter(w, x -> x IN $fr)) AS BIGINT) AS s_fr
+             FROM t)
+      SELECT doc_id, lang AS labeled_lang, s_en, s_es, s_de, s_fr,
+             CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                  WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                  WHEN s_de >= s_fr THEN 'de'
+                  ELSE 'fr' END AS guessed_lang
+      FROM sc"""))
+
+  /** Quality scoring: length band, stopword ratio, type-token ratio →
+    * integer score plus the underlying exact features. */
+  val t03 = QueryDef(
+    "t03_quality_score",
+    (s, d) => withViews(s, d, "documents")(s"""
+      WITH t AS (SELECT doc_id, $sNorm AS nt, split($sNorm, ' ') AS w FROM documents),
+      f AS (SELECT doc_id,
+              CAST(length(nt) AS BIGINT) AS n_chars_norm,
+              CAST(size(w) AS BIGINT) AS n_tokens,
+              CAST(size(filter(w, x -> x IN $en)) AS BIGINT) AS n_stop,
+              CAST(size(array_distinct(w)) AS BIGINT) AS n_uniq
+            FROM t)
+      SELECT doc_id, n_chars_norm, n_tokens, n_stop,
+             CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+             (CASE WHEN n_tokens >= 5 AND n_tokens <= 1000 THEN 1 ELSE 0 END +
+              CASE WHEN n_stop * 20 >= n_tokens THEN 1 ELSE 0 END +
+              CASE WHEN n_uniq * 2 >= n_tokens THEN 1 ELSE 0 END) AS quality
+      FROM f"""),
+    Some(s"""
+      WITH t AS (SELECT doc_id, $oNorm AS nt, string_split($oNorm, ' ') AS w FROM documents),
+      f AS (SELECT doc_id,
+              CAST(length(nt) AS BIGINT) AS n_chars_norm,
+              CAST(len(w) AS BIGINT) AS n_tokens,
+              CAST(len(list_filter(w, x -> x IN $en)) AS BIGINT) AS n_stop,
+              CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq
+            FROM t)
+      SELECT doc_id, n_chars_norm, n_tokens, n_stop,
+             CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+             CAST((CASE WHEN n_tokens >= 5 AND n_tokens <= 1000 THEN 1 ELSE 0 END +
+              CASE WHEN n_stop * 20 >= n_tokens THEN 1 ELSE 0 END +
+              CASE WHEN n_uniq * 2 >= n_tokens THEN 1 ELSE 0 END) AS INT) AS quality
+      FROM f"""))
+
+  /** Document fingerprinting: 32-bit rolling hash (native codegen'd
+    * Catalyst expression, SQL-replicated in the oracle) + md5 digest. */
+  val t04 = QueryDef(
+    "t04_fingerprint",
+    (s, d) => withViews(s, d, "documents")(s"""
+      WITH t AS (SELECT doc_id, $sNorm AS nt FROM documents)
+      SELECT doc_id, char_fold(nt, 7) AS fp32, md5(nt) AS fp_md5 FROM t"""),
+    Some(s"""
+      WITH t AS (SELECT doc_id, $oNorm AS nt FROM documents)
+      SELECT doc_id, ${oCharFold("nt", 7)} AS fp32, md5(nt) AS fp_md5 FROM t"""))
+
+  /** Exact deduplication: group by content digest, keep the smallest
+    * doc_id per group. Shuffles only (digest, id) — at 100 TB the text
+    * never moves. */
+  val d01 = QueryDef(
+    "d01_exact_dedup",
+    (s, d) => withViews(s, d, "documents")(s"""
+      WITH t AS (SELECT doc_id, md5($sNorm) AS fp FROM documents)
+      SELECT doc_id, fp,
+             min(doc_id) OVER (PARTITION BY fp) AS keep_id,
+             doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_dup
+      FROM t"""),
+    Some(s"""
+      WITH t AS (SELECT doc_id, md5($oNorm) AS fp FROM documents)
+      SELECT doc_id, fp,
+             min(doc_id) OVER (PARTITION BY fp) AS keep_id,
+             doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_dup
+      FROM t"""))
+
+  val all: Seq[QueryDef] = Seq(t01, t02, t03, t04, d01)
+}
