@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import graft.runtime.{Policy, StageRuntime, Tether, Worker, WorkSchedule}
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+
+/** Typed pipeline DSL — the Spark-native re-expression of gasket's stage/
+  * port model (SURVEY.md §2.1 #1-16):
+  *
+  *  - [[Source]]/[[Flow]]/[[SinkStage]] = stages with typed hand-offs
+  *    (`Message<T>` channels, `/root/reference/gasket/src/messaging.rs:5-8`,
+  *    become `Dataset[T]` lineage edges — Spark's pull-based iterators and
+  *    exchanges replace bounded channels and their backpressure);
+  *  - `via` = `connect_ports` (`messaging.rs:404-411`), checked at build
+  *    time by the type system instead of a runtime NotConnected error;
+  *  - [[Pipeline.funnel]] = `funnel_ports` N→1 fan-in (`messaging.rs:413-423`)
+  *    as UNION ALL (multiset, order-free — matching mpsc interleaving
+  *    nondeterminism);
+  *  - [[PipelineBuilder.tee]] = `Fanout`/`broadcast_port` 1→N
+  *    (`messaging.rs:71-95,425-436`): the upstream is cached once and every
+  *    sink consumes it; zero sinks fails at build time (the reference's
+  *    `Error::NotConnected`, `messaging.rs:84`);
+  *  - [[Flow.map]]/[[Flow.split]]/[[Flow.mapOpt]] = `impl_mapper!`,
+  *    `impl_splitter!` (`macros.rs:1-85`) and `OutputMap`
+  *    (`messaging.rs:255-274`).
+  *
+  * Chained flows FUSE into one Spark query (whole-stage codegen), unlike
+  * the reference's thread-per-stage execution — per SURVEY.md §7.3 fusion
+  * is the default; independent supervision applies per pipeline, not per
+  * flow.
+  */
+final case class Source[O](name: String, open: SparkSession => Dataset[O])
+
+final case class Flow[I, O](name: String, apply: Dataset[I] => Dataset[O]) {
+  def andThen[N](next: Flow[O, N]): Flow[I, N] =
+    Flow(s"$name->${next.name}", ds => next.apply(apply(ds)))
+}
+
+object Flow {
+  /** `impl_mapper!` — one-in/one-out projection (`macros.rs:1-41`). */
+  def map[I, O: Encoder](name: String)(f: I => O): Flow[I, O] =
+    Flow(name, _.map(f))
+
+  /** `impl_splitter!` — one-in/N-out generator (`macros.rs:43-85`). */
+  def split[I, O: Encoder](name: String)(f: I => IterableOnce[O]): Flow[I, O] =
+    Flow(name, _.flatMap(f))
+
+  /** `OutputMap` — fused map+filter, `None` drops (`messaging.rs:255-274`). */
+  def mapOpt[I, O: Encoder](name: String)(f: I => Option[O]): Flow[I, O] =
+    Flow(name, _.flatMap(i => f(i)))
+
+  def filter[I](name: String)(p: I => Boolean): Flow[I, I] =
+    Flow(name, _.filter(p))
+}
+
+final case class SinkStage[I](name: String, write: Dataset[I] => Unit)
+
+final class PipelineBuilder[O] private[pipeline] (
+    source: Source[_],
+    build: SparkSession => Dataset[O]) {
+
+  def via[N](flow: Flow[O, N]): PipelineBuilder[N] =
+    new PipelineBuilder[N](source, s => flow.apply(build(s)))
+
+  def to(sink: SinkStage[O]): Pipeline =
+    new Pipeline(s"${source.name}=>${sink.name}",
+      s => sink.write(build(s)))
+
+  /** Fan-out to several sinks: upstream computed once (cached), every sink
+    * sees every row — gasket broadcast-edge semantics. */
+  def tee(sinks: SinkStage[O]*): Pipeline = {
+    if (sinks.isEmpty)
+      throw new IllegalArgumentException(
+        s"pipeline '${source.name}': fan-out with no connected sinks " +
+          "(reference Error::NotConnected, messaging.rs:84)")
+    new Pipeline(s"${source.name}=>tee", { s =>
+      val ds = build(s).cache()
+      try sinks.foreach(_.write(ds))
+      finally ds.unpersist()
+    })
+  }
+}
+
+/** A fully wired pipeline: run inline, or supervised under a [[Policy]]
+  * on its own stage thread (retry/backoff/liveness via graft.runtime). */
+final class Pipeline(val name: String, body: SparkSession => Unit) {
+
+  def runSync(spark: SparkSession): Unit = body(spark)
+
+  /** Supervised launch — the pipeline is one work unit; `workRetry`
+    * governs whole-run retry (Spark already retries tasks internally). */
+  def spawn(spark: SparkSession, policy: Policy = Policy()): Tether =
+    StageRuntime.spawn(name, new Worker[Unit] {
+      private var launched = false
+      override def schedule(): WorkSchedule[Unit] =
+        if (launched) WorkSchedule.Done else { launched = true; WorkSchedule.Unit(()) }
+      override def execute(unit: Unit): Unit = body(spark)
+    }, policy)
+}
+
+object Pipeline {
+  def from[O](source: Source[O]): PipelineBuilder[O] =
+    new PipelineBuilder[O](source, source.open)
+
+  /** `funnel_ports` N→1 fan-in: UNION ALL of same-typed sources
+    * (`messaging.rs:413-423`). */
+  def funnel[O](name: String, sources: Source[O]*): PipelineBuilder[O] = {
+    require(sources.nonEmpty, s"funnel '$name' has no inputs")
+    new PipelineBuilder[O](Source(name, null),
+      s => sources.map(_.open(s)).reduce(_ unionByName _))
+  }
+}

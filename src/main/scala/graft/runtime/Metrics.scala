@@ -1,0 +1,57 @@
+package graft.runtime
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+import scala.jdk.CollectionConverters._
+
+/** Per-stage metric registry — the reference's lock-free counters/gauges
+  * (`/root/reference/gasket/src/metrics.rs:4-111`), on JVM atomics.
+  *
+  * For metrics that must aggregate across Spark executors (rows processed
+  * inside a distributed action), pair a [[Counter]] with a named
+  * `LongAccumulator` via [[Registry.sparkCounter]]; driver-side lifecycle
+  * metrics use plain atomics.
+  */
+final class Counter {
+  private val v = new AtomicLong(0)
+  def inc(delta: Long = 1): Unit = v.addAndGet(delta)
+  def get: Long = v.get()
+}
+
+final class Gauge {
+  private val v = new AtomicLong(0)
+  def set(value: Long): Unit = v.set(value)
+  def get: Long = v.get()
+}
+
+final class Registry {
+  private val counters = new ConcurrentHashMap[String, Counter]()
+  private val gauges = new ConcurrentHashMap[String, Gauge]()
+  private val accumulators = new ConcurrentHashMap[String, org.apache.spark.util.LongAccumulator]()
+
+  def counter(name: String): Counter =
+    counters.computeIfAbsent(name, _ => new Counter)
+  def gauge(name: String): Gauge =
+    gauges.computeIfAbsent(name, _ => new Gauge)
+
+  /** Executor-side counter: a Spark accumulator surfaced through the same
+    * registry snapshot. */
+  def sparkCounter(spark: org.apache.spark.sql.SparkSession, name: String): org.apache.spark.util.LongAccumulator =
+    accumulators.computeIfAbsent(name, n => spark.sparkContext.longAccumulator(n))
+
+  /** Point-in-time snapshot — `metrics.rs:96-110` `collect_readings`. */
+  def readings(): Map[String, Long] =
+    counters.asScala.map { case (k, c) => k -> c.get }.toMap ++
+      gauges.asScala.map { case (k, g) => k -> g.get }.toMap ++
+      accumulators.asScala.map { case (k, a) => k -> a.value.longValue }.toMap
+}
+
+/** Prometheus text rendering of stage readings — the capability of
+  * `gasket-prometheus/src/lib.rs:51-77` without the HTTP server (Spark's
+  * own PrometheusServlet covers transport; this covers our registries). */
+object PrometheusText {
+  def render(stage: String, readings: Map[String, Long]): String =
+    readings.toSeq.sortBy(_._1).map { case (name, value) =>
+      s"""stage_metric{stage_name="$stage",metric_name="$name"} $value"""
+    }.mkString("", "\n", "\n")
+}

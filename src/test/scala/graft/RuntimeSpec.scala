@@ -1,0 +1,145 @@
+package graft
+
+import graft.daemon.Daemon
+import graft.runtime._
+import java.util.concurrent.atomic.AtomicInteger
+import scala.collection.mutable
+import scala.concurrent.duration._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Configurable failing worker — the reference's MockStage/MockWorker
+  * (`/root/reference/gasket/src/runtime.rs:486-570`): unit n fails iff
+  * `failures(n % failures.length)`; optional per-phase delays. */
+final class MockWorker(
+    failures: Seq[Boolean] = Seq(false),
+    units: Int = 5,
+    scheduleDelay: Option[FiniteDuration] = None,
+    executeDelay: Option[FiniteDuration] = None) extends Worker[Int] {
+
+  val bootstrapCount = new AtomicInteger(0)
+  val scheduleCount = new AtomicInteger(0)
+  val executeCount = new AtomicInteger(0)
+  val teardownCount = new AtomicInteger(0)
+  val executedUnits: mutable.Buffer[Int] = mutable.Buffer.empty
+  private var next = 0
+
+  override def bootstrap(): Unit = bootstrapCount.incrementAndGet()
+
+  override def schedule(): WorkSchedule[Int] = {
+    scheduleCount.incrementAndGet()
+    scheduleDelay.foreach(d => Thread.sleep(d.toMillis))
+    if (next >= units) WorkSchedule.Done
+    else { val u = next; next += 1; WorkSchedule.Unit(u) }
+  }
+
+  override def execute(unit: Int): Unit = {
+    executeCount.incrementAndGet()
+    synchronized { executedUnits += unit }
+    executeDelay.foreach(d => Thread.sleep(d.toMillis))
+    if (failures(unit % failures.length))
+      throw WorkerError.Retry(new RuntimeException(s"unit $unit failed"))
+  }
+
+  override def teardown(): Unit = teardownCount.incrementAndGet()
+}
+
+/** Ports of the reference's three asserted runtime behaviors
+  * (`runtime.rs:590-719`) plus backoff/liveness/daemon coverage. */
+class RuntimeSpec extends AnyFunSuite {
+
+  test("happy path: bootstrap, 5 units, teardown, ended (runtime.rs:590-615)") {
+    val w = new MockWorker(units = 5)
+    val t = StageRuntime.spawn("happy", w)
+    assert(t.waitEnded(10.seconds))
+    assert(w.bootstrapCount.get() == 1)
+    assert(w.executeCount.get() == 5)
+    assert(w.teardownCount.get() == 1)
+    assert(t.readMetrics()("units_executed") == 5)
+    val ev = t.eventLog()
+    assert(ev.containsSlice(Seq("scheduled-done", "teardown", "ended")))
+    assert(t.failureOption.isEmpty)
+  }
+
+  test("honors max retries with the SAME unit (runtime.rs:617-662)") {
+    val w = new MockWorker(failures = Seq(true), units = 5)
+    val t = StageRuntime.spawn("retries", w,
+      Policy(workRetry = RetryPolicy(maxRetries = 3, backoffUnit = 1.milli)))
+    assert(t.waitEnded(10.seconds))
+    assert(w.executeCount.get() == 4) // 1 try + 3 retries
+    assert(w.executedUnits.distinct == Seq(0)) // same unit every attempt
+    assert(w.teardownCount.get() == 1)
+    assert(t.failureOption.isDefined)
+    assert(t.readMetrics()("retries") == 3)
+  }
+
+  test("dismissible policy skips the poisoned unit and continues (retries.rs:16-26)") {
+    val w = new MockWorker(failures = Seq(true, false), units = 4)
+    val t = StageRuntime.spawn("dismissible", w,
+      Policy(workRetry = RetryPolicy(maxRetries = 1, dismissible = true)))
+    assert(t.waitEnded(10.seconds))
+    // units 0 and 2 fail (2 attempts each, then skipped); 1 and 3 succeed
+    assert(t.readMetrics()("units_skipped") == 2)
+    assert(t.readMetrics()("units_executed") == 2)
+    assert(t.failureOption.isEmpty)
+  }
+
+  test("honors cancel in time (runtime.rs:691-719)") {
+    val w = new MockWorker(units = 1000,
+      scheduleDelay = Some(10.seconds), executeDelay = Some(10.seconds))
+    val t = StageRuntime.spawn("cancel", w)
+    Thread.sleep(1000)
+    val t0 = System.nanoTime()
+    t.dismiss()
+    assert(t.waitEnded(5.seconds))
+    val shutdownMs = (System.nanoTime() - t0) / 1e6
+    assert(shutdownMs < 500.0, s"shutdown took ${shutdownMs}ms")
+    assert(w.teardownCount.get() == 1)
+  }
+
+  test("exponential backoff formula (retries.rs:74-78)") {
+    val p = RetryPolicy(maxRetries = 10, backoffUnit = 1.milli,
+      backoffFactor = 2, maxBackoff = 100.millis)
+    assert(p.backoffDelay(0) == 1.milli)
+    assert(p.backoffDelay(3) == 8.millis)
+    assert(p.backoffDelay(20) == 100.millis) // capped
+  }
+
+  test("blocked detection via stale heartbeat (runtime.rs:393-403)") {
+    val w = new MockWorker(units = 1000, executeDelay = Some(5.seconds))
+    val t = StageRuntime.spawn("stall", w,
+      Policy(tickTimeout = 200.millis))
+    Thread.sleep(600)
+    assert(t.checkState() == StageState.Blocked)
+    t.dismiss(); t.join()
+  }
+
+  test("daemon: any stage ending stops the pipeline; two-phase teardown (daemon.rs:36-77)") {
+    val fast = new MockWorker(units = 2)
+    val slow = new MockWorker(units = 1000, scheduleDelay = Some(5.seconds))
+    val tf = StageRuntime.spawn("fast", fast)
+    val ts = StageRuntime.spawn("slow", slow)
+    val d = new Daemon(Seq(tf, ts), pollEvery = 20.millis)
+    val t0 = System.nanoTime()
+    d.block()
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(ms < 4000, s"daemon.block took ${ms}ms — should stop when 'fast' ends")
+    assert(tf.currentPhase == StagePhase.Ended)
+    assert(ts.currentPhase == StagePhase.Ended)
+    assert(slow.teardownCount.get() == 1)
+  }
+
+  test("worker error escalation wrappers (framework.rs:20-79)") {
+    import WorkerError._
+    val boom = () => throw new RuntimeException("x")
+    assertThrows[Retry](boom.orRetry())
+    assertThrows[Restart](boom.orRestart())
+    assertThrows[Panic](boom.orPanic())
+  }
+
+  test("prometheus text rendering (gasket-prometheus/src/lib.rs:51-77)") {
+    val out = PrometheusText.render("s1", Map("units" -> 5L, "errors" -> 0L))
+    assert(out ==
+      "stage_metric{stage_name=\"s1\",metric_name=\"errors\"} 0\n" +
+      "stage_metric{stage_name=\"s1\",metric_name=\"units\"} 5\n")
+  }
+}
