@@ -1,0 +1,139 @@
+package graft
+
+import graft.streaming._
+import graft.runtime.{Policy, RetryPolicy, StagePhase}
+import java.sql.Timestamp
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import scala.concurrent.duration._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("streaming tumbling windows == batch date_trunc aggregation (FIXTURES §3)") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventTime.windowedAgg(df).writeStream
+      .outputMode("complete").format("memory").queryName("win_eq").start()
+
+    val rows = graft.ops.Q.events(spark, "/root/testdata/sf0.001")
+      .select($"ts", $"event_type", $"value")
+      .as[(Timestamp, String, Double)].collect().toSeq
+    mem.addData(rows)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("win_eq")
+      .select($"window_start", $"event_type", $"n", $"sum_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val want = graft.ops.Q.events(spark, "/root/testdata/sf0.001")
+      .groupBy(date_trunc("hour", $"ts").as("window_start"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(graft.ops.Q.D6)).cast("double").as("sum_value"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == want)
+  }
+
+  test("watermark drops late data in append mode") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventTime.windowedAgg(df, watermark = "10 minutes").writeStream
+      .outputMode("append").format("memory").queryName("win_late").start()
+
+    // batch 1: window [01:00,02:00) has 2 rows; max ts 03:30 puts the
+    // watermark at 03:20, so [01:00) and [02:00) close and emit
+    mem.addData(Seq(
+      (ts("2024-01-01 01:10:00"), "click", 1.0),
+      (ts("2024-01-01 01:40:00"), "click", 2.0),
+      (ts("2024-01-01 02:30:00"), "click", 4.0),
+      (ts("2024-01-01 03:30:00"), "click", 8.0)))
+    q.processAllAvailable()
+    // batch 2: 01:30 is far behind the 03:20 watermark -> dropped
+    mem.addData(Seq((ts("2024-01-01 01:30:00"), "click", 100.0)))
+    q.processAllAvailable()
+    // batch 3: advance watermark past 04:00 so [03:00,04:00) emits
+    mem.addData(Seq((ts("2024-01-01 05:00:00"), "click", 16.0)))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("win_late")
+      .select($"window_start", $"n", $"sum_value")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows.contains((ts("2024-01-01 01:00:00"), 2L, 3.0))) // late row absent
+    assert(rows.contains((ts("2024-01-01 02:00:00"), 1L, 4.0)))
+    assert(rows.contains((ts("2024-01-01 03:00:00"), 1L, 8.0)))
+    assert(!rows.exists(_._3 == 103.0), "late event must not be re-aggregated")
+  }
+
+  test("stateful sessionization across micro-batches (flatMapGroupsWithState)") {
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[EventTime.Ev]
+    val q = EventTime.sessionize(mem.toDS(), gap = 30.minutes).writeStream
+      .outputMode("append").format("memory").queryName("sessions").start()
+
+    mem.addData(Seq(
+      EventTime.Ev(1, ts("2024-01-01 01:00:00"), 1.0),
+      EventTime.Ev(1, ts("2024-01-01 01:10:00"), 2.0),
+      EventTime.Ev(2, ts("2024-01-01 01:00:00"), 5.0)))
+    q.processAllAvailable()
+    // user 1 returns 2h later -> first session closes with 2 events
+    mem.addData(Seq(EventTime.Ev(1, ts("2024-01-01 03:00:00"), 3.0)))
+    q.processAllAvailable()
+    q.stop()
+
+    val sessions = spark.table("sessions").as[EventTime.SessionAgg].collect()
+    val closed = sessions.filter(_.user_id == 1)
+    assert(closed.length == 1)
+    assert(closed.head.n_events == 2 && closed.head.sum_value == 3.0)
+    assert(closed.head.start_ms == ts("2024-01-01 01:00:00").getTime)
+    assert(closed.head.end_ms == ts("2024-01-01 01:10:00").getTime)
+  }
+
+  test("supervised streaming query: restart-with-backoff on failure, graceful stop") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val attempts = new AtomicInteger(0)
+    val processed = new AtomicInteger(0)
+    mem.addData(1L to 10L)
+
+    val tether = StreamSupervisor.spawn("flaky",
+      Policy(bootstrapRetry = RetryPolicy(maxRetries = 3, backoffUnit = 5.millis))) { () =>
+      mem.toDS().writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Long], _: Long) =>
+          if (attempts.incrementAndGet() == 1)
+            throw new RuntimeException("transient sink failure")
+          processed.addAndGet(batch.collect().length)
+          ()
+        }.start()
+    }
+
+    val deadline = System.nanoTime() + 60.seconds.toNanos
+    while (processed.get() < 10 && System.nanoTime() < deadline) Thread.sleep(20)
+    assert(processed.get() >= 10, s"processed=${processed.get()}")
+    assert(tether.readMetrics()("restarts") >= 1)
+    tether.dismiss()
+    assert(tether.waitEnded(30.seconds))
+    assert(tether.currentPhase == StagePhase.Ended)
+  }
+
+  test("processing-time tick source (TimerPort analogue, messaging.rs:151-209)") {
+    val q = spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+      .writeStream.outputMode("append").format("memory").queryName("ticks").start()
+    val deadline = System.nanoTime() + 30.seconds.toNanos
+    while (spark.table("ticks").isEmpty && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    q.stop()
+    assert(spark.table("ticks").count() > 0)
+    assert(spark.table("ticks").columns.toSet == Set("timestamp", "value"))
+  }
+}
