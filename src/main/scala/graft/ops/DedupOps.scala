@@ -24,33 +24,33 @@ object DedupOps {
     * with r=2 gives ≥ 0.999 recall at that threshold. */
   val d02 = QueryDef(
     "d02_minhash_lsh",
-    (s, d) => withViews(s, d, "documents")(s"""
-      WITH t AS (SELECT doc_id, split($sNorm, ' ') AS w FROM documents),
-      sh AS (SELECT doc_id, array_distinct(transform(sequence(1, size(w)-2),
-               i -> concat_ws(' ', slice(w, i, 3)))) AS sset
-             FROM t WHERE size(w) >= 3),
-      hh AS (SELECT doc_id, sset,
-               transform(sset, x -> char_fold(x, 7)) AS h1,
-               transform(sset, x -> char_fold(x, 13)) AS h2
-             FROM sh),
-      sig AS (SELECT doc_id, transform(sequence(0, 15), i ->
-                array_min(zip_with(h1, h2,
-                  (a, b) -> (a * (2*i+1) + b * (2*i+3)) % 4294967311))) AS sg
-              FROM hh),
-      bands AS (SELECT doc_id, bj,
-                  concat_ws(',', CAST(element_at(sg, bj*2+1) AS STRING),
-                                 CAST(element_at(sg, bj*2+2) AS STRING)) AS bkey
-                FROM sig LATERAL VIEW explode(sequence(0, 7)) x AS bj),
-      cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-               FROM bands a JOIN bands b
-                 ON a.bj = b.bj AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-      ver AS (SELECT ida, idb,
-                CAST(size(filter(sa.sset, x -> array_contains(sb.sset, x))) AS DOUBLE) /
-                CAST(size(sa.sset) + size(sb.sset)
-                     - size(filter(sa.sset, x -> array_contains(sb.sset, x))) AS DOUBLE) AS jaccard
-              FROM cand JOIN sh sa ON cand.ida = sa.doc_id
-                        JOIN sh sb ON cand.idb = sb.doc_id)
-      SELECT ida AS doc_a, idb AS doc_b, jaccard FROM ver WHERE jaccard >= 0.8"""),
+    (s, d) => {
+      // Staged with explicit caches: Spark re-executes a CTE per reference,
+      // and the shingle/signature stage feeds FOUR consumers (two band
+      // sides, two verify sides) — materializing it once cut the sf0.1
+      // bench ~8×. At cluster scale these caches are the pipeline's
+      // materialized boundaries (checkpoint/exchange reuse).
+      val sh = withViews(s, d, "documents")("""
+        SELECT doc_id, sset FROM
+          (SELECT doc_id, shingle_set(text, 3) AS sset FROM documents)
+        WHERE size(sset) >= 1""").cache()
+      sh.createOrReplaceTempView("d02_sh")
+      val bands = s.sql("""
+        WITH sig AS (SELECT doc_id, minhash_sig(sset, 16) AS sg FROM d02_sh)
+        SELECT doc_id, bj,
+               concat_ws(',', CAST(element_at(sg, bj*2+1) AS STRING),
+                              CAST(element_at(sg, bj*2+2) AS STRING)) AS bkey
+        FROM sig LATERAL VIEW explode(sequence(0, 7)) x AS bj""").cache()
+      bands.createOrReplaceTempView("d02_bands")
+      s.sql("""
+        WITH cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+                 FROM d02_bands a JOIN d02_bands b
+                   ON a.bj = b.bj AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        ver AS (SELECT ida, idb, jaccard_sim(sa.sset, sb.sset) AS jaccard
+                FROM cand JOIN d02_sh sa ON cand.ida = sa.doc_id
+                          JOIN d02_sh sb ON cand.idb = sb.doc_id)
+        SELECT ida AS doc_a, idb AS doc_b, jaccard FROM ver WHERE jaccard >= 0.8""")
+    },
     Some(s"""
       WITH t AS (SELECT doc_id, string_split($oNorm, ' ') AS w FROM documents),
       sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
@@ -111,16 +111,13 @@ object DedupOps {
     * pair counts linear-ish as the corpus grows. */
   val d04 = QueryDef(
     "d04_ngram_jaccard",
-    (s, d) => withViews(s, d, "documents")(s"""
-      WITH t AS (SELECT doc_id, lang, source, split($sNorm, ' ') AS w FROM documents),
-      g AS (SELECT doc_id, lang, source,
-              array_distinct(transform(sequence(1, size(w)-1),
-                i -> concat_ws(' ', slice(w, i, 2)))) AS grams
-            FROM t WHERE size(w) >= 2),
+    (s, d) => withViews(s, d, "documents")("""
+      WITH g AS (SELECT doc_id, lang, source, grams FROM
+                   (SELECT doc_id, lang, source, shingle_set(text, 2) AS grams
+                    FROM documents)
+                 WHERE size(grams) >= 1),
       p AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
-              CAST(size(filter(a.grams, x -> array_contains(b.grams, x))) AS DOUBLE) /
-              CAST(size(a.grams) + size(b.grams)
-                   - size(filter(a.grams, x -> array_contains(b.grams, x))) AS DOUBLE) AS jaccard
+              jaccard_sim(a.grams, b.grams) AS jaccard
             FROM g a JOIN g b
               ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
       SELECT ida AS doc_a, idb AS doc_b, jaccard FROM p WHERE jaccard >= 0.3"""),

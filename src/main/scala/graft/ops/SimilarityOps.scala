@@ -26,24 +26,31 @@ object SimilarityOps {
 
   val s01 = QueryDef(
     "s01_knn_bruteforce",
-    (s, d) => withViews(s, d, "embeddings")(s"""
-      WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                 FROM embeddings),
-      n AS (SELECT vec_id, v,
-              sqrt(aggregate(v, CAST(0 AS DOUBLE), (a, x) -> a + x * x)) AS nrm
-            FROM e),
-      q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
-            WHERE vec_id % 100 = 0),
-      sc AS (SELECT query_id, t.vec_id AS neighbor_id,
-               aggregate(zip_with(qv, t.v, (x, y) -> x * y),
-                 CAST(0 AS DOUBLE), (acc, z) -> acc + z) / (qn * t.nrm) AS cos
-             FROM q JOIN n t ON t.vec_id <> query_id),
-      r AS (SELECT query_id, neighbor_id, cos,
-              row_number() OVER (PARTITION BY query_id
-                                 ORDER BY cos DESC, neighbor_id) AS rn
-            FROM sc)
-      SELECT query_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rn
-      FROM r WHERE rn <= 5"""),
+    (s, d) => {
+      // Normalized vectors materialize once (consumed by the query side
+      // and the corpus side); the tiny query side broadcasts, so the scan
+      // over the corpus stays a single parallel pass — linear in N.
+      val n = withViews(s, d, "embeddings")("""
+        WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings)
+        SELECT vec_id, v,
+               sqrt(aggregate(v, CAST(0 AS DOUBLE), (a, x) -> a + x * x)) AS nrm
+        FROM e""").cache()
+      n.createOrReplaceTempView("s01_n")
+      s.sql("""
+        WITH q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM s01_n
+              WHERE vec_id % 100 = 0),
+        sc AS (SELECT /*+ BROADCAST(q) */ query_id, t.vec_id AS neighbor_id,
+                 aggregate(zip_with(qv, t.v, (x, y) -> x * y),
+                   CAST(0 AS DOUBLE), (acc, z) -> acc + z) / (qn * t.nrm) AS cos
+               FROM q JOIN s01_n t ON t.vec_id <> query_id),
+        r AS (SELECT query_id, neighbor_id, cos,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rn
+              FROM sc)
+        SELECT query_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rn
+        FROM r WHERE rn <= 5""")
+    },
     Some("""
       WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                  FROM embeddings),
@@ -68,28 +75,32 @@ object SimilarityOps {
 
   val s02 = QueryDef(
     "s02_knn_lsh",
-    (s, d) => withViews(s, d, "embeddings")(s"""
-      WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                 FROM embeddings),
-      n AS (SELECT vec_id, v,
-              sqrt(aggregate(v, CAST(0 AS DOUBLE), (a, x) -> a + x * x)) AS nrm,
-              aggregate(sequence(0, 3), CAST(0 AS BIGINT), (acc, p) ->
-                acc + CASE WHEN aggregate(sequence(0, 63), CAST(0 AS DOUBLE),
-                  (a, j) -> a + element_at(v, j+1) * $planeS) >= 0
-                THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END) AS bkt
-            FROM e),
-      q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bkt AS qb FROM n
-            WHERE vec_id % 100 = 0),
-      sc AS (SELECT query_id, t.vec_id AS neighbor_id,
-               aggregate(zip_with(qv, t.v, (x, y) -> x * y),
-                 CAST(0 AS DOUBLE), (acc, z) -> acc + z) / (qn * t.nrm) AS cos
-             FROM q JOIN n t ON t.bkt = qb AND t.vec_id <> query_id),
-      r AS (SELECT query_id, neighbor_id, cos,
-              row_number() OVER (PARTITION BY query_id
-                                 ORDER BY cos DESC, neighbor_id) AS rn
-            FROM sc)
-      SELECT query_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rn
-      FROM r WHERE rn <= 5"""),
+    (s, d) => {
+      val n = withViews(s, d, "embeddings")(s"""
+        WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings)
+        SELECT vec_id, v,
+               sqrt(aggregate(v, CAST(0 AS DOUBLE), (a, x) -> a + x * x)) AS nrm,
+               aggregate(sequence(0, 3), CAST(0 AS BIGINT), (acc, p) ->
+                 acc + CASE WHEN aggregate(sequence(0, 63), CAST(0 AS DOUBLE),
+                   (a, j) -> a + element_at(v, j+1) * $planeS) >= 0
+                 THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END) AS bkt
+        FROM e""").cache()
+      n.createOrReplaceTempView("s02_n")
+      s.sql("""
+        WITH q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bkt AS qb FROM s02_n
+              WHERE vec_id % 100 = 0),
+        sc AS (SELECT /*+ BROADCAST(q) */ query_id, t.vec_id AS neighbor_id,
+                 aggregate(zip_with(qv, t.v, (x, y) -> x * y),
+                   CAST(0 AS DOUBLE), (acc, z) -> acc + z) / (qn * t.nrm) AS cos
+               FROM q JOIN s02_n t ON t.bkt = qb AND t.vec_id <> query_id),
+        r AS (SELECT query_id, neighbor_id, cos,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rn
+              FROM sc)
+        SELECT query_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rn
+        FROM r WHERE rn <= 5""")
+    },
     Some(s"""
       WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                  FROM embeddings),
