@@ -10,7 +10,8 @@ object SparkEntry {
   def registry: Seq[QueryDef] =
     graft.ops.Relational.all ++ graft.ops.Temporal.all ++
       graft.ops.TextOps.all ++ graft.ops.DedupOps.all ++
-      graft.ops.SimilarityOps.all ++ graft.ops.MultimodalOps.all
+      graft.ops.SimilarityOps.all ++ graft.ops.MultimodalOps.all ++
+      graft.ops.Extended.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
