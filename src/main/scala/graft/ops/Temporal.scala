@@ -52,5 +52,54 @@ object Temporal {
     },
     None)
 
-  val all: Seq[QueryDef] = Seq(q22, q23)
+  /** GROUPING SETS (beyond rollup/cube): explicit per-dimension totals. */
+  val q27 = QueryDef(
+    "q27_grouping_sets",
+    (s, d) => withViews(s, d, "lineitem")(s"""
+      SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             coalesce(l_linestatus, 'ALL') AS linestatus,
+             count(*) AS n, ${oSumd("l_extendedprice")} AS sum_price
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""),
+    Some(s"""
+      SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             coalesce(l_linestatus, 'ALL') AS linestatus,
+             count(*) AS n, ${oSumd("l_extendedprice")} AS sum_price
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""))
+
+  /** Keyed interval join via the bucketed RangeJoin operator: clicks by
+    * the same user within the hour before each purchase. Oracle uses the
+    * plain inequality join (DuckDB plans it as an IEJoin). */
+  val q28 = QueryDef(
+    "q28_range_join",
+    (s, d) => {
+      import s.implicits._
+      val events = Q.events(s, d)
+      val purchases = events.where($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val clicks = events.where($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts", $"value")
+      graft.operators.RangeJoin(purchases, clicks,
+        key = "user_id", leftTime = "ts", rightTime = "ts",
+        before = scala.concurrent.duration.DurationInt(1).hour,
+        rightCols = Seq("event_id", "ts", "value"), prefix = "click_")
+        .select($"event_id".as("purchase_id"), $"user_id",
+          tsStr($"ts").as("pts"), $"click_event_id".as("click_id"),
+          tsStr($"click_ts").as("cts"), $"click_value")
+    },
+    Some(s"""
+      WITH p AS (SELECT event_id, user_id, cast(ts as timestamp) AS ts
+                 FROM events WHERE event_type = 'purchase'),
+           c AS (SELECT event_id, user_id, cast(ts as timestamp) AS ts, value
+                 FROM events WHERE event_type = 'click')
+      SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+             ${oTsStr("p.ts")} AS pts, c.event_id AS click_id,
+             ${oTsStr("c.ts")} AS cts, c.value AS click_value
+      FROM p JOIN c
+        ON p.user_id = c.user_id
+       AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts"""),
+    headline = true)
+
+  val all: Seq[QueryDef] = Seq(q22, q23, q27, q28)
 }
