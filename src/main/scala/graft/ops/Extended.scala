@@ -59,5 +59,113 @@ object Extended {
       SELECT l_returnflag, ${oAvgd("l_quantity")} AS mean_qty, count(*) AS n
       FROM lineitem GROUP BY l_returnflag"""))
 
-  val all: Seq[QueryDef] = Seq(q24, q25, q26)
+  /** String-function battery (all integer/string-exact across engines). */
+  val q29 = QueryDef(
+    "q29_string_functions",
+    (s, d) => withViews(s, d, "documents")("""
+      SELECT doc_id,
+             regexp_extract(text, '([a-z]+)', 1) AS first_word,
+             lpad(lang, 5, '*') AS lang_pad,
+             rpad(source, 8, '-') AS src_pad,
+             reverse(source) AS src_rev,
+             replace(source, 'src', 'S') AS src_short,
+             CAST(instr(text, 'join') AS BIGINT) AS join_pos,
+             left(text, 10) AS head10,
+             right(source, 2) AS tail2,
+             repeat(lang, 3) AS lang3,
+             translate(lang, 'aeiou', 'AEIOU') AS lang_vowels,
+             split_part(trim(text), ' ', 2) AS second_token,
+             CAST(ascii(source) AS BIGINT) AS src_ascii
+      FROM documents"""),
+    Some("""
+      SELECT doc_id,
+             regexp_extract(text, '([a-z]+)', 1) AS first_word,
+             lpad(lang, 5, '*') AS lang_pad,
+             rpad(source, 8, '-') AS src_pad,
+             reverse(source) AS src_rev,
+             replace(source, 'src', 'S') AS src_short,
+             CAST(strpos(text, 'join') AS BIGINT) AS join_pos,
+             left(text, 10) AS head10,
+             right(source, 2) AS tail2,
+             repeat(lang, 3) AS lang3,
+             translate(lang, 'aeiou', 'AEIOU') AS lang_vowels,
+             split_part(trim(text), ' ', 2) AS second_token,
+             CAST(ascii(source) AS BIGINT) AS src_ascii
+      FROM documents"""))
+
+  /** Date/time-function battery. */
+  val q30 = QueryDef(
+    "q30_date_functions",
+    (s, d) => withViews(s, d, "orders")(s"""
+      SELECT o_orderkey,
+             ${sDate("add_months(o_orderdate, 3)")} AS plus3m,
+             ${sDate("date_add(CAST(o_orderdate AS DATE), 30)")} AS plus30d,
+             ${sDate("last_day(o_orderdate)")} AS month_end,
+             ${sDate("trunc(CAST(o_orderdate AS DATE), 'month')")} AS month_start,
+             CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+             CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+             CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+             CAST(weekofyear(o_orderdate) AS BIGINT) AS woy,
+             CAST(unix_timestamp(o_orderdate) AS BIGINT) AS epoch_s
+      FROM orders WHERE o_orderkey % 20 = 0"""),
+    Some(s"""
+      SELECT o_orderkey,
+             ${oDate("cast(o_orderdate as date) + INTERVAL 3 MONTH")} AS plus3m,
+             ${oDate("cast(o_orderdate as date) + INTERVAL 30 DAY")} AS plus30d,
+             ${oDate("last_day(cast(o_orderdate as date))")} AS month_end,
+             ${oDate("date_trunc('month', cast(o_orderdate as date))")} AS month_start,
+             CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+             CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+             CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+             CAST(weekofyear(o_orderdate) AS BIGINT) AS woy,
+             CAST(epoch(cast(o_orderdate as timestamp)) AS BIGINT) AS epoch_s
+      FROM orders WHERE o_orderkey % 20 = 0"""))
+
+  /** Exact percentiles (linear interpolation — same definition both
+    * engines; verified bit-exact by the oracle gate). */
+  val q31 = QueryDef(
+    "q31_percentiles",
+    (s, d) => withViews(s, d, "lineitem")("""
+      SELECT l_returnflag,
+             percentile(l_extendedprice, 0.5) AS p50,
+             percentile(l_extendedprice, 0.9) AS p90,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_returnflag"""),
+    Some("""
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.5) AS p50,
+             quantile_cont(l_extendedprice, 0.9) AS p90,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_returnflag"""))
+
+  /** Array-function battery over the embedding vectors. */
+  val q32 = QueryDef(
+    "q32_array_functions",
+    (s, d) => withViews(s, d, "embeddings")("""
+      WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings)
+      SELECT vec_id,
+             CAST(size(v) AS BIGINT) AS dim,
+             array_max(v) AS vmax,
+             array_min(v) AS vmin,
+             slice(v, 1, 3) AS first3,
+             slice(sort_array(v), 1, 3) AS smallest3,
+             element_at(v, 64) AS last_elem
+      FROM e"""),
+    Some("""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings)
+      SELECT vec_id,
+             CAST(len(v) AS BIGINT) AS dim,
+             list_aggregate(v, 'max') AS vmax,
+             list_aggregate(v, 'min') AS vmin,
+             v[1:3] AS first3,
+             (list_sort(v))[1:3] AS smallest3,
+             v[64] AS last_elem
+      FROM e"""))
+
+  private def sDate(e: String): String = s"date_format($e, 'yyyy-MM-dd')"
+  private def oDate(e: String): String = s"strftime(cast(($e) as date), '%Y-%m-%d')"
+
+  val all: Seq[QueryDef] = Seq(q24, q25, q26, q29, q30, q31, q32)
 }
