@@ -29,6 +29,18 @@ class ScaleSpec extends AnyFunSuite {
     val customer = graft.ops.Q.table(spark, "/root/testdata/sf0.001", "customer")
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS customer_b")
+    // a previous JVM's managed-table dirs survive the (new) catalog's
+    // DROP — remove the physical locations too
+    val wh = java.nio.file.Paths.get(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"))
+    Seq("orders_b", "customer_b").foreach { t =>
+      val p = wh.resolve(t)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
     orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
       .mode("overwrite").saveAsTable("orders_b")
     customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
