@@ -11,7 +11,7 @@ object SparkEntry {
     graft.ops.Relational.all ++ graft.ops.Temporal.all ++
       graft.ops.TextOps.all ++ graft.ops.DedupOps.all ++
       graft.ops.SimilarityOps.all ++ graft.ops.MultimodalOps.all ++
-      graft.ops.Extended.all
+      graft.ops.Extended.all ++ graft.ops.PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -54,12 +54,42 @@ object Flow {
 
 final case class SinkStage[I](name: String, write: Dataset[I] => Unit)
 
+object SinkStage {
+  /** In-memory terminal buffer with an optional cap that DROPS NEWEST
+    * rows beyond it — the reference `SinkAdapter`'s exact semantics
+    * (`messaging.rs:211-253`: push_back then pop_back when over cap).
+    * Returns the sink and a drain function. */
+  def cappedBuffer[I](cap: Option[Int] = None): (SinkStage[I], () => Seq[I]) = {
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[I]()
+    val sink = SinkStage[I]("capped-buffer", { ds =>
+      ds.collect().foreach { row =>
+        buf.add(row)
+        cap.foreach { c => while (buf.size() > c) removeLast(buf) }
+      }
+    })
+    import scala.jdk.CollectionConverters._
+    (sink, () => buf.asScala.toSeq)
+  }
+
+  private def removeLast[I](q: java.util.concurrent.ConcurrentLinkedQueue[I]): Unit = {
+    // drop-newest: remove the element most recently added
+    val it = q.iterator()
+    var last: I = null.asInstanceOf[I]
+    while (it.hasNext) last = it.next()
+    if (last != null) q.remove(last)
+  }
+}
+
 final class PipelineBuilder[O] private[pipeline] (
     source: Source[_],
     build: SparkSession => Dataset[O]) {
 
   def via[N](flow: Flow[O, N]): PipelineBuilder[N] =
     new PipelineBuilder[N](source, s => flow.apply(build(s)))
+
+  /** Probe terminal: the composed (unsunk) dataset — for embedding a DSL
+    * pipeline inside a larger plan or the correctness gate. */
+  def dataFrame(spark: SparkSession): Dataset[O] = build(spark)
 
   def to(sink: SinkStage[O]): Pipeline =
     new Pipeline(s"${source.name}=>${sink.name}",

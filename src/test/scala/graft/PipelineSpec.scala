@@ -69,6 +69,22 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("capped buffer sink drops NEWEST beyond cap (messaging.rs:224-229)") {
+    val (sink, drain) = SinkStage.cappedBuffer[Long](cap = Some(3))
+    Pipeline.from(Source[Long]("range", s => s.range(0, 10).orderBy($"id").coalesce(1).as[Long]))
+      .to(sink)
+      .runSync(spark)
+    assert(drain().size == 3)
+    graft.testing.Harness.assertSequence(drain().sorted, Seq(0L, 1L, 2L))
+  }
+
+  test("harness multiset assertion accepts reordered funnel output") {
+    graft.testing.Harness.assertMultiset(Seq(2, 1, 1), Seq(1, 2, 1))
+    assertThrows[IllegalArgumentException] {
+      graft.testing.Harness.assertMultiset(Seq(1, 1), Seq(1, 2))
+    }
+  }
+
   test("supervised spawn: pipeline runs under the stage runtime") {
     val buf = new ConcurrentLinkedQueue[Long]()
     val t = Pipeline.from(Source[Long]("range", s => s.range(1, 4).as[Long]))
