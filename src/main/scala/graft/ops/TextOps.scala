@@ -23,17 +23,19 @@ object TextOps {
   val t01 = QueryDef(
     "t01_token_stats",
     (s, d) => withViews(s, d, "documents")(s"""
-      WITH t AS (SELECT doc_id, split($sNorm, ' ') AS w FROM documents)
+      WITH t AS (SELECT doc_id, text, split($sNorm, ' ') AS w FROM documents)
       SELECT doc_id,
              CAST(size(w) AS BIGINT) AS n_tokens,
              CAST(size(array_distinct(w)) AS BIGINT) AS n_uniq,
              aggregate(w, CAST(0 AS BIGINT), (a, x) -> a + length(x)) AS total_chars,
              CAST(aggregate(w, CAST(0 AS BIGINT), (a, x) -> a + length(x)) AS DOUBLE)
                / CAST(size(w) AS DOUBLE) AS avg_token_len,
-             CAST(size(array_distinct(w)) AS DOUBLE) / CAST(size(w) AS DOUBLE) AS ttr
+             CAST(size(array_distinct(w)) AS DOUBLE) / CAST(size(w) AS DOUBLE) AS ttr,
+             CAST(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)) AS BIGINT)
+               AS n_subtokens
       FROM t"""),
     Some(s"""
-      WITH t AS (SELECT doc_id, string_split($oNorm, ' ') AS w FROM documents)
+      WITH t AS (SELECT doc_id, text, string_split($oNorm, ' ') AS w FROM documents)
       SELECT doc_id,
              CAST(len(w) AS BIGINT) AS n_tokens,
              CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
@@ -42,7 +44,9 @@ object TextOps {
              CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
                list_transform(w, x -> CAST(length(x) AS BIGINT))), (a, x) -> a + x) AS DOUBLE)
                / CAST(len(w) AS DOUBLE) AS avg_token_len,
-             CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS ttr
+             CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS ttr,
+             CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) AS BIGINT)
+               AS n_subtokens
       FROM t"""))
 
   /** Heuristic language ID: stopword-hit counts per language, fixed

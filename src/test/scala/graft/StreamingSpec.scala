@@ -126,6 +126,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(tether.currentPhase == StagePhase.Ended)
   }
 
+  test("stream-stream join with event-time bounds (purchase <- prior click)") {
+    implicit val sql = spark.sqlContext
+    val pm = MemoryStream[(Timestamp, Long, Long)] // ts, user, id
+    val cm = MemoryStream[(Timestamp, Long, Long)]
+    val p = pm.toDF().toDF("pts", "user_id", "pid").withWatermark("pts", "10 minutes")
+    val c = cm.toDF().toDF("cts", "cuser", "cid").withWatermark("cts", "10 minutes")
+    val joined = p.join(c,
+      expr("user_id = cuser AND cts >= pts - interval 1 hour AND cts <= pts"))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ss_join").start()
+    cm.addData(Seq((ts("2024-01-01 01:30:00"), 1L, 100L),
+      (ts("2024-01-01 00:30:00"), 1L, 101L))) // 01:30 in window; 00:30 too old
+    pm.addData(Seq((ts("2024-01-01 02:00:00"), 1L, 1L)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ss_join").select($"pid", $"cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((1L, 100L)))
+  }
+
+  test("streaming deduplication by key with watermark (dropDuplicates)") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "event_id")
+      .withWatermark("ts", "1 hour").dropDuplicates("event_id")
+    val q = df.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_stream").start()
+    mem.addData(Seq((ts("2024-01-01 01:00:00"), 1L), (ts("2024-01-01 01:01:00"), 2L)))
+    q.processAllAvailable()
+    mem.addData(Seq((ts("2024-01-01 01:02:00"), 1L), (ts("2024-01-01 01:03:00"), 3L)))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_stream").select($"event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L)) // replayed id=1 suppressed
+  }
+
   test("processing-time tick source (TimerPort analogue, messaging.rs:151-209)") {
     val q = spark.readStream.format("rate").option("rowsPerSecond", "50").load()
       .writeStream.outputMode("append").format("memory").queryName("ticks").start()
