@@ -76,6 +76,10 @@ object GraftFunctions {
       "jaccard_sim",
       exprs => JaccardSim(exprs.head, exprs(1)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product",
+      exprs => DotProduct(exprs.head, exprs(1)),
+      "scala_udf")
   }
 
   private def literalInt(e: Expression, what: String): Long = e match {

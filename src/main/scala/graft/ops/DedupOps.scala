@@ -144,11 +144,10 @@ object DedupOps {
                    transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                  FROM embeddings),
       n AS (SELECT vec_id, label, v,
-              sqrt(aggregate(v, CAST(0 AS DOUBLE), (a, x) -> a + x * x)) AS nrm
+              sqrt(dot_product(v, v)) AS nrm
             FROM e),
       p AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
-              aggregate(zip_with(a.v, b.v, (x, y) -> x * y),
-                CAST(0 AS DOUBLE), (acc, z) -> acc + z) / (a.nrm * b.nrm) AS cos
+              dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
             FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
       SELECT ida AS vec_a, idb AS vec_b, cos FROM p WHERE cos >= 0.4"""),
     Some("""

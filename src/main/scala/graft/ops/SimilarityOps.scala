@@ -34,15 +34,14 @@ object SimilarityOps {
         WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                    FROM embeddings)
         SELECT vec_id, v,
-               sqrt(aggregate(v, CAST(0 AS DOUBLE), (a, x) -> a + x * x)) AS nrm
+               sqrt(dot_product(v, v)) AS nrm
         FROM e""").cache()
       n.createOrReplaceTempView("s01_n")
       s.sql("""
         WITH q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM s01_n
               WHERE vec_id % 100 = 0),
         sc AS (SELECT /*+ BROADCAST(q) */ query_id, t.vec_id AS neighbor_id,
-                 aggregate(zip_with(qv, t.v, (x, y) -> x * y),
-                   CAST(0 AS DOUBLE), (acc, z) -> acc + z) / (qn * t.nrm) AS cos
+                 dot_product(qv, t.v) / (qn * t.nrm) AS cos
                FROM q JOIN s01_n t ON t.vec_id <> query_id),
         r AS (SELECT query_id, neighbor_id, cos,
                 row_number() OVER (PARTITION BY query_id
@@ -80,7 +79,7 @@ object SimilarityOps {
         WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                    FROM embeddings)
         SELECT vec_id, v,
-               sqrt(aggregate(v, CAST(0 AS DOUBLE), (a, x) -> a + x * x)) AS nrm,
+               sqrt(dot_product(v, v)) AS nrm,
                aggregate(sequence(0, 3), CAST(0 AS BIGINT), (acc, p) ->
                  acc + CASE WHEN aggregate(sequence(0, 63), CAST(0 AS DOUBLE),
                    (a, j) -> a + element_at(v, j+1) * $planeS) >= 0
@@ -91,8 +90,7 @@ object SimilarityOps {
         WITH q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bkt AS qb FROM s02_n
               WHERE vec_id % 100 = 0),
         sc AS (SELECT /*+ BROADCAST(q) */ query_id, t.vec_id AS neighbor_id,
-                 aggregate(zip_with(qv, t.v, (x, y) -> x * y),
-                   CAST(0 AS DOUBLE), (acc, z) -> acc + z) / (qn * t.nrm) AS cos
+                 dot_product(qv, t.v) / (qn * t.nrm) AS cos
                FROM q JOIN s02_n t ON t.bkt = qb AND t.vec_id <> query_id),
         r AS (SELECT query_id, neighbor_id, cos,
                 row_number() OVER (PARTITION BY query_id
