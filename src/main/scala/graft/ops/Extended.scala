@@ -167,5 +167,113 @@ object Extended {
   private def sDate(e: String): String = s"date_format($e, 'yyyy-MM-dd')"
   private def oDate(e: String): String = s"strftime(cast(($e) as date), '%Y-%m-%d')"
 
-  val all: Seq[QueryDef] = Seq(q24, q25, q26, q29, q30, q31, q32)
+  /** Multiset set operations (INTERSECT ALL / EXCEPT ALL). */
+  val q33 = QueryDef(
+    "q33_multiset_ops",
+    (s, d) => {
+      import s.implicits._
+      val a = table(s, d, "lineitem").where($"l_quantity" >= 40.0)
+        .select($"l_suppkey", $"l_returnflag")
+      val b = table(s, d, "lineitem").where($"l_discount" >= 0.05)
+        .select($"l_suppkey", $"l_returnflag")
+      a.intersectAll(b).withColumn("tag", lit("both"))
+        .unionByName(a.exceptAll(b).withColumn("tag", lit("only_heavy")))
+        .groupBy($"l_returnflag", $"tag")
+        .agg(count(lit(1)).as("n"))
+    },
+    Some("""
+      WITH a AS (SELECT l_suppkey, l_returnflag FROM lineitem WHERE l_quantity >= 40.0),
+           b AS (SELECT l_suppkey, l_returnflag FROM lineitem WHERE l_discount >= 0.05),
+           u AS (
+             SELECT l_returnflag, 'both' AS tag
+             FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+             UNION ALL
+             SELECT l_returnflag, 'only_heavy' AS tag
+             FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b))
+      SELECT l_returnflag, tag, count(*) AS n FROM u GROUP BY l_returnflag, tag"""))
+
+  /** Full-outer join (null sides both ways) + cross join. */
+  val q34 = QueryDef(
+    "q34_outer_cross_join",
+    (s, d) => {
+      import s.implicits._
+      val perCust = table(s, d, "orders")
+        .where($"o_totalprice" > 350000.0)
+        .groupBy($"o_custkey").agg(count(lit(1)).as("n_big"))
+      val rich = cust(s, d).where($"c_acctbal" > 9000.0)
+        .select($"c_custkey", $"c_name")
+      val fo = rich.join(perCust, $"c_custkey" === $"o_custkey", "full_outer")
+        .select(coalesce($"c_custkey", $"o_custkey").as("custkey"),
+          coalesce($"c_name", lit("(no-name)")).as("name"),
+          coalesce($"n_big", lit(0L)).as("n_big"))
+      val cross = table(s, d, "region").crossJoin(
+        table(s, d, "nation").select(countDistinct($"n_regionkey").as("n_regions")))
+        .select($"r_name", $"n_regions")
+      fo.withColumn("r_name", lit(null).cast("string"))
+        .withColumn("n_regions", lit(null).cast("long"))
+        .unionByName(cross
+          .withColumn("custkey", lit(null).cast("long"))
+          .withColumn("name", lit(null).cast("string"))
+          .withColumn("n_big", lit(null).cast("long")))
+    },
+    Some("""
+      WITH perCust AS (SELECT o_custkey, count(*) AS n_big FROM orders
+                       WHERE o_totalprice > 350000.0 GROUP BY o_custkey),
+           rich AS (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000.0),
+           fo AS (SELECT coalesce(c_custkey, o_custkey) AS custkey,
+                         coalesce(c_name, '(no-name)') AS name,
+                         coalesce(n_big, 0) AS n_big
+                  FROM rich FULL OUTER JOIN perCust ON c_custkey = o_custkey),
+           cross_part AS (SELECT r_name,
+                            (SELECT count(DISTINCT n_regionkey) FROM nation) AS n_regions
+                          FROM region)
+      SELECT custkey, name, CAST(n_big AS BIGINT) AS n_big,
+             CAST(NULL AS VARCHAR) AS r_name, CAST(NULL AS BIGINT) AS n_regions
+      FROM fo
+      UNION ALL
+      SELECT CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+             r_name, CAST(n_regions AS BIGINT)
+      FROM cross_part"""))
+
+  /** Statistical aggregates from exact decimal sums (population stddev,
+    * covariance, Pearson correlation) — associative partials, one IEEE
+    * op chain at the end, bit-identical on both engines. */
+  val q35 = QueryDef(
+    "q35_stats_aggregates",
+    (s, d) => {
+      import s.implicits._
+      table(s, d, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sumd($"l_quantity").as("sq"),
+          sumd($"l_quantity" * $"l_quantity").as("sqq"),
+          sumd($"l_discount").as("sd"),
+          sumd($"l_discount" * $"l_discount").as("sdd"),
+          sumd($"l_quantity" * $"l_discount").as("sqd"))
+        .select($"l_returnflag", $"n",
+          sqrt(($"sqq" - $"sq" * $"sq" / $"n") / $"n").as("stddev_pop_qty"),
+          (($"sqd" - $"sq" * $"sd" / $"n") / $"n").as("covar_pop"),
+          ((($"sqd" - $"sq" * $"sd" / $"n") / $"n") /
+            (sqrt(($"sqq" - $"sq" * $"sq" / $"n") / $"n") *
+             sqrt(($"sdd" - $"sd" * $"sd" / $"n") / $"n"))).as("corr_qd"))
+    },
+    Some(s"""
+      WITH t AS (SELECT l_returnflag, count(*) AS n,
+                   ${oSumd("l_quantity")} AS sq,
+                   ${oSumd("l_quantity * l_quantity")} AS sqq,
+                   ${oSumd("l_discount")} AS sd,
+                   ${oSumd("l_discount * l_discount")} AS sdd,
+                   ${oSumd("l_quantity * l_discount")} AS sqd
+                 FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+             sqrt((sqq - sq * sq / n) / n) AS stddev_pop_qty,
+             ((sqd - sq * sd / n) / n) AS covar_pop,
+             (((sqd - sq * sd / n) / n) /
+              (sqrt((sqq - sq * sq / n) / n) * sqrt((sdd - sd * sd / n) / n))) AS corr_qd
+      FROM t"""))
+
+  private def cust(s: org.apache.spark.sql.SparkSession, d: String) =
+    table(s, d, "customer")
+
+  val all: Seq[QueryDef] = Seq(q24, q25, q26, q29, q30, q31, q32, q33, q34, q35)
 }
