@@ -9,6 +9,14 @@ import org.apache.spark.sql.functions._
 import scala.concurrent.duration._
 import org.scalatest.funsuite.AnyFunSuite
 
+/** Serializable probe counters for the ForeachWriter lifecycle test (the
+  * writer is serialized to tasks; instance fields wouldn't come back). */
+object ForeachProbe {
+  val opens = new AtomicInteger(0)
+  val processed = new AtomicInteger(0)
+  val closes = new AtomicInteger(0)
+}
+
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -161,6 +169,45 @@ class StreamingSpec extends AnyFunSuite {
     val ids = spark.table("dedup_stream").select($"event_id")
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(ids == Seq(1L, 2L, 3L)) // replayed id=1 suppressed
+  }
+
+  test("ForeachWriter lifecycle mirrors Worker bootstrap/execute/teardown (framework.rs:90-135)") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Long]
+    mem.addData(1L to 5L)
+    val q = mem.toDS().writeStream.outputMode("append")
+      .foreach(new org.apache.spark.sql.ForeachWriter[Long] {
+        // open = bootstrap, process = execute, close = teardown
+        override def open(partitionId: Long, epochId: Long): Boolean = {
+          ForeachProbe.opens.incrementAndGet(); true
+        }
+        override def process(value: Long): Unit =
+          ForeachProbe.processed.incrementAndGet()
+        override def close(errorOrNull: Throwable): Unit =
+          ForeachProbe.closes.incrementAndGet()
+      }).start()
+    q.processAllAvailable()
+    q.stop()
+    assert(ForeachProbe.processed.get() == 5)
+    assert(ForeachProbe.opens.get() > 0)
+    assert(ForeachProbe.closes.get() == ForeachProbe.opens.get())
+  }
+
+  test("source throttling bounds micro-batch size (maxFilesPerTrigger = backpressure)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-throttle").toString
+    val nation = graft.ops.Q.table(spark, "/root/testdata/sf0.001", "nation")
+    nation.coalesce(1).write.mode("append").parquet(dir)
+    nation.coalesce(1).write.mode("append").parquet(dir)
+    val q = spark.readStream.schema(nation.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .groupBy().agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("throttled").start()
+    q.processAllAvailable()
+    val nonEmptyBatches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    assert(spark.table("throttled").head().getLong(0) == 50)
+    assert(nonEmptyBatches >= 2, s"expected >=2 throttled batches, got $nonEmptyBatches")
   }
 
   test("processing-time tick source (TimerPort analogue, messaging.rs:151-209)") {
