@@ -127,5 +127,85 @@ object SimilarityOps {
       SELECT query_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rn
       FROM r WHERE rn <= 5"""))
 
-  val all: Seq[QueryDef] = Seq(s01, s02)
+  /** IVF-flavored ANN: coarse quantizer = deterministically sampled
+    * centroids (vec_id % 50 == 7); every vector is assigned to its
+    * nearest centroid (one |N|×|C| pass); queries probe their top-2
+    * centroids' inverted lists. At scale the assignment shuffle keys by
+    * cluster id, and search touches only probed lists — the classic
+    * IVF trade of recall for a bounded candidate set. Oracle replicates
+    * the same quantizer, so results stay exact-checkable. */
+  val s03 = QueryDef(
+    "s03_knn_ivf",
+    (s, d) => {
+      val n = withViews(s, d, "embeddings")("""
+        WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings)
+        SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM e""").cache()
+      n.createOrReplaceTempView("s03_n")
+      val assign = s.sql("""
+        WITH c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM s03_n
+                   WHERE vec_id % 50 = 7),
+        sc AS (SELECT /*+ BROADCAST(c) */ t.vec_id, cid,
+                 dot_product(t.v, cv) / (t.nrm * cn) AS cos,
+                 row_number() OVER (PARTITION BY t.vec_id
+                                    ORDER BY dot_product(t.v, cv) / (t.nrm * cn) DESC,
+                                             cid) AS rn
+               FROM s03_n t CROSS JOIN c)
+        SELECT vec_id, cid AS cluster, rn FROM sc WHERE rn <= 2""").cache()
+      assign.createOrReplaceTempView("s03_assign")
+      s.sql("""
+        WITH members AS (SELECT vec_id, cluster FROM s03_assign WHERE rn = 1),
+        probes AS (SELECT vec_id AS query_id, cluster FROM s03_assign
+                   WHERE vec_id % 100 = 0),
+        cand AS (SELECT DISTINCT p.query_id, m.vec_id AS neighbor_id
+                 FROM probes p JOIN members m ON m.cluster = p.cluster
+                 WHERE m.vec_id <> p.query_id),
+        sc AS (SELECT query_id, neighbor_id,
+                 dot_product(q.v, t.v) / (q.nrm * t.nrm) AS cos
+               FROM cand JOIN s03_n q ON q.vec_id = query_id
+                         JOIN s03_n t ON t.vec_id = neighbor_id),
+        r AS (SELECT query_id, neighbor_id, cos,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rn
+              FROM sc)
+        SELECT query_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rn
+        FROM r WHERE rn <= 5""")
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      n AS (SELECT vec_id, v,
+              sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+            FROM e),
+      c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id % 50 = 7),
+      sc0 AS (SELECT t.vec_id, cid,
+                list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(list_zip(t.v, cv), s -> s[1] * s[2])),
+                  (acc, z) -> acc + z) / (t.nrm * cn) AS cos
+              FROM n t CROSS JOIN c),
+      ranked AS (SELECT vec_id, cid AS cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, cid) AS rn
+                 FROM sc0),
+      members AS (SELECT vec_id, cluster FROM ranked WHERE rn = 1),
+      probes AS (SELECT vec_id AS query_id, cluster FROM ranked
+                 WHERE vec_id % 100 = 0 AND rn <= 2),
+      cand AS (SELECT DISTINCT p.query_id, m.vec_id AS neighbor_id
+               FROM probes p JOIN members m ON m.cluster = p.cluster
+               WHERE m.vec_id <> p.query_id),
+      sc AS (SELECT query_id, neighbor_id,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(list_zip(q.v, t.v), s -> s[1] * s[2])),
+                 (acc, z) -> acc + z) / (q.nrm * t.nrm) AS cos
+             FROM cand JOIN n q ON q.vec_id = query_id
+                       JOIN n t ON t.vec_id = neighbor_id),
+      r AS (SELECT query_id, neighbor_id, cos,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS rn
+            FROM sc)
+      SELECT query_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rn
+      FROM r WHERE rn <= 5"""))
+
+  val all: Seq[QueryDef] = Seq(s01, s02, s03)
 }

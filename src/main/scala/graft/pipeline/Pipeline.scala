@@ -91,6 +91,13 @@ final class PipelineBuilder[O] private[pipeline] (
     * pipeline inside a larger plan or the correctness gate. */
   def dataFrame(spark: SparkSession): Dataset[O] = build(spark)
 
+  /** Materialized stage boundary (SURVEY.md §7.3): downstream consumers
+    * share one computation of everything upstream instead of re-deriving
+    * it — locally a cache, on a cluster the reused exchange/checkpoint.
+    * This is where gasket's per-stage supervision boundary would sit. */
+  def materialize: PipelineBuilder[O] =
+    new PipelineBuilder[O](source, s => build(s).cache())
+
   def to(sink: SinkStage[O]): Pipeline =
     new Pipeline(s"${source.name}=>${sink.name}",
       s => sink.write(build(s)))

@@ -60,6 +60,20 @@ class SourcesSpec extends AnyFunSuite {
     assert(n1 == 25 && n2 == 50)
   }
 
+  test("malformed JSON records surface via corrupt-record column (PERMISSIVE)") {
+    val dir = tmp("graft-badjson")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.json"),
+      """{"k": 1, "s": "ok"}
+        |{"k": not valid json
+        |{"k": 3, "s": "fine"}""".stripMargin.getBytes)
+    val schema = "k LONG, s STRING, _corrupt_record STRING"
+    val df = spark.read.schema(schema).json(dir).cache()
+    assert(df.count() == 3)
+    assert(df.where($"_corrupt_record".isNotNull).count() == 1)
+    assert(df.where($"k".isNotNull).count() == 2)
+    df.unpersist()
+  }
+
   test("memory sink via pipeline DSL sink stage") {
     val dir = tmp("graft-sink")
     import graft.pipeline._
