@@ -33,6 +33,14 @@ class SourcesSpec extends AnyFunSuite {
       nation.orderBy($"n_nationkey").collect().toSeq)
   }
 
+  test("orc round-trip preserves rows") {
+    val dir = tmp("graft-orc")
+    nation.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.orderBy($"n_nationkey").collect().toSeq ==
+      nation.orderBy($"n_nationkey").collect().toSeq)
+  }
+
   test("partitioned parquet write + partition pruning on read") {
     val dir = tmp("graft-part")
     nation.write.mode("overwrite").partitionBy("n_regionkey").parquet(dir)

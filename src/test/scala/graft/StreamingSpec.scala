@@ -210,6 +210,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(nonEmptyBatches >= 2, s"expected >=2 throttled batches, got $nonEmptyBatches")
   }
 
+  test("checkpoint recovery: restarted query resumes offsets, no duplicates") {
+    val src = java.nio.file.Files.createTempDirectory("graft-ckpt-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-ckpt-out").toString
+    val nation = graft.ops.Q.table(spark, "/root/testdata/sf0.001", "nation")
+
+    def start() = spark.readStream.schema(nation.schema).parquet(src)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+
+    nation.coalesce(1).write.mode("append").parquet(src)
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    assert(spark.read.parquet(out).count() == 25)
+
+    // restart from the same checkpoint; only NEW files are processed
+    nation.coalesce(1).write.mode("append").parquet(src)
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.read.parquet(out).count() == 50) // 25 would mean lost, 75 duplicated
+  }
+
+  test("daemon supervises mixed batch pipeline + streaming query (daemon.rs:36-43)") {
+    import graft.pipeline._
+    import graft.daemon.Daemon
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Long]
+    mem.addData(1L to 5L)
+    val streamTether = StreamSupervisor.spawn("mixed-stream") { () =>
+      mem.toDS().writeStream.outputMode("append")
+        .format("memory").queryName("mixed_sink").start()
+    }
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val batchTether = Pipeline
+      .from(Source[Long]("r", s => s.range(0, 3).as[Long]))
+      .to(SinkStage[Long]("buf", ds => ds.collect().foreach(buf.add)))
+      .spawn(spark)
+    // batch pipeline ends -> daemon stops the (infinite) streaming stage too
+    new Daemon(Seq(streamTether, batchTether), pollEvery = 20.millis).block()
+    assert(batchTether.currentPhase == StagePhase.Ended)
+    assert(streamTether.currentPhase == StagePhase.Ended)
+    assert(buf.size() == 3)
+  }
+
   test("processing-time tick source (TimerPort analogue, messaging.rs:151-209)") {
     val q = spark.readStream.format("rate").option("rowsPerSecond", "50").load()
       .writeStream.outputMode("append").format("memory").queryName("ticks").start()
