@@ -275,5 +275,26 @@ object Extended {
   private def cust(s: org.apache.spark.sql.SparkSession, d: String) =
     table(s, d, "customer")
 
-  val all: Seq[QueryDef] = Seq(q24, q25, q26, q29, q30, q31, q32, q33, q34, q35)
+  /** The custom TopKPerKey physical operator (bounded per-key heaps, no
+    * sort — graft.plans) inside the correctness gate. (custkey,
+    * totalprice) pairs are tie-free in the driver data, so the result is
+    * deterministic vs the window-form oracle. */
+  val q36 = QueryDef(
+    "q36_topk_custom_operator",
+    (s, d) => {
+      import s.implicits._
+      graft.plans.TopK.perKey(table(s, d, "orders"), Seq("o_custkey"),
+        "o_totalprice", k = 3)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC) AS rn
+        FROM orders) t
+      WHERE rn <= 3"""),
+    headline = true)
+
+  val all: Seq[QueryDef] = Seq(q24, q25, q26, q29, q30, q31, q32, q33, q34, q35, q36)
 }
