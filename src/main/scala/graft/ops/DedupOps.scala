@@ -165,5 +165,56 @@ object DedupOps {
             FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
       SELECT ida AS vec_a, idb AS vec_b, cos FROM p WHERE cos >= 0.4"""))
 
-  val all: Seq[QueryDef] = Seq(d02, d03, d04, d05)
+  /** Dedup clustering: connected components over the MinHash near-dup
+    * pair graph — each document labeled with the smallest doc_id reachable
+    * through near-dup edges (the canonical "keep one per cluster" step).
+    *
+    * Spark side: iterative min-label propagation over the edge list
+    * (converges in ≤ diameter rounds; each round is one shuffle — the
+    * standard scalable formulation when a graph library isn't available).
+    * Oracle: DuckDB recursive CTE computing min reachable id — identical
+    * fixpoint by definition. */
+  val d06 = QueryDef(
+    "d06_dedup_clusters",
+    (s, d) => {
+      import s.implicits._
+      val pairs = d02.run(s, d).select($"doc_a", $"doc_b").cache()
+      val edges = pairs
+        .unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+        .cache()
+      var labels = edges.select($"doc_a".as("id")).distinct()
+        .withColumn("cluster", $"id")
+      var changed = 1L
+      while (changed > 0) {
+        val viaNeighbors = edges
+          .join(labels, edges("doc_b") === labels("id"))
+          .select(edges("doc_a").as("id"), $"cluster")
+        val next = labels.select($"id", $"cluster")
+          .unionByName(viaNeighbors)
+          .groupBy($"id").agg(org.apache.spark.sql.functions.min($"cluster").as("cluster"))
+          .cache()
+        changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+          .where($"cluster" =!= $"old").count()
+        labels = next
+      }
+      labels.select($"id".as("doc_id"), $"cluster".as("cluster_id"),
+        ($"id" =!= $"cluster").as("is_duplicate"))
+    },
+    Some(s"""
+      WITH RECURSIVE pairs AS (
+        ${d02.oracle.get.trim.stripSuffix(";")}
+      ),
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+      nodes AS (SELECT DISTINCT a AS id FROM edges),
+      reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+      )
+      SELECT id AS doc_id, min(r) AS cluster_id,
+             (id <> min(r)) AS is_duplicate
+      FROM reach GROUP BY id"""))
+
+  val all: Seq[QueryDef] = Seq(d02, d03, d04, d05, d06)
 }
