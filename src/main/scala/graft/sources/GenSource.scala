@@ -1,0 +1,147 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 custom source `graft-gen`: a deterministic, partitioned
+  * synthetic-row generator (no files, no driver materialization).
+  *
+  * Capabilities demonstrated: TableProvider + DataSourceRegister (short
+  * name), batch scan planning with N independent [[InputPartition]]s
+  * (rows are generated executor-side, so it scales like any parallel
+  * scan), and column pruning via [[SupportsPushDownRequiredColumns]] —
+  * unneeded columns are never computed (visible in the scan's
+  * `ReadSchema`).
+  *
+  * Options: `rows` (default 1000), `partitions` (default 4). Rows are a
+  * pure function of row id (Knuth-hash mixing), so any two reads —
+  * anywhere on a cluster — produce identical data.
+  */
+class GenSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-gen"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GenSource.fullSchema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GenTable(
+      properties.getOrDefault("rows", "1000").toLong,
+      properties.getOrDefault("partitions", "4").toInt,
+      properties.getOrDefault("rowsPerBatch", "100").toLong)
+}
+
+object GenSource {
+  val fullSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("key", LongType, nullable = false),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("value", DoubleType, nullable = false),
+    StructField("label", StringType, nullable = false)))
+
+  private final val Epoch = 1700000000000000L // µs
+
+  def mix(id: Long): Long = (id * 2654435761L) & 0xFFFFFFFFL
+
+  def splitRange(start: Long, end: Long, partitions: Int): Array[InputPartition] = {
+    val total = math.max(0L, end - start)
+    val per = (total + partitions - 1) / math.max(1, partitions)
+    if (per == 0) Array.empty
+    else (0 until partitions).flatMap { p =>
+      val s = start + p * per
+      val e = math.min(s + per, end)
+      if (s < e) Some(GenPartition(s, e): InputPartition) else None
+    }.toArray
+  }
+
+  /** Deterministic field value for (rowId, fieldName). */
+  def value(id: Long, field: String): Any = field match {
+    case "id" => id
+    case "key" => mix(id) % 97
+    case "ts" => Epoch + (mix(id + 1) % 86400000L) * 1000L
+    case "value" => (mix(id + 2) % 100000L).toDouble / 100.0
+    case "label" => UTF8String.fromString(s"g${mix(id + 3) % 5}")
+  }
+}
+
+private class GenTable(rows: Long, partitions: Int, rowsPerBatch: Long)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_gen($rows)"
+  override def schema(): StructType = GenSource.fullSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GenScanBuilder(rows, partitions, rowsPerBatch)
+}
+
+private class GenScanBuilder(rows: Long, partitions: Int, rowsPerBatch: Long)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var prunedSchema: StructType = GenSource.fullSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    prunedSchema = requiredSchema
+
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = prunedSchema
+    override def toBatch: Batch = this
+    override def description(): String =
+      s"graft-gen rows=$rows cols=${prunedSchema.fieldNames.mkString(",")}"
+
+    override def planInputPartitions(): Array[InputPartition] =
+      GenSource.splitRange(0L, rows, partitions)
+
+    override def createReaderFactory(): PartitionReaderFactory =
+      new GenReaderFactory(prunedSchema.fieldNames)
+
+    /** Finite micro-batch stream: each trigger advances the offset by
+      * `rowsPerBatch` until `rows` — then `latestOffset` plateaus, so
+      * `processAllAvailable()` drains deterministically. */
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      new MicroBatchStream {
+        // driver-side trigger throttle: each latestOffset() call admits
+        // one more batch (offsets are ranges of row ids, so replay after
+        // restart regenerates identical rows)
+        private var admitted = 0L
+        override def initialOffset(): Offset = GenOffset(0L)
+        override def latestOffset(): Offset = {
+          admitted = math.min(admitted + rowsPerBatch, rows)
+          GenOffset(admitted)
+        }
+        override def deserializeOffset(json: String): Offset = GenOffset(json.toLong)
+        override def commit(end: Offset): Unit = ()
+        override def stop(): Unit = ()
+        override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+          GenSource.splitRange(start.asInstanceOf[GenOffset].n,
+            end.asInstanceOf[GenOffset].n, partitions)
+        override def createReaderFactory(): PartitionReaderFactory =
+          new GenReaderFactory(prunedSchema.fieldNames)
+      }
+  }
+}
+
+private case class GenOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+private class GenReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val GenPartition(start, end) = partition
+    new PartitionReader[InternalRow] {
+      private var cur = start - 1
+      override def next(): Boolean = { cur += 1; cur < end }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(fields.toSeq.map(f => GenSource.value(cur, f)))
+      override def close(): Unit = ()
+    }
+  }
+}
+
+private case class GenPartition(start: Long, end: Long) extends InputPartition
