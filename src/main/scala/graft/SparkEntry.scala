@@ -11,11 +11,13 @@ object SparkEntry {
     graft.ops.Relational.all ++ graft.ops.Temporal.all ++
       graft.ops.TextOps.all ++ graft.ops.DedupOps.all ++
       graft.ops.SimilarityOps.all ++ graft.ops.MultimodalOps.all ++
-      graft.ops.Extended.all ++ graft.ops.PipelineQueries.all
+      graft.ops.Extended.all ++ graft.ops.PipelineQueries.all ++
+      graft.ops.TrainingPipeline.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the end-to-end training-data pipeline (quality → dedup → stats). */
   def entry(spark: SparkSession): DataFrame =
-    graft.ops.Relational.q01.run(spark, "/root/testdata/sf0.001")
+    graft.ops.TrainingPipeline.q40.run(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
