@@ -30,17 +30,21 @@ object DedupOps {
       // sides, two verify sides) — materializing it once cut the sf0.1
       // bench ~8×. At cluster scale these caches are the pipeline's
       // materialized boundaries (checkpoint/exchange reuse).
-      val sh = withViews(s, d, "documents")("""
-        SELECT doc_id, sset FROM
-          (SELECT doc_id, shingle_set(text, 3) AS sset FROM documents)
-        WHERE size(sset) >= 1""").cache()
+      val sh = staged("d02_sh", d) {
+        withViews(s, d, "documents")("""
+          SELECT doc_id, sset FROM
+            (SELECT doc_id, shingle_set(text, 3) AS sset FROM documents)
+          WHERE size(sset) >= 1""")
+      }
       sh.createOrReplaceTempView("d02_sh")
-      val bands = s.sql("""
-        WITH sig AS (SELECT doc_id, minhash_sig(sset, 16) AS sg FROM d02_sh)
-        SELECT doc_id, bj,
-               concat_ws(',', CAST(element_at(sg, bj*2+1) AS STRING),
-                              CAST(element_at(sg, bj*2+2) AS STRING)) AS bkey
-        FROM sig LATERAL VIEW explode(sequence(0, 7)) x AS bj""").cache()
+      val bands = staged("d02_bands", d) {
+        s.sql("""
+          WITH sig AS (SELECT doc_id, minhash_sig(sset, 16) AS sg FROM d02_sh)
+          SELECT doc_id, bj,
+                 concat_ws(',', CAST(element_at(sg, bj*2+1) AS STRING),
+                                CAST(element_at(sg, bj*2+2) AS STRING)) AS bkey
+          FROM sig LATERAL VIEW explode(sequence(0, 7)) x AS bj""")
+      }
       bands.createOrReplaceTempView("d02_bands")
       s.sql("""
         WITH cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
@@ -178,24 +182,31 @@ object DedupOps {
     "d06_dedup_clusters",
     (s, d) => {
       import s.implicits._
-      val pairs = d02.run(s, d).select($"doc_a", $"doc_b").cache()
-      val edges = pairs
-        .unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
-        .cache()
-      var labels = edges.select($"doc_a".as("id")).distinct()
-        .withColumn("cluster", $"id")
-      var changed = 1L
-      while (changed > 0) {
-        val viaNeighbors = edges
-          .join(labels, edges("doc_b") === labels("id"))
-          .select(edges("doc_a").as("id"), $"cluster")
-        val next = labels.select($"id", $"cluster")
-          .unionByName(viaNeighbors)
-          .groupBy($"id").agg(org.apache.spark.sql.functions.min($"cluster").as("cluster"))
-          .cache()
-        changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
-          .where($"cluster" =!= $"old").count()
-        labels = next
+      val labels = staged("d06_labels", d) {
+        val pairs = d02.run(s, d).select($"doc_a", $"doc_b")
+        val edges = staged("d06_edges", d) {
+          pairs.unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+        }
+        // localCheckpoint (eager) per round: truncates the iterative
+        // lineage so each round reads the previous round's BLOCKS, never
+        // its plan — without this the final plan re-derives all K rounds
+        // (each referencing the previous twice → exponential recompute)
+        var cur = edges.select($"doc_a".as("id")).distinct()
+          .withColumn("cluster", $"id").localCheckpoint(true)
+        var changed = 1L
+        while (changed > 0) {
+          val viaNeighbors = edges
+            .join(cur, edges("doc_b") === cur("id"))
+            .select(edges("doc_a").as("id"), $"cluster")
+          val next = cur.select($"id", $"cluster")
+            .unionByName(viaNeighbors)
+            .groupBy($"id").agg(org.apache.spark.sql.functions.min($"cluster").as("cluster"))
+            .localCheckpoint(true)
+          changed = next.join(cur.withColumnRenamed("cluster", "old"), "id")
+            .where($"cluster" =!= $"old").count()
+          cur = next
+        }
+        cur
       }
       labels.select($"id".as("doc_id"), $"cluster".as("cluster_id"),
         ($"id" =!= $"cluster").as("is_duplicate"))

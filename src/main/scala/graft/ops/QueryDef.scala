@@ -68,6 +68,17 @@ object Q {
   def oDateStr(expr: String): String =
     s"strftime(cast(($expr) as date), '%Y-%m-%d')"
 
+  /** Memoized, cached stage intermediates keyed by (name, data dir).
+    * Composed queries (d06 reusing d02's pairs, q40 reusing d06) share ONE
+    * cached copy instead of re-deriving and re-caching per call — without
+    * this, repeated runs leak orphaned InMemoryRelations (a DataFrame's
+    * cache survives view replacement until explicitly unpersisted). */
+  private val stagedMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def staged(key: String, dir: String)(build: => DataFrame): DataFrame =
+    stagedMemo.computeIfAbsent(s"$key|$dir", _ => build.cache())
+
   /** Register the named driver tables as temp views (plus graft SQL
     * functions) and run a Spark-SQL statement against them. */
   def withViews(s: SparkSession, d: String, names: String*)(sql: String): DataFrame = {

@@ -30,12 +30,12 @@ object SimilarityOps {
       // Normalized vectors materialize once (consumed by the query side
       // and the corpus side); the tiny query side broadcasts, so the scan
       // over the corpus stays a single parallel pass — linear in N.
-      val n = withViews(s, d, "embeddings")("""
-        WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                   FROM embeddings)
-        SELECT vec_id, v,
-               sqrt(dot_product(v, v)) AS nrm
-        FROM e""").cache()
+      val n = staged("s01_n", d) {
+        withViews(s, d, "embeddings")("""
+          WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings)
+          SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM e""")
+      }
       n.createOrReplaceTempView("s01_n")
       s.sql("""
         WITH q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM s01_n
@@ -75,16 +75,18 @@ object SimilarityOps {
   val s02 = QueryDef(
     "s02_knn_lsh",
     (s, d) => {
-      val n = withViews(s, d, "embeddings")(s"""
-        WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                   FROM embeddings)
-        SELECT vec_id, v,
-               sqrt(dot_product(v, v)) AS nrm,
-               aggregate(sequence(0, 3), CAST(0 AS BIGINT), (acc, p) ->
-                 acc + CASE WHEN aggregate(sequence(0, 63), CAST(0 AS DOUBLE),
-                   (a, j) -> a + element_at(v, j+1) * $planeS) >= 0
-                 THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END) AS bkt
-        FROM e""").cache()
+      val n = staged("s02_n", d) {
+        withViews(s, d, "embeddings")(s"""
+          WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings)
+          SELECT vec_id, v,
+                 sqrt(dot_product(v, v)) AS nrm,
+                 aggregate(sequence(0, 3), CAST(0 AS BIGINT), (acc, p) ->
+                   acc + CASE WHEN aggregate(sequence(0, 63), CAST(0 AS DOUBLE),
+                     (a, j) -> a + element_at(v, j+1) * $planeS) >= 0
+                   THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END) AS bkt
+          FROM e""")
+      }
       n.createOrReplaceTempView("s02_n")
       s.sql("""
         WITH q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bkt AS qb FROM s02_n
@@ -137,21 +139,25 @@ object SimilarityOps {
   val s03 = QueryDef(
     "s03_knn_ivf",
     (s, d) => {
-      val n = withViews(s, d, "embeddings")("""
-        WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                   FROM embeddings)
-        SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM e""").cache()
+      val n = staged("s03_n", d) {
+        withViews(s, d, "embeddings")("""
+          WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings)
+          SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM e""")
+      }
       n.createOrReplaceTempView("s03_n")
-      val assign = s.sql("""
-        WITH c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM s03_n
-                   WHERE vec_id % 50 = 7),
-        sc AS (SELECT /*+ BROADCAST(c) */ t.vec_id, cid,
-                 dot_product(t.v, cv) / (t.nrm * cn) AS cos,
-                 row_number() OVER (PARTITION BY t.vec_id
-                                    ORDER BY dot_product(t.v, cv) / (t.nrm * cn) DESC,
-                                             cid) AS rn
-               FROM s03_n t CROSS JOIN c)
-        SELECT vec_id, cid AS cluster, rn FROM sc WHERE rn <= 2""").cache()
+      val assign = staged("s03_assign", d) {
+        s.sql("""
+          WITH c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM s03_n
+                     WHERE vec_id % 50 = 7),
+          sc AS (SELECT /*+ BROADCAST(c) */ t.vec_id, cid,
+                   dot_product(t.v, cv) / (t.nrm * cn) AS cos,
+                   row_number() OVER (PARTITION BY t.vec_id
+                                      ORDER BY dot_product(t.v, cv) / (t.nrm * cn) DESC,
+                                               cid) AS rn
+                 FROM s03_n t CROSS JOIN c)
+          SELECT vec_id, cid AS cluster, rn FROM sc WHERE rn <= 2""")
+      }
       assign.createOrReplaceTempView("s03_assign")
       s.sql("""
         WITH members AS (SELECT vec_id, cluster FROM s03_assign WHERE rn = 1),

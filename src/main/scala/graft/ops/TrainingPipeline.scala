@@ -13,7 +13,9 @@ object TrainingPipeline {
     "q40_training_pipeline",
     (s, d) => {
       import s.implicits._
-      val quality = TextOps.t03.run(s, d).select($"doc_id", $"n_tokens", $"quality")
+      val quality = Q.staged("q40_quality", d) {
+        TextOps.t03.run(s, d).select($"doc_id", $"n_tokens", $"quality")
+      }
       val dupes = DedupOps.d06.run(s, d)
         .where($"is_duplicate").select($"doc_id".as("dup_id"))
       val docs = Q.table(s, d, "documents").select($"doc_id", $"lang")
