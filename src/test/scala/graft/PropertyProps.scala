@@ -95,6 +95,18 @@ object PropertyProps extends Properties("graft") {
       da.union(db).collect().sorted.toSeq == db.union(da).collect().sorted.toSeq
     }
 
+  property("ExactMean == decimal-sum model (any partitioning)") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(-1e6, 1e6)), Gen.choose(1, 8)) { (xs, parts) =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val em = udaf(new graft.functions.ExactMean)
+      val got = xs.toDS().repartition(parts)
+        .agg(em(col("value"))).head().getDouble(0)
+      val model = xs.map(x => BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble / xs.size
+      got == model
+    }
+
   property("backoff is monotone and capped (retries.rs:74-78)") =
     forAll(Gen.choose(0, 30), Gen.choose(0, 30)) { (i, j) =>
       import scala.concurrent.duration._

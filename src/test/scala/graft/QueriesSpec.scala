@@ -24,6 +24,16 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("scala UDF registration works (native expressions preferred on hot paths)") {
+    import org.apache.spark.sql.functions.udf
+    val clip = udf((x: Double, lo: Double, hi: Double) => math.max(lo, math.min(hi, x)))
+    spark.udf.register("clip", clip)
+    import spark.implicits._
+    val r = Seq(-5.0, 0.5, 9.0).toDF("x")
+      .selectExpr("clip(x, 0.0, 1.0) AS c").collect().map(_.getDouble(0)).toSeq
+    assert(r == Seq(0.0, 0.5, 1.0))
+  }
+
   for (q <- SparkEntry.registry) {
     test(s"${q.name} runs at sf0.001") {
       val df = q.run(spark, dir)

@@ -107,6 +107,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed.head.end_ms == ts("2024-01-01 01:10:00").getTime)
   }
 
+  test("mapGroupsWithState: one state-derived row per key per batch") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val running = mem.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState[Double, (Long, Double)](GroupStateTimeout.NoTimeout) {
+        (key: Long, vals: Iterator[(Long, Double)], state: GroupState[Double]) =>
+          val mx = (vals.map(_._2) ++ state.getOption.iterator).max
+          state.update(mx)
+          (key, mx)
+      }
+    val q = running.toDF("user", "max_value").writeStream
+      .outputMode("update").format("memory").queryName("running_max").start()
+    mem.addData(Seq((1L, 5.0), (1L, 3.0), (2L, 9.0)))
+    q.processAllAvailable()
+    mem.addData(Seq((1L, 7.0), (2L, 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("running_max").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    assert(last == Map(1L -> 7.0, 2L -> 9.0))
+  }
+
   test("supervised streaming query: restart-with-backoff on failure, graceful stop") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[Long]
