@@ -36,8 +36,12 @@ object AsOfJoin {
 
     val l = left.select(left(key).as("_k"), left(leftTime).as("_t"),
       lit(1).as("_side"), lPay.as("_l"), lit(null).cast(rType).as("_r"))
-    val r = right.select(right(key).as("_k"), right(rightTime).as("_t"),
-      lit(0).as("_side"), lit(null).cast(lType).as("_l"), rPay.as("_r"))
+    // SQL join semantics: a NULL key/time on the right matches nothing
+    // (window partitioning would otherwise group NULL keys together)
+    val r = right
+      .where(right(key).isNotNull && right(rightTime).isNotNull)
+      .select(right(key).as("_k"), right(rightTime).as("_t"),
+        lit(0).as("_side"), lit(null).cast(lType).as("_l"), rPay.as("_r"))
 
     // Right rows sort before left rows at equal timestamps => inclusive.
     val w = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_side"))

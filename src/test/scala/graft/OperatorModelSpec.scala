@@ -51,6 +51,20 @@ class OperatorModelSpec extends AnyFunSuite {
     }
   }
 
+  test("AsOfJoin: NULL right keys/timestamps match nothing (SQL join semantics)") {
+    val left = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("user", "ts")
+    val right = spark.sql("""
+      SELECT * FROM VALUES
+        (CAST(NULL AS BIGINT), TIMESTAMP '2024-01-01 09:00:00', 100L),
+        (1L, CAST(NULL AS TIMESTAMP), 200L),
+        (1L, TIMESTAMP '2024-01-01 09:30:00', 300L)
+      AS t(user, ts, rid)""")
+    val out = AsOfJoin(left, right, "user", "ts", "ts", Seq("rid"))
+      .select($"right_rid").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(300L))
+  }
+
   test("RangeJoin agrees with the brute-force model (20 seeded cases)") {
     for (seed <- 100 until 120) {
       val rng = new Random(seed)
