@@ -5,16 +5,24 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
     // Warm the JVM/codegen once so per-query timings measure the engine,
-    // not first-call classloading; then report the min of two runs to
-    // damp scheduler noise.
+    // not first-call classloading; then report the min of two runs to damp
+    // scheduler noise. Every timed run starts COLD on the staged caches
+    // (clearStaged) so timings are end-to-end engine work, not cache
+    // re-reads; a failed query reports -1 (loud), never a bogus timing.
     SparkEntry.headline.headOption.foreach(q => q.run(spark, sfDir).count())
     def once(q: graft.ops.QueryDef): Double = {
+      graft.ops.Q.clearStaged()
       val t0 = System.nanoTime()
-      try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try { q.run(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+          -1.0
+      }
     }
     val results = SparkEntry.headline.map { q =>
-      q.name -> math.min(once(q), once(q))
+      val (a, b) = (once(q), once(q))
+      q.name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -58,32 +58,11 @@ case class CharFold(child: Expression, seed: Long)
 }
 
 object GraftFunctions {
-  /** Idempotent registration of graft SQL functions on a session. */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "char_fold",
-      exprs => CharFold(exprs.head, literalInt(exprs(1), "char_fold seed")),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sig",
-      exprs => MinHashSig(exprs.head, literalInt(exprs(1), "minhash_sig k").toInt),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingle_set",
-      exprs => ShingleSet(exprs.head, literalInt(exprs(1), "shingle_set n").toInt),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "jaccard_sim",
-      exprs => JaccardSim(exprs.head, exprs(1)),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product",
-      exprs => DotProduct(exprs.head, exprs(1)),
-      "scala_udf")
-  }
-
-  private def literalInt(e: Expression, what: String): Long = e match {
-    case Literal(v: java.lang.Number, _) => v.longValue()
-    case other => throw new IllegalArgumentException(s"$what must be a literal, got $other")
-  }
+  /** Idempotent runtime registration of graft SQL functions on a session —
+    * same builder list as the [[GraftExtensions]] session-extension path. */
+  def register(spark: SparkSession): Unit =
+    GraftExtensions.all.foreach { case (ident, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        ident.funcName, builder, "scala_udf")
+    }
 }

@@ -18,10 +18,16 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    // length mismatch => NULL, matching the zip_with/list_zip SQL forms
+    // (they pad with NULL, which nulls the whole fold) — a malformed
+    // vector surfaces instead of producing a plausible partial sum
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {

@@ -76,8 +76,24 @@ object Q {
   private val stagedMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  def staged(key: String, dir: String)(build: => DataFrame): DataFrame =
-    stagedMemo.computeIfAbsent(s"$key|$dir", _ => build.cache())
+  def staged(key: String, dir: String)(build: => DataFrame): DataFrame = {
+    val df = stagedMemo.computeIfAbsent(s"$key|$dir", _ => build.cache())
+    // a memoized frame is bound to its creating session; rebuild if that
+    // session was stopped (e.g. a fresh Sessions.local() in the same JVM)
+    if (df.sparkSession.sparkContext.isStopped) {
+      stagedMemo.remove(s"$key|$dir")
+      stagedMemo.computeIfAbsent(s"$key|$dir", _ => build.cache())
+    } else df
+  }
+
+  /** Unpersist and forget every memoized intermediate (cold-cache runs). */
+  def clearStaged(): Unit = {
+    stagedMemo.forEach { (_, df) =>
+      try if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
+      catch { case _: Throwable => () }
+    }
+    stagedMemo.clear()
+  }
 
   /** Register the named driver tables as temp views (plus graft SQL
     * functions) and run a Spark-SQL statement against them. */

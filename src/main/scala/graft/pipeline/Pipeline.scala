@@ -63,20 +63,14 @@ object SinkStage {
     val buf = new java.util.concurrent.ConcurrentLinkedQueue[I]()
     val sink = SinkStage[I]("capped-buffer", { ds =>
       ds.collect().foreach { row =>
-        buf.add(row)
-        cap.foreach { c => while (buf.size() > c) removeLast(buf) }
+        // drop-newest: push_back-then-pop_back of the row just added is
+        // equivalent to not adding once full — O(1), no value-equality
+        // removal hazards
+        if (cap.forall(buf.size() < _)) buf.add(row)
       }
     })
     import scala.jdk.CollectionConverters._
     (sink, () => buf.asScala.toSeq)
-  }
-
-  private def removeLast[I](q: java.util.concurrent.ConcurrentLinkedQueue[I]): Unit = {
-    // drop-newest: remove the element most recently added
-    val it = q.iterator()
-    var last: I = null.asInstanceOf[I]
-    while (it.hasNext) last = it.next()
-    if (last != null) q.remove(last)
   }
 }
 

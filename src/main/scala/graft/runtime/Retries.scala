@@ -18,11 +18,15 @@ final case class RetryPolicy(
     maxBackoff: FiniteDuration = 100.millis,
     dismissible: Boolean = false) {
 
-  /** `backoff_unit × backoff_factor^retry`, capped — `retries.rs:74-78`. */
+  /** `backoff_unit × backoff_factor^retry`, capped — `retries.rs:74-78`.
+    * Computed in doubles and clamped BEFORE constructing the duration so
+    * large retry counts saturate at maxBackoff instead of overflowing
+    * (FiniteDuration multiplication throws past Long.MaxValue ns). */
   def backoffDelay(retry: Int): FiniteDuration = {
-    val factor = math.pow(backoffFactor.toDouble, retry.toDouble)
-    val delay = backoffUnit * factor.toLong
-    if (delay < maxBackoff) delay else maxBackoff
+    val ns = backoffUnit.toNanos.toDouble *
+      math.pow(backoffFactor.toDouble, retry.toDouble)
+    if (!ns.isFinite || ns >= maxBackoff.toNanos.toDouble) maxBackoff
+    else ns.toLong.nanos
   }
 }
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -105,16 +105,18 @@ private class GenScanBuilder(rows: Long, partitions: Int, rowsPerBatch: Long)
       * `rowsPerBatch` until `rows` — then `latestOffset` plateaus, so
       * `processAllAvailable()` drains deterministically. */
     override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-      new MicroBatchStream {
-        // driver-side trigger throttle: each latestOffset() call admits
-        // one more batch (offsets are ranges of row ids, so replay after
-        // restart regenerates identical rows)
-        private var admitted = 0L
+      new MicroBatchStream with SupportsAdmissionControl {
+        // Admission-control throttling: the next batch end is derived
+        // from the COMMITTED start offset Spark hands us, so a restarted
+        // query resumes exactly where the checkpoint left off (a stream-
+        // local counter would rewind offsets and replay rows).
         override def initialOffset(): Offset = GenOffset(0L)
-        override def latestOffset(): Offset = {
-          admitted = math.min(admitted + rowsPerBatch, rows)
-          GenOffset(admitted)
-        }
+        override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+          GenOffset(math.min(start.asInstanceOf[GenOffset].n + rowsPerBatch, rows))
+        override def latestOffset(): Offset =
+          throw new UnsupportedOperationException(
+            "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+        override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
         override def deserializeOffset(json: String): Offset = GenOffset(json.toLong)
         override def commit(end: Offset): Unit = ()
         override def stop(): Unit = ()
