@@ -227,5 +227,47 @@ object DedupOps {
              (id <> min(r)) AS is_duplicate
       FROM reach GROUP BY id"""))
 
-  val all: Seq[QueryDef] = Seq(d02, d03, d04, d05, d06)
+  /** Benchmark decontamination: flag training documents that collide with
+    * an "eval set" (here: source = 'src0') either exactly (content digest)
+    * or as near-duplicates (MinHash pair with an eval doc). The standard
+    * pre-training hygiene step; at scale both paths are equality joins on
+    * digests/band keys — the text never moves. */
+  val d07 = QueryDef(
+    "d07_decontamination",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val docs = withViews(s, d, "documents")(s"""
+        SELECT doc_id, source, md5($sNorm) AS fp FROM documents""")
+      val evalFps = docs.where($"source" === "src0")
+        .select($"fp".as("eval_fp")).distinct()
+      val pairs = d02.run(s, d).select($"doc_a", $"doc_b")
+      val evalIds = docs.where($"source" === "src0").select($"doc_id".as("eid"))
+      val nearDupIds = pairs.join(evalIds, $"doc_a" === $"eid")
+        .select($"doc_b".as("cid"))
+        .unionByName(pairs.join(evalIds, $"doc_b" === $"eid")
+          .select($"doc_a".as("cid")))
+        .distinct()
+      docs.where($"source" =!= "src0")
+        .join(evalFps, $"fp" === $"eval_fp", "left")
+        .join(nearDupIds, $"doc_id" === $"cid", "left")
+        .select($"doc_id",
+          $"eval_fp".isNotNull.as("exact_contaminated"),
+          $"cid".isNotNull.as("neardup_contaminated"))
+    },
+    Some(s"""
+      WITH fps AS (SELECT doc_id, source, md5($oNorm) AS fp FROM documents),
+      eval_fps AS (SELECT DISTINCT fp FROM fps WHERE source = 'src0'),
+      pairs AS (${d02.oracle.get.trim}),
+      eval_ids AS (SELECT doc_id FROM fps WHERE source = 'src0'),
+      near AS (SELECT DISTINCT cid FROM (
+        SELECT p.doc_b AS cid FROM pairs p JOIN eval_ids e ON p.doc_a = e.doc_id
+        UNION ALL
+        SELECT p.doc_a AS cid FROM pairs p JOIN eval_ids e ON p.doc_b = e.doc_id))
+      SELECT f.doc_id,
+             (f.fp IN (SELECT fp FROM eval_fps)) AS exact_contaminated,
+             (f.doc_id IN (SELECT cid FROM near)) AS neardup_contaminated
+      FROM fps f WHERE f.source <> 'src0'"""))
+
+  val all: Seq[QueryDef] = Seq(d02, d03, d04, d05, d06, d07)
 }

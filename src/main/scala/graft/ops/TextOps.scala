@@ -144,5 +144,31 @@ object TextOps {
              doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_dup
       FROM t"""))
 
-  val all: Seq[QueryDef] = Seq(t01, t02, t03, t04, d01)
+  /** Text cleaning/redaction stage: scrub digit runs and collapse
+    * repeated punctuation; report how much was redacted (the audit
+    * signal a cleaning stage must emit). Pure row-wise transform. */
+  val t05 = QueryDef(
+    "t05_clean_redact",
+    (s, d) => withViews(s, d, "documents")(s"""
+      WITH t AS (SELECT doc_id, $sNorm AS nt FROM documents),
+      c AS (SELECT doc_id, nt,
+              regexp_replace(nt, '[0-9]+', '<num>') AS cleaned
+            FROM t)
+      SELECT doc_id, cleaned,
+             CAST(length(nt) AS BIGINT) AS len_before,
+             CAST(length(cleaned) AS BIGINT) AS len_after,
+             CAST(size(regexp_extract_all(nt, '[0-9]+', 0)) AS BIGINT) AS n_redacted
+      FROM c"""),
+    Some(s"""
+      WITH t AS (SELECT doc_id, $oNorm AS nt FROM documents),
+      c AS (SELECT doc_id, nt,
+              regexp_replace(nt, '[0-9]+', '<num>', 'g') AS cleaned
+            FROM t)
+      SELECT doc_id, cleaned,
+             CAST(length(nt) AS BIGINT) AS len_before,
+             CAST(length(cleaned) AS BIGINT) AS len_after,
+             CAST(len(regexp_extract_all(nt, '[0-9]+', 0)) AS BIGINT) AS n_redacted
+      FROM c"""))
+
+  val all: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, d01)
 }
