@@ -35,5 +35,7 @@ object GraftExtensions {
     entry("jaccard_sim", classOf[JaccardSim])(
       es => JaccardSim(es.head, es(1))),
     entry("dot_product", classOf[DotProduct])(
-      es => DotProduct(es.head, es(1))))
+      es => DotProduct(es.head, es(1))),
+    entry("text_features", classOf[TextFeatures])(
+      es => TextFeatures(es.head)))
 }

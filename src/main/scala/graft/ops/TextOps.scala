@@ -87,12 +87,12 @@ object TextOps {
   val t03 = QueryDef(
     "t03_quality_score",
     (s, d) => withViews(s, d, "documents")(s"""
-      WITH t AS (SELECT doc_id, $sNorm AS nt, split($sNorm, ' ') AS w FROM documents),
+      WITH t AS (SELECT doc_id, text_features(text) AS tf FROM documents),
       f AS (SELECT doc_id,
-              CAST(length(nt) AS BIGINT) AS n_chars_norm,
-              CAST(size(w) AS BIGINT) AS n_tokens,
-              CAST(size(filter(w, x -> x IN $en)) AS BIGINT) AS n_stop,
-              CAST(size(array_distinct(w)) AS BIGINT) AS n_uniq
+              tf.n_chars_norm AS n_chars_norm,
+              tf.n_tokens AS n_tokens,
+              tf.n_stop AS n_stop,
+              tf.n_uniq AS n_uniq
             FROM t)
       SELECT doc_id, n_chars_norm, n_tokens, n_stop,
              CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
