@@ -20,6 +20,13 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("oracle coverage: every query except the approximate ones has an oracle") {
+    val noOracle = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name)
+    // q23 is HLL-approximate by design; anything else missing an oracle is
+    // a regression in the correctness gate
+    assert(noOracle == Seq("q23_approx_distinct"), s"missing oracles: $noOracle")
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

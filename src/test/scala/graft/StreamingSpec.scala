@@ -281,6 +281,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(buf.size() == 3)
   }
 
+  test("Trigger.AvailableNow drains a bounded source and terminates itself") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-avnow").toString
+    val nation = graft.ops.Q.table(spark, "/root/testdata/sf0.001", "nation")
+    nation.write.mode("append").parquet(dir)
+    val q = spark.readStream.schema(nation.schema).parquet(dir)
+      .groupBy().agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("avnow")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(60000), "AvailableNow query should self-terminate")
+    assert(spark.table("avnow").head().getLong(0) == 25)
+  }
+
   test("processing-time tick source (TimerPort analogue, messaging.rs:151-209)") {
     val q = spark.readStream.format("rate").option("rowsPerSecond", "50").load()
       .writeStream.outputMode("append").format("memory").queryName("ticks").start()
