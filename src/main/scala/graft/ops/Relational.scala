@@ -523,6 +523,55 @@ object Relational {
       FROM events GROUP BY 1, 2"""),
     headline = true)
 
+  /** TPC-H Q8-shaped market share: the full 7-table star join (every
+    * TPC-H-ish table except events) — the widest plan in the battery;
+    * dims broadcast, facts sort-merge, year bucketing, conditional
+    * share ratio per year. */
+  val q41 = QueryDef(
+    "q41_market_share",
+    (s, d) => {
+      import s.implicits._
+      val rev = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+      li(s, d)
+        .join(ord(s, d), $"l_orderkey" === $"o_orderkey")
+        .where($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+        .join(cust(s, d), $"o_custkey" === $"c_custkey")
+        .join(broadcast(part(s, d)), $"l_partkey" === $"p_partkey")
+        .where($"p_type" === "STANDARD")
+        .join(broadcast(supp(s, d)), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(nat(s, d)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(reg(s, d)), $"n_regionkey" === $"r_regionkey")
+        .where($"r_name" === "EUROPE")
+        .groupBy(year($"o_orderdate").as("o_year"))
+        .agg(
+          (sumd(when($"s_nationkey" === $"c_nationkey", rev).otherwise(0.0)) /
+            sumd(rev)).as("local_share"),
+          sumd(rev).as("total_revenue"),
+          count(lit(1)).as("n_items"))
+        .select($"o_year".cast("long").as("o_year"), $"local_share",
+          $"total_revenue", $"n_items")
+    },
+    Some(s"""
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             (${oSumd("CASE WHEN s_nationkey = c_nationkey THEN l_extendedprice * (cast(1 as double) - l_discount) ELSE cast(0 as double) END")} /
+              ${oSumd("l_extendedprice * (cast(1 as double) - l_discount)")}) AS local_share,
+             ${oSumd("l_extendedprice * (cast(1 as double) - l_discount)")} AS total_revenue,
+             count(*) AS n_items
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN part     ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE o_orderdate >= timestamp '1996-01-01'
+        AND o_orderdate <  timestamp '1998-01-01'
+        AND p_type = 'STANDARD'
+        AND r_name = 'EUROPE'
+      GROUP BY year(o_orderdate)"""),
+    headline = true)
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q41)
 }
