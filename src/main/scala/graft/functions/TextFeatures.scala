@@ -37,8 +37,9 @@ case class TextFeatures(child: Expression)
       uniq.add(words(i))
       i += 1
     }
-    InternalRow(norm.length.toLong, words.length.toLong, stop.toLong,
-      uniq.size().toLong)
+    // code POINTS, not UTF-16 units — SQL length() counts code points
+    InternalRow(norm.codePointCount(0, norm.length).toLong,
+      words.length.toLong, stop.toLong, uniq.size().toLong)
   }
 
   override protected def withNewChildInternal(newChild: Expression): TextFeatures =

@@ -265,8 +265,8 @@ object DedupOps {
         UNION ALL
         SELECT p.doc_a AS cid FROM pairs p JOIN eval_ids e ON p.doc_b = e.doc_id))
       SELECT f.doc_id,
-             (f.fp IN (SELECT fp FROM eval_fps)) AS exact_contaminated,
-             (f.doc_id IN (SELECT cid FROM near)) AS neardup_contaminated
+             EXISTS (SELECT 1 FROM eval_fps e WHERE e.fp = f.fp) AS exact_contaminated,
+             EXISTS (SELECT 1 FROM near n WHERE n.cid = f.doc_id) AS neardup_contaminated
       FROM fps f WHERE f.source <> 'src0'"""))
 
   val all: Seq[QueryDef] = Seq(d02, d03, d04, d05, d06, d07)

@@ -77,13 +77,23 @@ object Q {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   def staged(key: String, dir: String)(build: => DataFrame): DataFrame = {
-    val df = stagedMemo.computeIfAbsent(s"$key|$dir", _ => build.cache())
-    // a memoized frame is bound to its creating session; rebuild if that
-    // session was stopped (e.g. a fresh Sessions.local() in the same JVM)
-    if (df.sparkSession.sparkContext.isStopped) {
-      stagedMemo.remove(s"$key|$dir")
-      stagedMemo.computeIfAbsent(s"$key|$dir", _ => build.cache())
-    } else df
+    // keyed per active session: a memoized frame registers temp views in
+    // its own session's catalog, so another live session must not reuse it
+    val session = SparkSession.active
+    val k = s"$key|$dir|${System.identityHashCode(session)}"
+    // NOT computeIfAbsent: build recurses into staged() for nested stages
+    // (d06 -> d02), and CHM's mapping function must not touch the map
+    // (same-bin collision => IllegalStateException("Recursive update"))
+    val existing = stagedMemo.get(k)
+    if (existing != null && !existing.sparkSession.sparkContext.isStopped) {
+      existing
+    } else {
+      if (existing != null) stagedMemo.remove(k, existing)
+      val built = build.cache()
+      val prev = stagedMemo.putIfAbsent(k, built)
+      if (prev == null) built
+      else { built.unpersist(); prev } // lost a benign race; use the winner
+    }
   }
 
   /** Unpersist and forget every memoized intermediate (cold-cache runs). */

@@ -32,11 +32,15 @@ class GenSource extends TableProvider with DataSourceRegister {
     GenSource.fullSchema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    // DSv2 options are case-insensitive by convention; the map handed
+    // here is the case-sensitive view, so re-wrap it
+    val opts = new CaseInsensitiveStringMap(properties)
     new GenTable(
-      properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("partitions", "4").toInt,
-      properties.getOrDefault("rowsPerBatch", "100").toLong)
+      opts.getOrDefault("rows", "1000").toLong,
+      opts.getOrDefault("partitions", "4").toInt,
+      opts.getOrDefault("rowsPerBatch", "100").toLong)
+  }
 }
 
 object GenSource {
@@ -137,10 +141,17 @@ private class GenReaderFactory(fields: Array[String]) extends PartitionReaderFac
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val GenPartition(start, end) = partition
     new PartitionReader[InternalRow] {
+      // resolve field dispatch once per reader, not per row
+      private val gens: Array[Long => Any] =
+        fields.map(f => (id: Long) => GenSource.value(id, f))
       private var cur = start - 1
       override def next(): Boolean = { cur += 1; cur < end }
-      override def get(): InternalRow =
-        InternalRow.fromSeq(fields.toSeq.map(f => GenSource.value(cur, f)))
+      override def get(): InternalRow = {
+        val values = new Array[Any](gens.length)
+        var i = 0
+        while (i < gens.length) { values(i) = gens(i)(cur); i += 1 }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
+      }
       override def close(): Unit = ()
     }
   }

@@ -145,10 +145,12 @@ class RuntimeSpec extends AnyFunSuite {
       spark.range(0, 100)
         .observe("gen_stage", count(lit(1)).as("rows"), sum(col("id")).as("id_sum"))
         .collect()
-      // listener fires asynchronously post-action; poll for delivery
+      // listener fires asynchronously post-action; poll until BOTH gauges
+      // are set (they're written field-by-field in the callback)
       val deadline = System.nanoTime() + 10e9.toLong
-      while (registry.readings().getOrElse("gen_stage.rows", 0L) == 0L &&
-        System.nanoTime() < deadline) Thread.sleep(10)
+      def ready() = registry.readings().getOrElse("gen_stage.rows", 0L) != 0L &&
+        registry.readings().getOrElse("gen_stage.id_sum", 0L) != 0L
+      while (!ready() && System.nanoTime() < deadline) Thread.sleep(10)
       assert(registry.readings()("gen_stage.rows") == 100L)
       assert(registry.readings()("gen_stage.id_sum") == 4950L)
     } finally spark.listenerManager.unregister(listener)
