@@ -31,6 +31,22 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q23 approximate distinct stays within HLL error bounds of exact") {
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("q23_approx_distinct")(spark, dir)
+      .select(col("l_returnflag"), col("approx_parts")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.ops.Q.table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n).toDouble / n < 0.05,
+        s"flag $k: approx $a vs exact $n beyond 5% (rsd=0.01 configured)")
+    }
+  }
+
   test("scala UDF registration works (native expressions preferred on hot paths)") {
     import org.apache.spark.sql.functions.udf
     val clip = udf((x: Double, lo: Double, hi: Double) => math.max(lo, math.min(hi, x)))
