@@ -281,6 +281,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(buf.size() == 3)
   }
 
+  test("StreamPipeline: DSL flows over an unbounded source, supervised") {
+    import graft.pipeline.Flow
+    import graft.streaming.StreamPipeline
+    val tether = StreamPipeline
+      .from(StreamPipeline.StreamSource("gen",
+        s => s.readStream.format("graft-gen")
+          .option("rows", "50").option("rowsPerBatch", "25").load()))
+      .via(Flow[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("evens",
+        _.filter(col("id") % 2 === 0)))
+      .via(Flow[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("project",
+        _.select(col("id"), col("key"))))
+      .spawn(spark)(_.outputMode("append").format("memory")
+        .queryName("dsl_stream").start())
+    val deadline = System.nanoTime() + 60.seconds.toNanos
+    def rows() = if (!spark.catalog.tableExists("dsl_stream")) -1L
+      else spark.table("dsl_stream").count()
+    while (rows() < 25 && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(rows() == 25) // 0,2,...,48
+    tether.dismiss()
+    assert(tether.waitEnded(30.seconds))
+  }
+
   test("Trigger.AvailableNow drains a bounded source and terminates itself") {
     val dir = java.nio.file.Files.createTempDirectory("graft-avnow").toString
     val nation = graft.ops.Q.table(spark, "/root/testdata/sf0.001", "nation")
