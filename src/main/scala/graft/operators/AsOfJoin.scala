@@ -44,7 +44,13 @@ object AsOfJoin {
         lit(0).as("_side"), lit(null).cast(lType).as("_l"), rPay.as("_r"))
 
     // Right rows sort before left rows at equal timestamps => inclusive.
-    val w = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_side"))
+    // `_r` is the final sort key: among right rows tied on (key, ts) the
+    // greatest payload (struct comparison over rightCols, in order) wins —
+    // deterministic under any partitioning/shuffle order, where leaving
+    // ties unordered would return whichever row the sort happened to place
+    // last. (Payload columns must be orderable types — true for the
+    // atomic/struct columns an as-of join carries.)
+    val w = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_side"), col("_r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val filled = l.unionByName(r)

@@ -138,31 +138,48 @@ object Extended {
              CAST(count(*) AS BIGINT) AS n
       FROM lineitem GROUP BY l_returnflag"""))
 
-  /** Array-function battery over the embedding vectors. */
+  /** Array-function battery over the embedding vectors (size/min/max/
+    * slice/sort/position/element_at). The output is all-scalar — the
+    * driver's hash compare cannot sort frames containing array columns,
+    * so the sliced arrays are emitted element-wise instead of as lists. */
   val q32 = QueryDef(
     "q32_array_functions",
     (s, d) => withViews(s, d, "embeddings")("""
       WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                 FROM embeddings)
+                 FROM embeddings),
+      sl AS (SELECT vec_id, v, slice(v, 1, 3) AS f3,
+                    slice(sort_array(v), 1, 3) AS s3
+             FROM e)
       SELECT vec_id,
              CAST(size(v) AS BIGINT) AS dim,
              array_max(v) AS vmax,
              array_min(v) AS vmin,
-             slice(v, 1, 3) AS first3,
-             slice(sort_array(v), 1, 3) AS smallest3,
+             element_at(f3, 1) AS first_1,
+             element_at(f3, 2) AS first_2,
+             element_at(f3, 3) AS first_3,
+             element_at(s3, 1) AS small_1,
+             element_at(s3, 2) AS small_2,
+             element_at(s3, 3) AS small_3,
+             CAST(array_position(v, array_max(v)) AS BIGINT) AS argmax_pos,
              element_at(v, 64) AS last_elem
-      FROM e"""),
+      FROM sl"""),
     Some("""
       WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                 FROM embeddings)
+                 FROM embeddings),
+      sl AS (SELECT vec_id, v, v[1:3] AS f3, (list_sort(v))[1:3] AS s3 FROM e)
       SELECT vec_id,
              CAST(len(v) AS BIGINT) AS dim,
              list_aggregate(v, 'max') AS vmax,
              list_aggregate(v, 'min') AS vmin,
-             v[1:3] AS first3,
-             (list_sort(v))[1:3] AS smallest3,
+             f3[1] AS first_1,
+             f3[2] AS first_2,
+             f3[3] AS first_3,
+             s3[1] AS small_1,
+             s3[2] AS small_2,
+             s3[3] AS small_3,
+             CAST(list_position(v, list_aggregate(v, 'max')) AS BIGINT) AS argmax_pos,
              v[64] AS last_elem
-      FROM e"""))
+      FROM sl"""))
 
   private def sDate(e: String): String = s"date_format($e, 'yyyy-MM-dd')"
   private def oDate(e: String): String = s"strftime(cast(($e) as date), '%Y-%m-%d')"

@@ -39,18 +39,31 @@ object Temporal {
         ON p.user_id = c.user_id AND p.ts >= c.ts"""),
     headline = true)
 
-  /** HyperLogLog approximate distinct — approximate by design, so no SQL
-    * oracle (driver records the weaker rows-only check). */
+  /** HyperLogLog approximate distinct. The sketch estimate can't hash-match
+    * an exact oracle directly, so the query emits the exact distinct count
+    * plus a `within_bounds` flag (|approx − exact| / exact < 5%, well above
+    * HLL's configured 1% rsd) and the oracle emits the exact count with a
+    * literal `true` — the hashes match iff the sketch is in bounds. */
   val q23 = QueryDef(
     "q23_approx_distinct",
     (s, d) => {
       import s.implicits._
       table(s, d, "lineitem")
         .groupBy($"l_returnflag")
-        .agg(approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
-          count(lit(1)).as("n"))
+        .agg(
+          count(lit(1)).as("n"),
+          count_distinct($"l_partkey").as("exact_parts"),
+          approx_count_distinct($"l_partkey", 0.01).as("approx"))
+        .select($"l_returnflag", $"n", $"exact_parts",
+          (abs($"approx" - $"exact_parts").cast("double") /
+            $"exact_parts" < 0.05).as("within_bounds"))
     },
-    None)
+    Some("""
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+             true AS within_bounds
+      FROM lineitem GROUP BY l_returnflag"""))
 
   /** GROUPING SETS (beyond rollup/cube): explicit per-dimension totals. */
   val q27 = QueryDef(

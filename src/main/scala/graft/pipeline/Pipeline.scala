@@ -60,16 +60,21 @@ object SinkStage {
     * (`messaging.rs:211-253`: push_back then pop_back when over cap).
     * Returns the sink and a drain function. */
   def cappedBuffer[I](cap: Option[Int] = None): (SinkStage[I], () => Seq[I]) = {
+    import scala.jdk.CollectionConverters._
     val buf = new java.util.concurrent.ConcurrentLinkedQueue[I]()
     val sink = SinkStage[I]("capped-buffer", { ds =>
-      ds.collect().foreach { row =>
-        // drop-newest: push_back-then-pop_back of the row just added is
-        // equivalent to not adding once full — O(1), no value-equality
-        // removal hazards
-        if (cap.forall(buf.size() < _)) buf.add(row)
+      // drop-newest is applied inside the engine: a capped sink pulls at
+      // most `cap - buffered` rows (ds.limit), so driver memory is bounded
+      // by the cap no matter how large the dataset; an uncapped sink
+      // streams partitions through toLocalIterator instead of collect(),
+      // holding one partition at a time
+      cap match {
+        case Some(c) =>
+          val room = c - buf.size()
+          if (room > 0) ds.limit(room).toLocalIterator().asScala.foreach(buf.add)
+        case None => ds.toLocalIterator().asScala.foreach(buf.add)
       }
     })
-    import scala.jdk.CollectionConverters._
     (sink, () => buf.asScala.toSeq)
   }
 }

@@ -39,11 +39,14 @@ final class Registry {
   def sparkCounter(spark: org.apache.spark.sql.SparkSession, name: String): org.apache.spark.util.LongAccumulator =
     accumulators.computeIfAbsent(name, n => spark.sparkContext.longAccumulator(n))
 
-  /** Point-in-time snapshot — `metrics.rs:96-110` `collect_readings`. */
+  /** Point-in-time snapshot — `metrics.rs:96-110` `collect_readings`.
+    * Keys are namespaced by kind (`counter.x` / `gauge.x` / `accum.x`) so a
+    * counter and a gauge sharing a name can never shadow each other in the
+    * merged map. */
   def readings(): Map[String, Long] =
-    counters.asScala.map { case (k, c) => k -> c.get }.toMap ++
-      gauges.asScala.map { case (k, g) => k -> g.get }.toMap ++
-      accumulators.asScala.map { case (k, a) => k -> a.value.longValue }.toMap
+    counters.asScala.map { case (k, c) => s"counter.$k" -> c.get }.toMap ++
+      gauges.asScala.map { case (k, g) => s"gauge.$k" -> g.get }.toMap ++
+      accumulators.asScala.map { case (k, a) => s"accum.$k" -> a.value.longValue }.toMap
 }
 
 /** Bridge from Spark's `Dataset.observe` named metrics into a [[Registry]]:

@@ -105,17 +105,24 @@ final class StageMachine[U](worker: Worker[U], policy: Policy, anchor: Anchor) {
   private case object ExecRestart extends ExecOutcome
   private final case class ExecFatal(e: Throwable) extends ExecOutcome
 
+  // Whether worker.bootstrap() ever succeeded in the current incarnation —
+  // a stage that never bootstrapped has no resources to tear down, and the
+  // reference goes straight to Ended in that case (runtime.rs:247-253).
+  private var bootstrapped = false
+
   def run(): Unit = {
     try {
       var restart = true
       while (restart && !anchor.dismissed.get()) {
         restart = false
         if (bootstrapWithRetry()) {
+          bootstrapped = true
           workLoop() match {
             case ExecRestart =>
               anchor.event("restart")
               anchor.registry.counter("restarts").inc()
               runTeardown()
+              bootstrapped = false
               restart = true
             case ExecFatal(e) => anchor.failure.set(e)
             case _ => ()
@@ -126,7 +133,7 @@ final class StageMachine[U](worker: Worker[U], policy: Policy, anchor: Anchor) {
       case _: InterruptedException => anchor.event("interrupted")
     } finally {
       Thread.interrupted() // clear so teardown's own blocking calls work
-      runTeardown()
+      if (bootstrapped) runTeardown()
       anchor.tick(StagePhase.Ended)
       anchor.event("ended")
     }
@@ -134,6 +141,9 @@ final class StageMachine[U](worker: Worker[U], policy: Policy, anchor: Anchor) {
 
   // ---- phases -----------------------------------------------------------
 
+  /** Bootstrap failures retry only on [[WorkerError.Retry]]
+    * (`runtime.rs:247-253`); any other error is Panic semantics — the
+    * stage ends, without teardown (nothing was acquired). */
   private def bootstrapWithRetry(): Boolean = {
     anchor.tick(StagePhase.Bootstrap)
     anchor.event("bootstrap")
@@ -142,29 +152,54 @@ final class StageMachine[U](worker: Worker[U], policy: Policy, anchor: Anchor) {
       try { worker.bootstrap(); return true }
       catch {
         case e: InterruptedException => throw e
-        case e: Throwable =>
+        case e: WorkerError.Retry =>
           if (attempt < policy.bootstrapRetry.maxRetries) {
             anchor.registry.counter("retries").inc()
             Thread.sleep(policy.bootstrapRetry.backoffDelay(attempt).toMillis)
             attempt += 1
             anchor.tick(StagePhase.Bootstrap)
           } else { anchor.failure.set(e); return false }
+        case e: Throwable => anchor.failure.set(e); return false
       }
     }
     false
+  }
+
+  /** Schedule failures follow the same escalation as execute
+    * (`runtime.rs:256-265`): Retry under workRetry (dismissal resets the
+    * counter and keeps scheduling), Restart restarts, anything else ends
+    * the stage. */
+  private def scheduleWithRetry(): Either[ExecOutcome, WorkSchedule[U]] = {
+    var attempt = 0
+    while (true) {
+      try return Right(worker.schedule())
+      catch {
+        case e: InterruptedException => throw e
+        case _: WorkerError.Restart => return Left(ExecRestart)
+        case e: WorkerError.Retry =>
+          if (attempt < policy.workRetry.maxRetries) {
+            anchor.registry.counter("retries").inc()
+            Thread.sleep(policy.workRetry.backoffDelay(attempt).toMillis)
+            attempt += 1
+            anchor.tick(StagePhase.Scheduling)
+          } else if (policy.workRetry.dismissible) {
+            anchor.event("schedule-dismissed")
+            attempt = 0
+          } else return Left(ExecFatal(e))
+        case e: Throwable => return Left(ExecFatal(e))
+      }
+    }
+    Left(ExecFatal(new IllegalStateException("unreachable")))
   }
 
   /** Returns the outcome that ended the loop (Done/dismiss → ExecOk). */
   private def workLoop(): ExecOutcome = {
     while (!anchor.dismissed.get()) {
       anchor.tick(StagePhase.Scheduling)
-      val scheduled =
-        try worker.schedule()
-        catch {
-          case e: InterruptedException => throw e
-          case e: WorkerError.Restart => return ExecRestart
-          case e: Throwable => return ExecFatal(e)
-        }
+      val scheduled = scheduleWithRetry() match {
+        case Left(outcome) => return outcome
+        case Right(s) => s
+      }
       scheduled match {
         case WorkSchedule.Done =>
           anchor.event("scheduled-done")
@@ -185,7 +220,9 @@ final class StageMachine[U](worker: Worker[U], policy: Policy, anchor: Anchor) {
 
   /** Same-unit retry to `workRetry.maxRetries` — the reference keeps the
     * unit in `StageState::Executing` across retries (`runtime.rs:267-276`,
-    * proven by its `honors_max_retries` test, `runtime.rs:617-662`). */
+    * proven by its `honors_max_retries` test, `runtime.rs:617-662`).
+    * Only [[WorkerError.Retry]] retries; any other exception escaping the
+    * worker is Panic semantics (Worker scaladoc, `runtime.rs:275`). */
   private def executeWithRetry(u: U): ExecOutcome = {
     var attempt = 0
     while (true) {
@@ -193,8 +230,7 @@ final class StageMachine[U](worker: Worker[U], policy: Policy, anchor: Anchor) {
       catch {
         case e: InterruptedException => throw e
         case _: WorkerError.Restart => return ExecRestart
-        case e: WorkerError.Panic => return ExecFatal(e)
-        case e: Throwable => // WorkerError.Retry and plain exceptions retry
+        case e: WorkerError.Retry =>
           if (attempt < policy.workRetry.maxRetries) {
             anchor.registry.counter("retries").inc()
             Thread.sleep(policy.workRetry.backoffDelay(attempt).toMillis)
@@ -204,6 +240,7 @@ final class StageMachine[U](worker: Worker[U], policy: Policy, anchor: Anchor) {
             anchor.event("unit-dismissed")
             return ExecSkipped
           } else return ExecFatal(e)
+        case e: Throwable => return ExecFatal(e)
       }
     }
     ExecOk

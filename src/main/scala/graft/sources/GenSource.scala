@@ -31,8 +31,23 @@ class GenSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     GenSource.fullSchema
 
+  // Lets Spark hand a user-specified schema through to getTable — where we
+  // validate it instead of silently ignoring it (DSv2 TableProvider
+  // contract: a provider accepting external metadata must produce rows of
+  // exactly that schema).
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
+    // DSv2 TableProvider contract: `schema` is either our own inferred
+    // schema or one the user forced via .schema(...). This source generates
+    // exactly fullSchema, so anything else must be rejected loudly —
+    // silently ignoring it would hand back rows that don't match the
+    // schema Catalyst planned against.
+    if (schema != GenSource.fullSchema)
+      throw new IllegalArgumentException(
+        s"graft-gen does not support user-specified schemas: got $schema, " +
+          s"produces ${GenSource.fullSchema}")
     // DSv2 options are case-insensitive by convention; the map handed
     // here is the case-sensitive view, so re-wrap it
     val opts = new CaseInsensitiveStringMap(properties)

@@ -24,6 +24,20 @@ class GenSourceSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("user-specified schema is validated against the produced schema (DSv2 contract)") {
+    import org.apache.spark.sql.types._
+    val wrong = StructType(Seq(StructField("nope", StringType)))
+    val e = intercept[Exception] {
+      spark.read.format("graft-gen").schema(wrong).load().collect()
+    }
+    assert(e.getMessage.contains("graft-gen") || e.getMessage.contains("schema"),
+      s"expected a schema-contract error, got: ${e.getMessage}")
+    // the correct schema (what inferSchema returns) is still accepted
+    val ok = spark.read.format("graft-gen").schema(graft.sources.GenSource.fullSchema)
+      .option("rows", "10").load()
+    assert(ok.count() == 10)
+  }
+
   test("column pruning reaches the source (ReadSchema shrinks)") {
     val df = gen(100).select($"key")
     df.collect()

@@ -34,20 +34,30 @@ class OperatorModelSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
       val want = left.map { l =>
         val cands = right.filter(r => r.user == l.user && !r.ts.after(l.ts))
-        // inclusive ties: latest ts wins; our impl takes the LAST row in
-        // (ts, side) order, i.e. the max-ts right row (ties broken by
-        // whichever sorts last — regenerate data to avoid exact-tie
-        // ambiguity in the model)
+        // inclusive ties: latest ts wins; equal (key, ts) right rows are
+        // broken by the greatest payload struct — here payload = (id), so
+        // the model's maxBy((ts, id)) is the exact contract
         val best = if (cands.isEmpty) -1L
           else cands.maxBy(r => (r.ts.getTime, r.id)).id
         (l.id, best)
       }.toSet
-      // ts collisions on the same user would make the pick ambiguous —
-      // model uses (ts, id) max; ensure no ambiguity in the sample
-      val ambiguous = right.groupBy(r => (r.user, r.ts.getTime))
-        .exists(_._2.size > 1)
-      if (!ambiguous)
-        assert(got == want, s"seed=$seed")
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  test("AsOfJoin: equal (key, ts) right rows resolve deterministically (greatest payload)") {
+    val left = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("user", "ts")
+    val dup = java.sql.Timestamp.valueOf("2024-01-01 09:30:00")
+    // same (user, ts) three times with different payloads, in adversarial
+    // insert order — every partitioning must pick rid=900 (the max)
+    val rows = Seq((1L, dup, 900L), (1L, dup, 100L), (1L, dup, 500L))
+    for (parts <- Seq(1, 3, 7)) {
+      val right = spark.createDataFrame(rows).toDF("user", "ts", "rid")
+        .repartition(parts)
+      val out = AsOfJoin(left, right, "user", "ts", "ts", Seq("rid"))
+        .select($"right_rid").collect()
+      assert(out.map(_.getLong(0)).toSeq == Seq(900L), s"parts=$parts")
     }
   }
 

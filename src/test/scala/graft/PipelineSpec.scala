@@ -78,6 +78,16 @@ class PipelineSpec extends AnyFunSuite {
     graft.testing.Harness.assertSequence(drain().sorted, Seq(0L, 1L, 2L))
   }
 
+  test("cappedBuffer never materializes more than the cap driver-side (limit pushed into the engine)") {
+    // 1M rows through a cap of 5: the engine-side limit means at most 5
+    // rows cross to the driver — a collect()-based sink would pull all 1M
+    val (sink, drain) = SinkStage.cappedBuffer[Long](cap = Some(5))
+    Pipeline.from(Source[Long]("big", s => s.range(0, 1000000).as[Long]))
+      .to(sink)
+      .runSync(spark)
+    assert(drain().size == 5)
+  }
+
   test("harness multiset assertion accepts reordered funnel output") {
     graft.testing.Harness.assertMultiset(Seq(2, 1, 1), Seq(1, 2, 1))
     assertThrows[IllegalArgumentException] {
@@ -95,6 +105,6 @@ class PipelineSpec extends AnyFunSuite {
     assert(t.currentPhase == StagePhase.Ended)
     assert(t.failureOption.isEmpty)
     assert(buf.asScala.toSeq.sorted == Seq(1L, 2L, 3L))
-    assert(t.readMetrics()("units_executed") == 1)
+    assert(t.readMetrics()("counter.units_executed") == 1)
   }
 }

