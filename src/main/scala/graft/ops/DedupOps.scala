@@ -110,50 +110,106 @@ object DedupOps {
                (a, b) -> a + b) AS simhash
       FROM h"""))
 
-  /** Blocked n-gram (word-bigram) Jaccard: candidate pairs only within a
-    * (lang, source) block — the classic blocking-key pattern that keeps
-    * pair counts linear-ish as the corpus grows. */
+  /** Blocked n-gram (word-bigram) Jaccard. Blocking key = (lang, source);
+    * candidate pairs INSIDE a block come from MinHash LSH banding (16
+    * bands × 1 row — d02's machinery at the lower 0.3 threshold), never
+    * block-local all-pairs: a hot block (lang='en' × a big source) stays
+    * linear in block size instead of quadratic. Recall at jaccard=0.3 is
+    * 1-(1-j)^16 ≈ 99.7%, and the oracle runs the IDENTICAL deterministic
+    * banding longhand, so both engines produce the same candidates —
+    * bit-exact, not just statistically similar. */
   val d04 = QueryDef(
     "d04_ngram_jaccard",
-    (s, d) => withViews(s, d, "documents")("""
-      WITH g AS (SELECT doc_id, lang, source, grams FROM
-                   (SELECT doc_id, lang, source, shingle_set(text, 2) AS grams
-                    FROM documents)
-                 WHERE size(grams) >= 1),
-      p AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
-              jaccard_sim(a.grams, b.grams) AS jaccard
-            FROM g a JOIN g b
-              ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
-      SELECT ida AS doc_a, idb AS doc_b, jaccard FROM p WHERE jaccard >= 0.3"""),
+    (s, d) => {
+      val g = staged("d04_g", d) {
+        withViews(s, d, "documents")("""
+          SELECT doc_id, lang, source, grams, minhash_sig(grams, 16) AS sg FROM
+            (SELECT doc_id, lang, source, shingle_set(text, 2) AS grams
+             FROM documents)
+          WHERE size(grams) >= 1""")
+      }
+      g.createOrReplaceTempView("d04_g")
+      s.sql("""
+        WITH bands AS (SELECT doc_id, lang, source, bj, element_at(sg, bj+1) AS bkey
+                       FROM d04_g LATERAL VIEW explode(sequence(0, 15)) x AS bj),
+        cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+                 FROM bands a JOIN bands b
+                   ON a.lang = b.lang AND a.source = b.source
+                  AND a.bj = b.bj AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        ver AS (SELECT ida, idb, jaccard_sim(ga.grams, gb.grams) AS jaccard
+                FROM cand JOIN d04_g ga ON cand.ida = ga.doc_id
+                          JOIN d04_g gb ON cand.idb = gb.doc_id)
+        SELECT ida AS doc_a, idb AS doc_b, jaccard FROM ver WHERE jaccard >= 0.3""")
+    },
     Some(s"""
       WITH t AS (SELECT doc_id, lang, source, string_split($oNorm, ' ') AS w FROM documents),
       g AS (SELECT doc_id, lang, source,
               list_distinct(list_transform(range(1, len(w)),
                 i -> array_to_string(w[i:i+1], ' '))) AS grams
             FROM t WHERE len(w) >= 2),
-      p AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
-              CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE) /
-              CAST(len(a.grams) + len(b.grams)
-                   - len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE) AS jaccard
-            FROM g a JOIN g b
-              ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
-      SELECT ida AS doc_a, idb AS doc_b, jaccard FROM p WHERE jaccard >= 0.3"""))
+      hh AS (SELECT doc_id, lang, source, grams,
+               list_transform(grams, x -> ${oCharFold("x", 7)}) AS h1,
+               list_transform(grams, x -> ${oCharFold("x", 13)}) AS h2
+             FROM g),
+      sig AS (SELECT doc_id, lang, source, grams, list_transform(range(0, 16), i ->
+                list_aggregate(list_transform(list_zip(h1, h2),
+                  s -> (s[1] * (2*i+1) + s[2] * (2*i+3)) % 4294967311), 'min')) AS sg
+              FROM hh),
+      bands AS (SELECT doc_id, lang, source, bj, sg[bj+1] AS bkey
+                FROM sig, (SELECT unnest(range(0, 16)) AS bj) bx),
+      cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+               FROM bands a JOIN bands b
+                 ON a.lang = b.lang AND a.source = b.source
+                AND a.bj = b.bj AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      ver AS (SELECT ida, idb,
+                CAST(len(list_filter(ga.grams, x -> list_contains(gb.grams, x))) AS DOUBLE) /
+                CAST(len(ga.grams) + len(gb.grams)
+                     - len(list_filter(ga.grams, x -> list_contains(gb.grams, x))) AS DOUBLE) AS jaccard
+              FROM cand JOIN g ga ON cand.ida = ga.doc_id
+                        JOIN g gb ON cand.idb = gb.doc_id)
+      SELECT ida AS doc_a, idb AS doc_b, jaccard FROM ver WHERE jaccard >= 0.3"""))
 
-  /** Embedding-cosine near-dup, blocked by label. Dot products fold
-    * left-to-right in both engines → bit-identical doubles. */
+  /** Embedding-cosine near-dup, blocked by label. Candidates INSIDE a
+    * block come from IVF-style coarse quantization (s03's machinery):
+    * every vector is assigned to its 3 nearest centroids (deterministic
+    * sample `vec_id % 50 = 7`, broadcast — one |N|×|C| map-side pass) and
+    * candidate pairs are an equality join on (label, centroid). Because
+    * |C| grows with the corpus, cluster sizes stay ~constant and the
+    * candidate count is O(N · cluster), not O(B²) per block — unlike
+    * hyperplane LSH, whose recall collapses at thresholds as low as 0.4
+    * (measured: 2/5 planted pairs vs 5/5 for 3-probe IVF at ~1/3 of the
+    * all-pairs candidates). The oracle runs the identical quantizer, so
+    * both engines produce the same candidates; dots fold left-to-right →
+    * bit-identical doubles. */
   val d05 = QueryDef(
     "d05_embedding_neardup",
-    (s, d) => withViews(s, d, "embeddings")(s"""
-      WITH e AS (SELECT vec_id, label,
-                   transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                 FROM embeddings),
-      n AS (SELECT vec_id, label, v,
-              sqrt(dot_product(v, v)) AS nrm
-            FROM e),
-      p AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
-              dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
-            FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
-      SELECT ida AS vec_a, idb AS vec_b, cos FROM p WHERE cos >= 0.4"""),
+    (s, d) => {
+      val n = staged("d05_n", d) {
+        withViews(s, d, "embeddings")("""
+          WITH e AS (SELECT vec_id, label,
+                       transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings)
+          SELECT vec_id, label, v, sqrt(dot_product(v, v)) AS nrm FROM e""")
+      }
+      n.createOrReplaceTempView("d05_n")
+      s.sql("""
+        WITH c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM d05_n
+                   WHERE vec_id % 50 = 7),
+        sc AS (SELECT /*+ BROADCAST(c) */ t.vec_id, t.label, cid,
+                 row_number() OVER (PARTITION BY t.vec_id
+                                    ORDER BY dot_product(t.v, cv) / (t.nrm * cn) DESC,
+                                             cid) AS rn
+               FROM d05_n t CROSS JOIN c),
+        assign AS (SELECT vec_id, label, cid FROM sc WHERE rn <= 3),
+        cand AS (SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+                 FROM assign a JOIN assign b
+                   ON a.label = b.label AND a.cid = b.cid AND a.vec_id < b.vec_id),
+        p AS (SELECT ida, idb,
+                dot_product(na.v, nb.v) / (na.nrm * nb.nrm) AS cos
+              FROM cand JOIN d05_n na ON cand.ida = na.vec_id
+                        JOIN d05_n nb ON cand.idb = nb.vec_id)
+        SELECT ida AS vec_a, idb AS vec_b, cos FROM p WHERE cos >= 0.4""")
+    },
     Some("""
       WITH e AS (SELECT vec_id, label,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -162,11 +218,24 @@ object DedupOps {
               sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
                 list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
             FROM e),
-      p AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+      c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id % 50 = 7),
+      sc AS (SELECT t.vec_id, t.label, cid,
+               row_number() OVER (PARTITION BY t.vec_id
+                                  ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                    list_transform(list_zip(t.v, cv), s -> s[1] * s[2])),
+                                    (acc, z) -> acc + z) / (t.nrm * cn) DESC,
+                                           cid) AS rn
+             FROM n t CROSS JOIN c),
+      assign AS (SELECT vec_id, label, cid FROM sc WHERE rn <= 3),
+      cand AS (SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+               FROM assign a JOIN assign b
+                 ON a.label = b.label AND a.cid = b.cid AND a.vec_id < b.vec_id),
+      p AS (SELECT ida, idb,
               list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                list_transform(list_zip(a.v, b.v), s -> s[1] * s[2])),
-                (acc, z) -> acc + z) / (a.nrm * b.nrm) AS cos
-            FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+                list_transform(list_zip(na.v, nb.v), s -> s[1] * s[2])),
+                (acc, z) -> acc + z) / (na.nrm * nb.nrm) AS cos
+            FROM cand JOIN n na ON cand.ida = na.vec_id
+                      JOIN n nb ON cand.idb = nb.vec_id)
       SELECT ida AS vec_a, idb AS vec_b, cos FROM p WHERE cos >= 0.4"""))
 
   /** Dedup clustering: connected components over the MinHash near-dup
@@ -178,6 +247,21 @@ object DedupOps {
     * standard scalable formulation when a graph library isn't available).
     * Oracle: DuckDB recursive CTE computing min reachable id — identical
     * fixpoint by definition. */
+  /** Per-round lineage truncation for iterative algorithms. Each round
+    * must read the previous round's BLOCKS, never its plan — without this
+    * the final plan re-derives all K rounds (each referencing the previous
+    * twice → exponential recompute).
+    *
+    * Durability is configurable: when the session has a reliable
+    * checkpoint dir (`sc.setCheckpointDir`, e.g. HDFS/S3 on a cluster),
+    * rounds checkpoint there and survive executor loss; otherwise
+    * `localCheckpoint` stores blocks on executors — the right default at
+    * local[32], NOT fault-tolerant on a real cluster (an executor loss
+    * kills the job). */
+  private def roundCheckpoint(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+    else df.localCheckpoint(true)
+
   val d06 = QueryDef(
     "d06_dedup_clusters",
     (s, d) => {
@@ -187,21 +271,16 @@ object DedupOps {
         val edges = staged("d06_edges", d) {
           pairs.unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
         }
-        // localCheckpoint (eager) per round: truncates the iterative
-        // lineage so each round reads the previous round's BLOCKS, never
-        // its plan — without this the final plan re-derives all K rounds
-        // (each referencing the previous twice → exponential recompute)
-        var cur = edges.select($"doc_a".as("id")).distinct()
-          .withColumn("cluster", $"id").localCheckpoint(true)
+        var cur = roundCheckpoint(edges.select($"doc_a".as("id")).distinct()
+          .withColumn("cluster", $"id"))
         var changed = 1L
         while (changed > 0) {
           val viaNeighbors = edges
             .join(cur, edges("doc_b") === cur("id"))
             .select(edges("doc_a").as("id"), $"cluster")
-          val next = cur.select($"id", $"cluster")
+          val next = roundCheckpoint(cur.select($"id", $"cluster")
             .unionByName(viaNeighbors)
-            .groupBy($"id").agg(org.apache.spark.sql.functions.min($"cluster").as("cluster"))
-            .localCheckpoint(true)
+            .groupBy($"id").agg(org.apache.spark.sql.functions.min($"cluster").as("cluster")))
           changed = next.join(cur.withColumnRenamed("cluster", "old"), "id")
             .where($"cluster" =!= $"old").count()
           cur = next

@@ -365,13 +365,19 @@ object Relational {
     "q15_top_supplier",
     (s, d) => {
       import s.implicits._
+      // The scalar max is a 1-row aggregate broadcast back onto rev — an
+      // empty-partition Window(max) would funnel every per-supplier row
+      // through ONE task, a scale-killer at 100x supplier counts. rev is
+      // cached because it feeds both the max and the filter (Spark CTEs
+      // recompute per consumer).
       val rev = li(s, d)
         .where($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
           $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
         .groupBy($"l_suppkey")
         .agg(sumd($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("total_revenue"))
-      rev.withColumn("max_rev", max($"total_revenue").over(Window.partitionBy()))
-        .where($"total_revenue" === $"max_rev")
+      val revC = staged("q15_rev", d)(rev)
+      val maxRev = revC.agg(max($"total_revenue").as("max_rev"))
+      revC.join(broadcast(maxRev), $"total_revenue" === $"max_rev")
         .join(broadcast(supp(s, d)), $"l_suppkey" === $"s_suppkey")
         .select($"s_suppkey", $"s_name", $"total_revenue")
     },

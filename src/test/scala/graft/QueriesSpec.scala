@@ -57,4 +57,20 @@ class QueriesSpec extends AnyFunSuite {
       df.count() // materialize; non-empty is asserted only where guaranteed
     }
   }
+
+  test("d06 identical under reliable checkpoint (cluster durability path)") {
+    import org.apache.spark.sql.functions.col
+    def snapshot() = SparkEntry.queries("d06_dedup_clusters")(spark, dir)
+      .orderBy(col("doc_id")).collect().toSeq
+    graft.ops.Q.clearStaged() // drop memoized labels so both runs compute
+    val local = snapshot()
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    try {
+      graft.ops.Q.clearStaged()
+      val reliable = snapshot()
+      assert(reliable == local,
+        "reliable checkpoint() rounds must produce the same clusters as localCheckpoint")
+    } finally graft.ops.Q.clearStaged()
+  }
 }
