@@ -10,17 +10,24 @@ import scala.concurrent.duration._
   * dismiss-all first, join-all second (`daemon.rs:59-77`) — so slow
   * stages shut down concurrently, not serially.
   *
-  * `registerShutdownHook` replaces the reference's OS signal hooks
-  * (`daemon.rs:17-25`) with the JVM equivalent.
+  * `registerShutdownHook` replaces the reference's OS signal hooks with
+  * the JVM equivalent — and like the reference it is ON by default
+  * (`daemon.rs:17-25` always registers TERM handlers): SIGTERM/SIGINT
+  * gracefully drains every stage (dismiss-all, join-all). Opt out for
+  * embedded use where the host owns signal handling.
   */
 final class Daemon(
     tethers: Seq[Tether],
     pollEvery: FiniteDuration = 100.millis,
-    registerShutdownHook: Boolean = false) {
+    registerShutdownHook: Boolean = true) {
 
   @volatile private var terminated = false
-  if (registerShutdownHook)
-    sys.addShutdownHook { terminate(); teardown() }
+  private val hook =
+    if (registerShutdownHook) Some(sys.addShutdownHook { terminate(); teardown() })
+    else None
+
+  /** Whether this daemon drains its stages on JVM shutdown (TERM/INT). */
+  def shutdownHookInstalled: Boolean = hook.isDefined
 
   def terminate(): Unit = { terminated = true }
   def isTerminated: Boolean = terminated
@@ -43,9 +50,12 @@ final class Daemon(
   }
 
   /** Two-phase graceful stop: pass 1 dismisses every stage, pass 2 joins
-    * every thread — `daemon.rs:59-77`. */
+    * every thread — `daemon.rs:59-77`. Also removes the shutdown hook: a
+    * pipeline that already drained must not leak a hook per Daemon in
+    * long-lived JVMs (no-op if the JVM is itself shutting down). */
   def teardown(joinTimeout: FiniteDuration = 30.seconds): Unit = {
     tethers.foreach(_.dismiss())
     tethers.foreach(_.join(joinTimeout))
+    hook.foreach(h => try h.remove() catch { case _: IllegalStateException => () })
   }
 }

@@ -79,27 +79,59 @@ object SinkStage {
   }
 }
 
+/** @param shareable a broadcast edge (produced by [[materialize]]): may be
+  *                   consumed by any number of downstream chains, each
+  *                   reading the one cached upstream computation. Plain
+  *                   edges are consume-ONCE — the reference panics when a
+  *                   non-broadcast receiver is cloned (`messaging.rs:
+  *                   358-377`); here a second consume of a plain edge
+  *                   would silently recompute the whole upstream, so it
+  *                   fails at build time instead. */
 final class PipelineBuilder[O] private[pipeline] (
     source: Source[_],
-    build: SparkSession => Dataset[O]) {
+    build: SparkSession => Dataset[O],
+    shareable: Boolean = false) {
 
-  def via[N](flow: Flow[O, N]): PipelineBuilder[N] =
+  private val consumed = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def claim(): Unit =
+    if (!shareable && !consumed.compareAndSet(false, true))
+      throw new IllegalStateException(
+        s"pipeline '${source.name}': non-broadcast edge consumed twice — " +
+          "every extra consumer would recompute the whole upstream. Call " +
+          ".materialize first to make a shareable broadcast edge, or .tee " +
+          "for multi-sink fan-out (reference panics on cloning a " +
+          "non-broadcast receiver, messaging.rs:358-377)")
+
+  def via[N](flow: Flow[O, N]): PipelineBuilder[N] = {
+    claim()
     new PipelineBuilder[N](source, s => flow.apply(build(s)))
+  }
 
   /** Probe terminal: the composed (unsunk) dataset — for embedding a DSL
     * pipeline inside a larger plan or the correctness gate. */
-  def dataFrame(spark: SparkSession): Dataset[O] = build(spark)
+  def dataFrame(spark: SparkSession): Dataset[O] = { claim(); build(spark) }
 
   /** Materialized stage boundary (SURVEY.md §7.3): downstream consumers
     * share one computation of everything upstream instead of re-deriving
     * it — locally a cache, on a cluster the reused exchange/checkpoint.
-    * This is where gasket's per-stage supervision boundary would sit. */
-  def materialize: PipelineBuilder[O] =
-    new PipelineBuilder[O](source, s => build(s).cache())
+    * This is the DSL's broadcast edge: the returned builder may fan out
+    * to any number of consumers. */
+  def materialize: PipelineBuilder[O] = {
+    claim()
+    // memoize the cached Dataset so every consumer shares ONE plan (and
+    // one InMemoryRelation), not one cache() call per consumer
+    val memo = new java.util.concurrent.ConcurrentHashMap[SparkSession, Dataset[O]]()
+    new PipelineBuilder[O](source,
+      s => memo.computeIfAbsent(s, ss => build(ss).cache()),
+      shareable = true)
+  }
 
-  def to(sink: SinkStage[O]): Pipeline =
+  def to(sink: SinkStage[O]): Pipeline = {
+    claim()
     new Pipeline(s"${source.name}=>${sink.name}",
       s => sink.write(build(s)))
+  }
 
   /** Fan-out to several sinks: upstream computed once (cached), every sink
     * sees every row — gasket broadcast-edge semantics. */
@@ -108,6 +140,7 @@ final class PipelineBuilder[O] private[pipeline] (
       throw new IllegalArgumentException(
         s"pipeline '${source.name}': fan-out with no connected sinks " +
           "(reference Error::NotConnected, messaging.rs:84)")
+    claim()
     new Pipeline(s"${source.name}=>tee", { s =>
       val ds = build(s).cache()
       try sinks.foreach(_.write(ds))

@@ -88,6 +88,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(drain().size == 5)
   }
 
+  test("non-broadcast edge consumed twice fails at build time (messaging.rs:358-377)") {
+    val b = Pipeline.from(Source[Long]("range", s => s.range(0, 5).as[Long]))
+      .via(Flow.map("inc")((x: Long) => x + 1))
+    b.to(collectSink(new ConcurrentLinkedQueue[Long]()))
+    assertThrows[IllegalStateException] {
+      b.to(collectSink(new ConcurrentLinkedQueue[Long]())) // second consume
+    }
+  }
+
+  test("materialize creates a shareable broadcast edge: N consumers, upstream computed once") {
+    val evals = new java.util.concurrent.atomic.AtomicInteger(0)
+    val shared = Pipeline.from(Source[Long]("counted", { s =>
+      evals.incrementAndGet()
+      s.range(0, 4).as[Long]
+    })).materialize
+    val b1 = new ConcurrentLinkedQueue[Long]()
+    val b2 = new ConcurrentLinkedQueue[Long]()
+    shared.via(Flow.map("x2")((x: Long) => x * 2)).to(collectSink(b1)).runSync(spark)
+    shared.via(Flow.map("x3")((x: Long) => x * 3)).to(collectSink(b2)).runSync(spark)
+    assert(b1.asScala.toSeq.sorted == Seq(0L, 2L, 4L, 6L))
+    assert(b2.asScala.toSeq.sorted == Seq(0L, 3L, 6L, 9L))
+    assert(evals.get() == 1, "broadcast edge must build its upstream exactly once")
+  }
+
   test("harness multiset assertion accepts reordered funnel output") {
     graft.testing.Harness.assertMultiset(Seq(2, 1, 1), Seq(1, 2, 1))
     assertThrows[IllegalArgumentException] {

@@ -128,6 +128,20 @@ class RuntimeSpec extends AnyFunSuite {
     assert(slow.teardownCount.get() == 1)
   }
 
+  test("daemon registers the JVM shutdown hook by default and drains stages through it (daemon.rs:17-25)") {
+    val slow = new MockWorker(units = 1000, scheduleDelay = Some(5.seconds))
+    val t = StageRuntime.spawn("sigterm", slow)
+    val d = new Daemon(Seq(t), pollEvery = 20.millis)
+    assert(d.shutdownHookInstalled, "TERM/INT hook must be on by default (reference always registers)")
+    assert(!new Daemon(Seq(t), registerShutdownHook = false).shutdownHookInstalled)
+    // exercise the hook's exact code path (terminate + teardown): the
+    // stage must drain and the daemon must report terminated
+    d.terminate(); d.teardown()
+    assert(d.isTerminated)
+    assert(t.waitEnded(10.seconds))
+    assert(slow.teardownCount.get() == 1)
+  }
+
   test("plain (non-WorkerError) exception in execute is Panic: no retry (runtime.rs:267-275)") {
     val execs = new AtomicInteger(0)
     val teardowns = new AtomicInteger(0)
