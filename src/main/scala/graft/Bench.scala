@@ -5,11 +5,20 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
     // Warm the JVM/codegen once so per-query timings measure the engine,
-    // not first-call classloading; then report the min of two runs to damp
-    // scheduler noise. Every timed run starts COLD on the staged caches
-    // (clearStaged) so timings are end-to-end engine work, not cache
-    // re-reads; a failed query reports -1 (loud), never a bogus timing.
-    SparkEntry.headline.headOption.foreach(q => q.run(spark, sfDir).count())
+    // not first-call classloading; then report the min of THREE runs —
+    // round-over-round comparisons showed min-of-2 carries >=16% run-to-run
+    // variance, enough to masquerade as a regression — plus a per-query
+    // dispersion figure ((max-min)/min over the runs) so noise is visible
+    // in the report instead of folded into the headline. Every timed run
+    // starts COLD on the staged caches (clearStaged) so timings are
+    // end-to-end engine work, not cache re-reads; a failed query reports
+    // -1 (loud), never a bogus timing.
+    // optional args = query-name filter (scale experiments time a subset;
+    // the driver's no-arg invocation times every headline query)
+    val picked =
+      if (args.isEmpty) SparkEntry.headline
+      else SparkEntry.registry.filter(q => args.contains(q.name))
+    picked.headOption.foreach(q => q.run(spark, sfDir).count())
     def once(q: graft.ops.QueryDef): Double = {
       graft.ops.Q.clearStaged()
       val t0 = System.nanoTime()
@@ -20,18 +29,21 @@ object Bench {
           -1.0
       }
     }
-    val results = SparkEntry.headline.map { q =>
-      val (a, b) = (once(q), once(q))
-      q.name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    val runs = picked.map(q => q.name -> Seq(once(q), once(q), once(q)))
+    val results = runs.map { case (name, rs) =>
+      name -> (if (rs.exists(_ < 0)) -1.0 else rs.min)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val spread = runs.collect { case (name, rs) if rs.forall(_ >= 0) && rs.min > 0 =>
+      name -> ((rs.max - rs.min) / rs.min)
+    }.toMap
+    def fmt(m: Map[String, Double]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
     // failures (-1 sentinel) are reported, never folded into the total
     val ok = results.filter(_._2 >= 0)
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":3,"queries":${fmt(results)},"spread":${fmt(spread)},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

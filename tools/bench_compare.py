@@ -17,7 +17,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def main(sf_dir, bench_json, oracle_json="/tmp/vout/oracle_sql.json"):
-    bench = json.loads(open(bench_json).read().split("[info] ")[-1])
+    # bench output is emitted verbatim (run / outputStrategy := StdoutOutput)
+    bench = json.load(open(bench_json))
     oracle = json.load(open(oracle_json))
     con = duckdb.connect()
     for t in TABLES:
