@@ -18,16 +18,31 @@ object Bench {
     val picked =
       if (args.isEmpty) SparkEntry.headline
       else SparkEntry.registry.filter(q => args.contains(q.name))
-    picked.headOption.foreach(q => q.run(spark, sfDir).count())
+    // Warm up EVERY picked query, not just the first: a query's own
+    // generated code JIT-compiles only while IT runs, and the C2
+    // compilation storm that follows a first execution was repeatedly
+    // observed landing on (and doubling) one of that query's timed runs.
+    // One warm pass per query moves the storm before t0.
+    picked.foreach { q =>
+      graft.ops.Q.releaseAllPersisted(spark)
+      try q.run(spark, sfDir).count()
+      catch { case _: Throwable => () } // failures surface in the timed runs
+    }
     def once(q: graft.ops.QueryDef): Double = {
-      graft.ops.Q.clearStaged()
+      // sweep staged caches AND checkpoint blocks (d06 rounds) with
+      // blocking unpersist, then settle the heap — an async drain racing
+      // the next cold run cost q40 a phantom +62% in round 3
+      graft.ops.Q.releaseAllPersisted(spark)
+      System.gc()
       val t0 = System.nanoTime()
-      try { q.run(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      val t = try { q.run(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
           -1.0
       }
+      System.err.println(String.format(java.util.Locale.ROOT, "[bench] %s run: %.3f s", q.name, Double.box(t)))
+      t
     }
     val runs = picked.map(q => q.name -> Seq(once(q), once(q), once(q)))
     val results = runs.map { case (name, rs) =>
@@ -36,8 +51,12 @@ object Bench {
     val spread = runs.collect { case (name, rs) if rs.forall(_ >= 0) && rs.min > 0 =>
       name -> ((rs.max - rs.min) / rs.min)
     }.toMap
+    // Locale.ROOT: the f-interpolator honors the default locale, and a
+    // comma-decimal locale would make the emitted line invalid JSON
     def fmt(m: Map[String, Double]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
+      m.map { case (k, v) =>
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+      }.mkString("{", ",", "}")
     // failures (-1 sentinel) are reported, never folded into the total
     val ok = results.filter(_._2 >= 0)
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }

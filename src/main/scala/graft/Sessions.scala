@@ -11,6 +11,13 @@ object Sessions {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Let AQE coalesce small shuffles all the way down: the default
+      // (parallelismFirst=true) pins ~one partition per core even when a
+      // stage's whole output is kilobytes, so iterative/tiny stages pay
+      // 32 task overheads for no parallelism gain. With `false` the
+      // 64 MB advisory target governs — the right behavior BOTH at bench
+      // scale (tiny shuffle → 1 task) and at 100 TB (64 MB partitions).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is parquet TIMESTAMP(NANOS); see graft.ops.Q.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -266,23 +266,45 @@ object DedupOps {
     "d06_dedup_clusters",
     (s, d) => {
       import s.implicits._
+      import org.apache.spark.sql.functions.{min, when, lit}
       val labels = staged("d06_labels", d) {
         val pairs = d02.run(s, d).select($"doc_a", $"doc_b")
         val edges = staged("d06_edges", d) {
           pairs.unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
         }
-        var cur = roundCheckpoint(edges.select($"doc_a".as("id")).distinct()
-          .withColumn("cluster", $"id"))
+        // round 0 is NOT checkpointed: it's one distinct over the cached
+        // edge list, cheap to recompute for round 1's two consumers —
+        // checkpointing it would cost a whole extra materialization job
+        var cur = edges.select($"doc_a".as("id")).distinct()
+          .withColumn("cluster", $"id")
         var changed = 1L
         while (changed > 0) {
           val viaNeighbors = edges
             .join(cur, edges("doc_b") === cur("id"))
-            .select(edges("doc_a").as("id"), $"cluster")
-          val next = roundCheckpoint(cur.select($"id", $"cluster")
+            .select(edges("doc_a").as("id"), $"cluster", lit(false).as("self"))
+          // Convergence detection rides the label-update job itself: the
+          // old label is folded through the aggregation (every id has
+          // exactly one self=true row, so min-over-when recovers it) and an
+          // accumulator counts changed rows while the round materializes —
+          // ONE job per round, no separate join+count. Task retries can
+          // only over-count (a harmless extra round of an idempotent
+          // fixpoint); a genuine fixpoint adds 0 on every attempt.
+          val acc = s.sparkContext.longAccumulator("d06_changed")
+          val merged = cur.select($"id", $"cluster", lit(true).as("self"))
             .unionByName(viaNeighbors)
-            .groupBy($"id").agg(org.apache.spark.sql.functions.min($"cluster").as("cluster")))
-          changed = next.join(cur.withColumnRenamed("cluster", "old"), "id")
-            .where($"cluster" =!= $"old").count()
+            .groupBy($"id")
+            .agg(min($"cluster").as("cluster"),
+              min(when($"self", $"cluster")).as("old"))
+          val counted = merged.as[(Long, Long, Long)].mapPartitions { it =>
+            it.map { case (id, c, old) => if (c != old) acc.add(1L); (id, c) }
+          }.toDF("id", "cluster")
+          val next = roundCheckpoint(counted)
+          changed = acc.value
+          // the superseded round's blocks are dead the moment `next` is
+          // materialized — free them now instead of waiting for the
+          // ContextCleaner's GC-driven sweep (at bench/cluster scale the
+          // lag piles rounds×runs of orphaned blocks onto the executors)
+          org.apache.spark.sql.GraftSqlBridge.releaseCheckpointBlocks(cur)
           cur = next
         }
         cur

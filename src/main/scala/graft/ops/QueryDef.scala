@@ -96,13 +96,32 @@ object Q {
     }
   }
 
-  /** Unpersist and forget every memoized intermediate (cold-cache runs). */
+  /** Unpersist and forget every memoized intermediate (cold-cache runs).
+    * Blocking: a non-blocking unpersist races the NEXT cold run — the old
+    * blocks are still draining while the new run fills the store, and the
+    * eviction/GC churn showed up as an unattributable 60% bench swing. */
   def clearStaged(): Unit = {
     stagedMemo.forEach { (_, df) =>
-      try if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
+      try if (!df.sparkSession.sparkContext.isStopped) df.unpersist(blocking = true)
       catch { case _: Throwable => () }
     }
     stagedMemo.clear()
+  }
+
+  /** Drop EVERY persisted RDD still registered with the context — staged
+    * caches AND (local)checkpoint blocks from iterative queries (d06's
+    * rounds), which `clearStaged` can't see. Bench calls this between
+    * timed runs so each run starts from a genuinely empty block store.
+    * Only safe when no live Dataset will be re-read: checkpoint lineage is
+    * truncated, so swept blocks are unrecoverable. */
+  def releaseAllPersisted(spark: SparkSession): Unit = {
+    clearStaged()
+    val sc = spark.sparkContext
+    if (!sc.isStopped)
+      sc.getPersistentRDDs.values.foreach { rdd =>
+        try rdd.unpersist(blocking = true)
+        catch { case _: Throwable => () }
+      }
   }
 
   /** Register the named driver tables as temp views (plus graft SQL

@@ -68,10 +68,18 @@ object SinkStage {
       // by the cap no matter how large the dataset; an uncapped sink
       // streams partitions through toLocalIterator instead of collect(),
       // holding one partition at a time
+      // re-check remaining room per row while draining: two concurrent
+      // write() calls into one shared sink each computing room up front
+      // could overshoot the cap by up to cap rows (check-then-act); the
+      // limit() still bounds what the engine SHIPS, the per-row check
+      // bounds what the buffer KEEPS (overshoot ≤ 1 row per writer, the
+      // same bound as the reference's push-then-pop, messaging.rs:211-253)
       cap match {
         case Some(c) =>
           val room = c - buf.size()
-          if (room > 0) ds.limit(room).toLocalIterator().asScala.foreach(buf.add)
+          if (room > 0)
+            ds.limit(room).toLocalIterator().asScala
+              .takeWhile(_ => buf.size() < c).foreach(buf.add)
         case None => ds.toLocalIterator().asScala.foreach(buf.add)
       }
     })
@@ -120,10 +128,16 @@ final class PipelineBuilder[O] private[pipeline] (
   def materialize: PipelineBuilder[O] = {
     claim()
     // memoize the cached Dataset so every consumer shares ONE plan (and
-    // one InMemoryRelation), not one cache() call per consumer
+    // one InMemoryRelation), not one cache() call per consumer. A memo
+    // entry bound to a STOPPED session is rebuilt, not reused — a
+    // shareable builder can outlive a session restart, and the stale
+    // entry would both fail downstream and leak its cache registration
+    // (same guard as Q.staged)
     val memo = new java.util.concurrent.ConcurrentHashMap[SparkSession, Dataset[O]]()
     new PipelineBuilder[O](source,
-      s => memo.computeIfAbsent(s, ss => build(ss).cache()),
+      s => memo.compute(s, (ss, prev) =>
+        if (prev != null && !prev.sparkSession.sparkContext.isStopped) prev
+        else build(ss).cache()),
       shareable = true)
   }
 

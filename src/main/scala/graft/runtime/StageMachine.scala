@@ -172,6 +172,11 @@ final class StageMachine[U](worker: Worker[U], policy: Policy, anchor: Anchor) {
   private def scheduleWithRetry(): Either[ExecOutcome, WorkSchedule[U]] = {
     var attempt = 0
     while (true) {
+      // race the dismissal token at every iteration (the reference races
+      // its CancellationToken at every await): a schedule() that throws
+      // Retry non-interruptibly must not hot-spin past a dismiss() when
+      // the dismissible branch resets the counter with no sleep
+      if (anchor.dismissed.get()) return Left(ExecOk)
       try return Right(worker.schedule())
       catch {
         case e: InterruptedException => throw e

@@ -87,12 +87,19 @@ class RuntimeSpec extends AnyFunSuite {
     val w = new MockWorker(units = 1000,
       scheduleDelay = Some(10.seconds), executeDelay = Some(10.seconds))
     val t = StageRuntime.spawn("cancel", w)
-    Thread.sleep(1000)
+    // wait (bounded poll, no fixed sleep) until the worker is inside a
+    // 10 s phase delay, so dismissal genuinely has something to interrupt
+    val ready = System.nanoTime() + 5.seconds.toNanos
+    while (w.scheduleCount.get() == 0 && System.nanoTime() < ready) Thread.sleep(5)
     val t0 = System.nanoTime()
     t.dismiss()
     assert(t.waitEnded(5.seconds))
     val shutdownMs = (System.nanoTime() - t0) / 1e6
-    assert(shutdownMs < 500.0, s"shutdown took ${shutdownMs}ms")
+    // the semantic claim is "dismissal interrupts the sleep instead of
+    // waiting it out": generous bound (parallel-suite CPU contention
+    // pushed a tight 500 ms assert over the line) yet 3× under the 10 s
+    // sleep it must NOT be waiting on
+    assert(shutdownMs < 3000.0, s"shutdown took ${shutdownMs}ms")
     assert(w.teardownCount.get() == 1)
   }
 
@@ -108,8 +115,16 @@ class RuntimeSpec extends AnyFunSuite {
     val w = new MockWorker(units = 1000, executeDelay = Some(5.seconds))
     val t = StageRuntime.spawn("stall", w,
       Policy(tickTimeout = 200.millis))
-    Thread.sleep(600)
-    assert(t.checkState() == StageState.Blocked)
+    // poll-until-Blocked with a generous deadline instead of one fixed
+    // sleep: under suite-wide CPU contention the stage thread may take
+    // arbitrarily long to reach its 5 s stall, but once it does the
+    // heartbeat MUST go stale within tickTimeout
+    val deadline = System.nanoTime() + 10.seconds.toNanos
+    var st = t.checkState()
+    while (st != StageState.Blocked && System.nanoTime() < deadline) {
+      Thread.sleep(20); st = t.checkState()
+    }
+    assert(st == StageState.Blocked)
     t.dismiss(); t.join()
   }
 
