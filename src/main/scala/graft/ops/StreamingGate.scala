@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.LongType
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.attribute.FileTime
+
+/** Streaming rows of the oracle gate — the reference is FUNDAMENTALLY an
+  * unbounded-pipeline framework (`/root/reference/gasket/src/daemon.rs:
+  * 13-86`, `runtime.rs:19-317`), so the hard external gate must exercise a
+  * real Structured Streaming plan end-to-end, not just the batch twins.
+  *
+  * q42 runs the q21 aggregation as an actual streaming query: file source
+  * over the events parquet → watermarked tumbling-window agg → parquet
+  * sink, `Trigger.AvailableNow`. Append mode only emits a window once the
+  * watermark passes it, and a bounded replay ends with the newest windows
+  * still above the watermark — so the input is replayed with two
+  * far-future SENTINEL files appended (the standard bounded-replay flush):
+  * sentinel batch 1 pushes the watermark past every real window, sentinel
+  * batch 2 gives the state store a batch in which to emit them. Sentinel
+  * rows are filtered from the result; the oracle is the IDENTICAL batch
+  * SQL q21 runs. At scale nothing here is bounded-specific: the same
+  * query with a real unbounded source needs no sentinels — arriving data
+  * advances the watermark continuously.
+  */
+object StreamingGate {
+
+  private val SENTINEL = "__sentinel__"
+  private val SENT_NS: Long = 4102444800L * 1000000000L // 2100-01-01T00:00Z
+
+  /** Write a one-row events file with the given raw schema directly into
+    * `dest` (Spark writes directories; the part file is moved out). */
+  private def writeSentinel(
+      s: SparkSession,
+      sch: org.apache.spark.sql.types.StructType,
+      tsNs: Long,
+      dest: Path): Unit = {
+    val tsVal: Any = sch("ts").dataType match {
+      case LongType => tsNs
+      case _ => new java.sql.Timestamp(tsNs / 1000000L)
+    }
+    val row = Row(-1L, tsVal, -1L, SENTINEL, 0.0, "{}")
+    val tmp = Files.createTempDirectory("graft-q42-sent")
+    s.createDataFrame(java.util.Collections.singletonList(row), sch)
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Populate a streaming input dir: the real events file(s) symlinked
+    * (copied if the filesystem refuses links) plus two sentinel files
+    * whose mtimes force them to batch AFTER the real data. */
+  private def stageInput(s: SparkSession, d: String): Path = {
+    val inDir = Files.createTempDirectory("graft-q42-in")
+    val src = Paths.get(s"$d/events.parquet").toAbsolutePath
+    val parts: Seq[Path] =
+      if (Files.isDirectory(src))
+        Files.list(src).filter(_.getFileName.toString.endsWith(".parquet"))
+          .toArray.toSeq.map(_.asInstanceOf[Path])
+      else Seq(src)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val link = inDir.resolve(f"0_events_$i%04d.parquet")
+      try Files.createSymbolicLink(link, p)
+      catch { case _: Throwable => Files.copy(p, link) }
+    }
+    val sch = Q.table(s, d, "events").schema
+    val now = System.currentTimeMillis()
+    val s1 = inDir.resolve("1_sentinel.parquet")
+    val s2 = inDir.resolve("2_sentinel.parquet")
+    writeSentinel(s, sch, SENT_NS, s1)
+    writeSentinel(s, sch, SENT_NS + 86400L * 1000000000L, s2)
+    Files.setLastModifiedTime(s1, FileTime.fromMillis(now + 60000))
+    Files.setLastModifiedTime(s2, FileTime.fromMillis(now + 120000))
+    inDir
+  }
+
+  val q42 = QueryDef(
+    "q42_streaming_hourly",
+    (s, d) => {
+      import s.implicits._
+      val sch = Q.table(s, d, "events").schema
+      val inDir = stageInput(s, d)
+      val outDir = Files.createTempDirectory("graft-q42-out").toString
+      val ckpt = Files.createTempDirectory("graft-q42-ckpt").toString
+      // maxFilesPerTrigger=1 keeps the sentinels in their own batches:
+      // watermark emission in Append mode is always one batch behind the
+      // data that advanced it
+      val raw = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.toString)
+      // same ns→us normalization as Q.events (batch side)
+      val ev = sch("ts").dataType match {
+        case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => raw
+      }
+      val q = ev
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"), Q.sumd($"value").as("sum_value"))
+        .select(Q.tsStr($"window.start").as("hour"), $"event_type", $"n", $"sum_value")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir).where($"event_type" =!= SENTINEL)
+    },
+    // the batch q21 SQL verbatim — streaming and batch must agree exactly
+    Some(s"""
+      SELECT ${Q.oTsStr("date_trunc('hour', cast(ts as timestamp))")} AS hour,
+             event_type, count(*) AS n, ${Q.oSumd("value")} AS sum_value
+      FROM events GROUP BY 1, 2"""))
+
+  /** Gap-based sessionization as a BATCH aggregation via `session_window`
+    * — the oracle-checkable twin of [[graft.streaming.EventTime.sessionize]]
+    * (same 30-minute gap semantics, half-open [start, last+gap) windows:
+    * an event exactly `gap` after the previous one starts a NEW session).
+    * DuckDB longhand: lag-diff ≥ gap marks a boundary, running sum of
+    * boundary marks numbers the sessions. One shuffle on user_id; state
+    * per (user, session) — the formulation that holds at 100 TB. */
+  val q43 = QueryDef(
+    "q43_session_windows",
+    (s, d) => {
+      import s.implicits._
+      Q.events(s, d)
+        .groupBy($"user_id", session_window($"ts", "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), Q.sumd($"value").as("sum_value"))
+        .select($"user_id", Q.tsStr($"session_window.start").as("session_start"),
+          $"n_events", $"sum_value")
+    },
+    Some(s"""
+      WITH e AS (SELECT user_id, cast(ts as timestamp) AS ts, value FROM events),
+      m AS (SELECT user_id, ts, value,
+              CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                   THEN 1 ELSE 0 END AS new_s
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      g AS (SELECT user_id, ts, value,
+              sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+            FROM m)
+      SELECT user_id, ${Q.oTsStr("min(ts)")} AS session_start,
+             count(*) AS n_events, ${Q.oSumd("value")} AS sum_value
+      FROM g GROUP BY user_id, sid"""))
+
+  val all: Seq[QueryDef] = Seq(q42, q43)
+}

@@ -28,7 +28,19 @@ import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
   * is the default; independent supervision applies per pipeline, not per
   * flow.
   */
-final case class Source[O](name: String, open: SparkSession => Dataset[O])
+/** @param openThrottled capacity-aware variant of `open` for unbounded
+  *                       sources: invoked instead of `open` when the
+  *                       pipeline declares a per-edge capacity (the
+  *                       reference's bounded channels, `messaging.rs:
+  *                       384-391`). The Long is the resolved in-flight
+  *                       bound (rows per micro-batch) — map it to the
+  *                       source's admission knob (`maxFilesPerTrigger`,
+  *                       `maxOffsetsPerTrigger`, graft-gen's
+  *                       `rowsPerBatch`, ...). */
+final case class Source[O](
+    name: String,
+    open: SparkSession => Dataset[O],
+    openThrottled: Option[(SparkSession, Long) => Dataset[O]] = None)
 
 final case class Flow[I, O](name: String, apply: Dataset[I] => Dataset[O]) {
   def andThen[N](next: Flow[O, N]): Flow[I, N] =
@@ -97,8 +109,9 @@ object SinkStage {
   *                   fails at build time instead. */
 final class PipelineBuilder[O] private[pipeline] (
     source: Source[_],
-    build: SparkSession => Dataset[O],
-    shareable: Boolean = false) {
+    build: (SparkSession, Option[Long]) => Dataset[O],
+    shareable: Boolean = false,
+    capacity: Option[Long] = None) {
 
   private val consumed = new java.util.concurrent.atomic.AtomicBoolean(false)
 
@@ -111,14 +124,31 @@ final class PipelineBuilder[O] private[pipeline] (
           "for multi-sink fan-out (reference panics on cloning a " +
           "non-broadcast receiver, messaging.rs:358-377)")
 
+  private def open(s: SparkSession): Dataset[O] = build(s, capacity)
+
   def via[N](flow: Flow[O, N]): PipelineBuilder[N] = {
     claim()
-    new PipelineBuilder[N](source, s => flow.apply(build(s)))
+    new PipelineBuilder[N](source, (s, c) => flow.apply(build(s, c)),
+      capacity = capacity)
+  }
+
+  /** Capacity-bounded edge — the reference's bounded channels carry an
+    * explicit per-edge capacity (`messaging.rs:384-391`). Chained flows
+    * fuse into ONE Spark query, so the in-flight bound of the fused chain
+    * is the MINIMUM declared capacity of its edges; it's applied at the
+    * source as micro-batch admission control (rows per batch): Spark's
+    * pull model already backpressures batch edges, and for unbounded
+    * sources the admission bound is what caps state/memory per trigger. */
+  def via[N](flow: Flow[O, N], edgeCapacity: Long): PipelineBuilder[N] = {
+    require(edgeCapacity > 0, s"edge capacity must be positive: $edgeCapacity")
+    claim()
+    new PipelineBuilder[N](source, (s, c) => flow.apply(build(s, c)),
+      capacity = Some(capacity.fold(edgeCapacity)(math.min(_, edgeCapacity))))
   }
 
   /** Probe terminal: the composed (unsunk) dataset — for embedding a DSL
     * pipeline inside a larger plan or the correctness gate. */
-  def dataFrame(spark: SparkSession): Dataset[O] = { claim(); build(spark) }
+  def dataFrame(spark: SparkSession): Dataset[O] = { claim(); open(spark) }
 
   /** Materialized stage boundary (SURVEY.md §7.3): downstream consumers
     * share one computation of everything upstream instead of re-deriving
@@ -135,16 +165,16 @@ final class PipelineBuilder[O] private[pipeline] (
     // (same guard as Q.staged)
     val memo = new java.util.concurrent.ConcurrentHashMap[SparkSession, Dataset[O]]()
     new PipelineBuilder[O](source,
-      s => memo.compute(s, (ss, prev) =>
+      (s, c) => memo.compute(s, (ss, prev) =>
         if (prev != null && !prev.sparkSession.sparkContext.isStopped) prev
-        else build(ss).cache()),
-      shareable = true)
+        else build(ss, c).cache()),
+      shareable = true, capacity = capacity)
   }
 
   def to(sink: SinkStage[O]): Pipeline = {
     claim()
     new Pipeline(s"${source.name}=>${sink.name}",
-      s => sink.write(build(s)))
+      s => sink.write(open(s)))
   }
 
   /** Fan-out to several sinks: upstream computed once (cached), every sink
@@ -156,7 +186,7 @@ final class PipelineBuilder[O] private[pipeline] (
           "(reference Error::NotConnected, messaging.rs:84)")
     claim()
     new Pipeline(s"${source.name}=>tee", { s =>
-      val ds = build(s).cache()
+      val ds = open(s).cache()
       try sinks.foreach(_.write(ds))
       finally ds.unpersist()
     })
@@ -181,14 +211,32 @@ final class Pipeline(val name: String, body: SparkSession => Unit) {
 }
 
 object Pipeline {
+  /** Resolve a source against the pipeline's declared edge capacity: a
+    * capacity on an edge of a source that exposes no admission knob is a
+    * wiring error, surfaced at build time (the reference's channels
+    * ALWAYS have a capacity — an unthrottleable source cannot honor one). */
+  private def openResolved[O](src: Source[O], s: SparkSession, cap: Option[Long]): Dataset[O] =
+    cap match {
+      case Some(c) => src.openThrottled match {
+        case Some(f) => f(s, c)
+        case None => throw new IllegalStateException(
+          s"pipeline '${src.name}': an edge declares capacity $c but the " +
+            "source exposes no admission control — give the Source an " +
+            "openThrottled variant (maxFilesPerTrigger / " +
+            "maxOffsetsPerTrigger / rowsPerBatch)")
+      }
+      case None => src.open(s)
+    }
+
   def from[O](source: Source[O]): PipelineBuilder[O] =
-    new PipelineBuilder[O](source, source.open)
+    new PipelineBuilder[O](source, (s, c) => openResolved(source, s, c))
 
   /** `funnel_ports` N→1 fan-in: UNION ALL of same-typed sources
-    * (`messaging.rs:413-423`). */
+    * (`messaging.rs:413-423`). A declared capacity bounds EACH input's
+    * admission (the reference funnel receives from N bounded channels). */
   def funnel[O](name: String, sources: Source[O]*): PipelineBuilder[O] = {
     require(sources.nonEmpty, s"funnel '$name' has no inputs")
     new PipelineBuilder[O](Source(name, null),
-      s => sources.map(_.open(s)).reduce(_ unionByName _))
+      (s, c) => sources.map(openResolved(_, s, c)).reduce(_ unionByName _))
   }
 }

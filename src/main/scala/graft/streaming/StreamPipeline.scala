@@ -12,17 +12,49 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
   * restart-on-failure from [[StreamSupervisor]]. */
 object StreamPipeline {
 
-  final case class StreamSource(name: String, open: SparkSession => DataFrame)
+  /** @param openThrottled capacity-aware open for bounded-channel edges
+    *                       (`messaging.rs:384-391`): receives the pipeline's
+    *                       resolved per-edge capacity (rows per micro-batch)
+    *                       and must map it to the source's admission knob
+    *                       (`maxFilesPerTrigger` / `maxOffsetsPerTrigger` /
+    *                       graft-gen `rowsPerBatch`). */
+  final case class StreamSource(
+      name: String,
+      open: SparkSession => DataFrame,
+      openThrottled: Option[(SparkSession, Long) => DataFrame] = None)
 
   def from(source: StreamSource): StreamBuilder =
-    new StreamBuilder(source.name, source.open)
+    new StreamBuilder(source.name, (s, cap) => cap match {
+      case Some(c) => source.openThrottled match {
+        case Some(f) => f(s, c)
+        case None => throw new IllegalStateException(
+          s"stream pipeline '${source.name}': an edge declares capacity $c " +
+            "but the source exposes no admission control — give the " +
+            "StreamSource an openThrottled variant")
+      }
+      case None => source.open(s)
+    })
 
   final class StreamBuilder private[streaming] (
       val name: String,
-      build: SparkSession => DataFrame) {
+      build: (SparkSession, Option[Long]) => DataFrame,
+      capacity: Option[Long] = None) {
 
     def via(flow: Flow[Row, Row]): StreamBuilder =
-      new StreamBuilder(s"$name->${flow.name}", s => flow.apply(build(s)).toDF())
+      new StreamBuilder(s"$name->${flow.name}",
+        (s, c) => flow.apply(build(s, c)).toDF(), capacity)
+
+    /** Capacity-bounded edge — the reference's channels carry an explicit
+      * per-edge capacity (`messaging.rs:384-391`). Fused flows form ONE
+      * streaming query, so the chain's in-flight bound is the MINIMUM of
+      * its edges' capacities, applied as source admission control: each
+      * micro-batch holds at most that many rows at the stage boundary. */
+    def via(flow: Flow[Row, Row], edgeCapacity: Long): StreamBuilder = {
+      require(edgeCapacity > 0, s"edge capacity must be positive: $edgeCapacity")
+      new StreamBuilder(s"$name->${flow.name}",
+        (s, c) => flow.apply(build(s, c)).toDF(),
+        Some(capacity.fold(edgeCapacity)(math.min(_, edgeCapacity))))
+    }
 
     /** Supervised terminal: `sink` configures the writer (format, mode,
       * checkpoint); the query runs under the stage runtime and restarts
@@ -30,7 +62,7 @@ object StreamPipeline {
     def spawn(spark: SparkSession, policy: Policy = Policy())(
         sink: DataStreamWriter[Row] => StreamingQuery): Tether =
       StreamSupervisor.spawn(name, policy) { () =>
-        sink(build(spark).writeStream)
+        sink(build(spark, capacity).writeStream)
       }
   }
 }

@@ -64,13 +64,34 @@ class QueriesSpec extends AnyFunSuite {
       .orderBy(col("doc_id")).collect().toSeq
     graft.ops.Q.clearStaged() // drop memoized labels so both runs compute
     val local = snapshot()
-    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
-    spark.sparkContext.setCheckpointDir(ckptDir)
+    val ckptPath = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    spark.sparkContext.setCheckpointDir(ckptPath.toString)
     try {
       graft.ops.Q.clearStaged()
       val reliable = snapshot()
+      assert(spark.sparkContext.getCheckpointDir.isDefined)
       assert(reliable == local,
         "reliable checkpoint() rounds must produce the same clusters as localCheckpoint")
-    } finally graft.ops.Q.clearStaged()
+    } finally {
+      graft.ops.Q.clearStaged()
+      // RESTORE the shared session: leaving the dir set would silently
+      // flip every later test in the suite run onto the reliable-
+      // checkpoint path. setCheckpointDir(null) maps to None inside
+      // SparkContext (Option(directory)); reflection is the fallback if
+      // a future Spark version starts rejecting null.
+      try spark.sparkContext.setCheckpointDir(null)
+      catch { case _: Throwable => () }
+      if (spark.sparkContext.getCheckpointDir.isDefined)
+        spark.sparkContext.getClass
+          .getMethod("checkpointDir_$eq", classOf[Option[_]])
+          .invoke(spark.sparkContext, None)
+      assert(spark.sparkContext.getCheckpointDir.isEmpty,
+        "checkpoint dir must not leak into later tests")
+      // delete the checkpoint files the reliable run left behind
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      Files.walk(ckptPath).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
   }
 }

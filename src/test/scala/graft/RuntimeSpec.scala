@@ -130,14 +130,16 @@ class RuntimeSpec extends AnyFunSuite {
 
   test("daemon: any stage ending stops the pipeline; two-phase teardown (daemon.rs:36-77)") {
     val fast = new MockWorker(units = 2)
-    val slow = new MockWorker(units = 1000, scheduleDelay = Some(5.seconds))
+    // 30 s delay with a 10 s bound: an unambiguous margin — a tighter
+    // 5 s/4 s pairing flaked under parallel-suite CPU contention
+    val slow = new MockWorker(units = 1000, scheduleDelay = Some(30.seconds))
     val tf = StageRuntime.spawn("fast", fast)
     val ts = StageRuntime.spawn("slow", slow)
     val d = new Daemon(Seq(tf, ts), pollEvery = 20.millis)
     val t0 = System.nanoTime()
     d.block()
     val ms = (System.nanoTime() - t0) / 1e6
-    assert(ms < 4000, s"daemon.block took ${ms}ms — should stop when 'fast' ends")
+    assert(ms < 10000, s"daemon.block took ${ms}ms — should stop when 'fast' ends")
     assert(tf.currentPhase == StagePhase.Ended)
     assert(ts.currentPhase == StagePhase.Ended)
     assert(slow.teardownCount.get() == 1)
@@ -149,6 +151,13 @@ class RuntimeSpec extends AnyFunSuite {
     val d = new Daemon(Seq(t), pollEvery = 20.millis)
     assert(d.shutdownHookInstalled, "TERM/INT hook must be on by default (reference always registers)")
     assert(!new Daemon(Seq(t), registerShutdownHook = false).shutdownHookInstalled)
+    // wait until the stage has actually bootstrapped: terminating a stage
+    // whose thread never ran is the no-resources-no-teardown path
+    // (runtime.rs:247-253), not the drain path this test asserts
+    val ready = System.nanoTime() + 10.seconds.toNanos
+    while (slow.bootstrapCount.get() == 0 && System.nanoTime() < ready)
+      Thread.sleep(5)
+    assert(slow.bootstrapCount.get() > 0)
     // exercise the hook's exact code path (terminate + teardown): the
     // stage must drain and the daemon must report terminated
     d.terminate(); d.teardown()

@@ -303,6 +303,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(tether.waitEnded(30.seconds))
   }
 
+  test("per-edge capacity bounds in-flight rows per micro-batch (messaging.rs:384-391)") {
+    import graft.pipeline.Flow
+    import graft.streaming.StreamPipeline
+    import org.apache.spark.sql.Row
+    // saturated source: all 120 rows available from the first trigger —
+    // only the declared edge capacities keep batches bounded
+    val src = StreamPipeline.StreamSource("gen-capped",
+      s => s.readStream.format("graft-gen").option("rows", "120").load(),
+      openThrottled = Some((s, cap) => s.readStream.format("graft-gen")
+        .option("rows", "120").option("rowsPerBatch", cap.toString).load()))
+    val tether = StreamPipeline.from(src)
+      .via(Flow[Row, Row]("wide", _.select(col("id"), col("key"))), 40)
+      .via(Flow[Row, Row]("narrow", _.select(col("id"))), 25) // min of the edges wins
+      .spawn(spark)(_.outputMode("append").format("memory")
+        .queryName("capped_stream").start())
+    val deadline = System.nanoTime() + 60.seconds.toNanos
+    def rows() = if (!spark.catalog.tableExists("capped_stream")) -1L
+      else spark.table("capped_stream").count()
+    while (rows() < 120 && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(rows() == 120, "throttling must bound batches, never drop rows")
+    val q = spark.streams.active.find(q => q.name == "capped_stream")
+    assert(q.isDefined)
+    val sizes = q.get.recentProgress.map(_.numInputRows).filter(_ > 0)
+    assert(sizes.nonEmpty && sizes.max <= 25,
+      s"in-flight batch exceeded the min edge capacity: ${sizes.mkString(",")}")
+    assert(sizes.length >= 5, s"120 rows at cap 25 needs >=5 batches, got ${sizes.length}")
+    tether.dismiss()
+    assert(tether.waitEnded(30.seconds))
+  }
+
+  test("capacity on an unthrottleable source is a build-time wiring error") {
+    import graft.pipeline.{Flow, Pipeline, Source}
+    val b = Pipeline
+      .from(Source[Long]("range", s => s.range(0, 10).as[Long]))
+      .via(Flow.map("id")((x: Long) => x), edgeCapacity = 5)
+    assertThrows[IllegalStateException](b.dataFrame(spark))
+  }
+
   test("Trigger.AvailableNow drains a bounded source and terminates itself") {
     val dir = java.nio.file.Files.createTempDirectory("graft-avnow").toString
     val nation = graft.ops.Q.table(spark, "/root/testdata/sf0.001", "nation")
