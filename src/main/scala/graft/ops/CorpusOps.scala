@@ -1,0 +1,136 @@
+package graft.ops
+
+import Q._
+
+/** Corpus-level operators a training-data pipeline needs beyond per-doc
+  * analysis and dedup: reproducible sampling, ranked retrieval, and
+  * phrase statistics. All oracle-exact (bit-identical doubles via fixed
+  * expression shapes; counts as BIGINT on both engines).
+  */
+object CorpusOps {
+
+  /** Deterministic stratified sampling: every document hashes to a bucket
+    * (portable `char_fold` of its id — NO rand(): re-running the pipeline
+    * reproduces the same sample, the property that matters when a 100 TB
+    * corpus is sampled incrementally), and each stratum (lang) keeps its
+    * own rate. Row-wise — no shuffle, no state, embarrassingly parallel. */
+  val d08 = QueryDef(
+    "d08_stratified_sample",
+    (s, d) => withViews(s, d, "documents")("""
+      WITH h AS (SELECT doc_id, lang,
+                   CAST(char_fold(CAST(doc_id AS STRING), 101) % 100 AS BIGINT) AS bucket
+                 FROM documents),
+      r AS (SELECT doc_id, lang, bucket,
+              CASE lang WHEN 'en' THEN 20 WHEN 'es' THEN 35
+                        WHEN 'de' THEN 50 ELSE 65 END AS rate
+            FROM h)
+      SELECT doc_id, lang, bucket FROM r WHERE bucket < rate"""),
+    Some(s"""
+      WITH h AS (SELECT doc_id, lang,
+                   CAST(${oCharFold("CAST(doc_id AS VARCHAR)", 101)} % 100 AS BIGINT) AS bucket
+                 FROM documents),
+      r AS (SELECT doc_id, lang, bucket,
+              CASE lang WHEN 'en' THEN 20 WHEN 'es' THEN 35
+                        WHEN 'de' THEN 50 ELSE 65 END AS rate
+            FROM h)
+      SELECT doc_id, lang, bucket FROM r WHERE bucket < rate"""))
+
+  // ---- BM25 ranked retrieval ------------------------------------------
+
+  /** One query term's BM25 contribution, emitted in the target dialect.
+    * Rational-idf variant: idf = (N - df + 0.5)/(df + 0.5) WITHOUT the
+    * usual ln() — ln is the one BM25 operation whose libm/JVM results can
+    * differ in the last ulp across engines, and it's a monotone transform
+    * (per-term ranking unchanged). Every fractional literal is cast to
+    * DOUBLE explicitly: bare decimal literals parse as DECIMAL in both
+    * engines and would change intermediate rounding. k1=1.2, b=0.75. */
+  private def bm25Term(i: Int): String = {
+    def D(x: String) = s"CAST($x AS DOUBLE)"
+    val (tf, df) = (s"tf$i", s"df$i")
+    s"""CASE WHEN $tf > 0 THEN
+       |  ((${D("n")} - ${D(df)} + ${D("0.5")}) / (${D(df)} + ${D("0.5")})) *
+       |  ((${D(tf)} * ${D("2.2")}) /
+       |   (${D(tf)} + ${D("1.2")} * (${D("0.25")} + ${D("0.75")} *
+       |      (${D("dl")} / (${D("sumdl")} / ${D("n")})))))
+       |ELSE ${D("0")} END""".stripMargin
+  }
+
+  private val terms = Seq("hash", "merge", "vector")
+
+  private def bm25Sql(
+      split: String, sizeF: String, filterF: String, eq: String => String): String = {
+    val tfs = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST($sizeF($filterF(w, x -> ${eq(t)})) AS BIGINT) AS tf${i + 1}"
+    }.mkString(",\n             ")
+    val dfs = terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf${i + 1} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df${i + 1}")
+      .mkString(",\n             ")
+    // fixed association (s1 + s2) + s3: addition order is part of the
+    // cross-engine float contract
+    val score = s"((${bm25Term(1)}) + (${bm25Term(2)})) + (${bm25Term(3)})"
+    s"""
+      WITH t AS (SELECT doc_id, $split AS w FROM documents),
+      d AS (SELECT doc_id, CAST($sizeF(w) AS BIGINT) AS dl,
+             $tfs
+            FROM t),
+      stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dl) AS BIGINT) AS sumdl,
+             $dfs
+            FROM d)
+      SELECT doc_id, tf1, tf2, tf3, score FROM (
+        SELECT d.doc_id, d.tf1, d.tf2, d.tf3, $score AS score
+        FROM d CROSS JOIN stats
+        WHERE tf1 + tf2 + tf3 > 0)
+      ORDER BY score DESC, doc_id
+      LIMIT 10"""
+  }
+
+  /** BM25 ranked retrieval for a fixed conjunctive term set — the
+    * text-search primitive of corpus curation ("pull the top docs about
+    * X"). Per-doc scoring is row-wise; the corpus statistics (N, Σdl,
+    * per-term document frequencies) are ONE scalar aggregate broadcast to
+    * every scorer (at 100 TB: a metadata-sized broadcast, the text never
+    * moves); top-k plans as TakeOrderedAndProject, no global sort. */
+  val q44 = QueryDef(
+    "q44_bm25_search",
+    (s, d) => withViews(s, d, "documents")(
+      bm25Sql(s"split($sNorm, ' ')", "size", "filter", t => s"x = '$t'")),
+    Some(bm25Sql(s"string_split($oNorm, ' ')", "len", "list_filter",
+      t => s"x = '$t'")))
+
+  /** Top-5 bigram phrases per language — n-gram phrase statistics for
+    * corpus inspection. Shuffles only (lang, bigram, count) pairs after
+    * map-side partial aggregation; ranking is a per-lang window over the
+    * tiny aggregated set (deterministic tiebreak: count desc, bigram asc). */
+  val t06 = QueryDef(
+    "t06_bigram_phrases",
+    (s, d) => withViews(s, d, "documents")(s"""
+      WITH t AS (SELECT lang, w FROM
+                   (SELECT lang, split($sNorm, ' ') AS w FROM documents)
+                 WHERE size(w) >= 2),
+      b AS (SELECT lang, bg FROM t
+            LATERAL VIEW explode(transform(sequence(1, size(w) - 1),
+              i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))) x AS bg),
+      c AS (SELECT lang, bg, CAST(count(*) AS BIGINT) AS cnt
+            FROM b GROUP BY lang, bg),
+      r AS (SELECT lang, bg, cnt,
+              CAST(row_number() OVER (PARTITION BY lang
+                ORDER BY cnt DESC, bg) AS BIGINT) AS rnk
+            FROM c)
+      SELECT lang, bg AS bigram, cnt, rnk FROM r WHERE rnk <= 5"""),
+    Some(s"""
+      WITH t AS (SELECT lang, w FROM
+                   (SELECT lang, string_split($oNorm, ' ') AS w FROM documents) x
+                 WHERE len(w) >= 2),
+      b AS (SELECT lang, unnest(list_transform(range(1, len(w)),
+              i -> w[i] || ' ' || w[i + 1])) AS bg FROM t),
+      c AS (SELECT lang, bg, CAST(count(*) AS BIGINT) AS cnt
+            FROM b GROUP BY lang, bg),
+      r AS (SELECT lang, bg, cnt,
+              CAST(row_number() OVER (PARTITION BY lang
+                ORDER BY cnt DESC, bg) AS BIGINT) AS rnk
+            FROM c)
+      SELECT lang, bg AS bigram, cnt, rnk FROM r WHERE rnk <= 5"""))
+
+  val all: Seq[QueryDef] = Seq(d08, q44, t06)
+}
