@@ -58,6 +58,27 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioning-invariant results (cluster determinism): q44 scores, d06 labels") {
+    // a cluster repartitions at will — float outputs and iterative labels
+    // must be BIT-identical under any shuffle partitioning (decimal-routed
+    // sums, fixed expression shapes, min-label fixpoint)
+    def run(name: String) = {
+      graft.ops.Q.clearStaged()
+      SparkEntry.queries(name)(spark, dir).collect().map(_.toString).sorted.toSeq
+    }
+    val base44 = run("q44_bm25_search")
+    val base06 = run("d06_dedup_clusters")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try {
+      assert(run("q44_bm25_search") == base44, "q44 must not depend on partitioning")
+      assert(run("d06_dedup_clusters") == base06, "d06 must not depend on partitioning")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      graft.ops.Q.clearStaged()
+    }
+  }
+
   test("d06 identical under reliable checkpoint (cluster durability path)") {
     import org.apache.spark.sql.functions.col
     def snapshot() = SparkEntry.queries("d06_dedup_clusters")(spark, dir)
