@@ -35,6 +35,34 @@ object CorpusOps {
             FROM h)
       SELECT doc_id, lang, bucket FROM r WHERE bucket < rate"""))
 
+  /** Fixed-SIZE stratified sample: exactly K documents per stratum,
+    * chosen by deterministic hash order (char_fold of the id, doc_id
+    * tiebreak) — the "carve a reproducible eval set" primitive. d08 gives
+    * a fixed RATE; this gives a fixed COUNT. One shuffle on lang; the
+    * per-stratum ranking is Spark's WindowGroupLimit (partial top-K per
+    * partition before the shuffle, so the exchange carries ≤ K·partitions
+    * rows per stratum, not the corpus). */
+  val d09 = QueryDef(
+    "d09_fixed_size_sample",
+    (s, d) => withViews(s, d, "documents")("""
+      WITH h AS (SELECT doc_id, lang,
+                   CAST(char_fold(CAST(doc_id AS STRING), 202) AS BIGINT) AS hk
+                 FROM documents),
+      r AS (SELECT doc_id, lang, hk,
+              CAST(row_number() OVER (PARTITION BY lang
+                ORDER BY hk, doc_id) AS BIGINT) AS rnk
+            FROM h)
+      SELECT doc_id, lang, rnk FROM r WHERE rnk <= 25"""),
+    Some(s"""
+      WITH h AS (SELECT doc_id, lang,
+                   CAST(${oCharFold("CAST(doc_id AS VARCHAR)", 202)} AS BIGINT) AS hk
+                 FROM documents),
+      r AS (SELECT doc_id, lang, hk,
+              CAST(row_number() OVER (PARTITION BY lang
+                ORDER BY hk, doc_id) AS BIGINT) AS rnk
+            FROM h)
+      SELECT doc_id, lang, rnk FROM r WHERE rnk <= 25"""))
+
   // ---- BM25 ranked retrieval ------------------------------------------
 
   /** One query term's BM25 contribution, emitted in the target dialect.
@@ -132,5 +160,5 @@ object CorpusOps {
             FROM c)
       SELECT lang, bg AS bigram, cnt, rnk FROM r WHERE rnk <= 5"""))
 
-  val all: Seq[QueryDef] = Seq(d08, q44, t06)
+  val all: Seq[QueryDef] = Seq(d08, d09, q44, t06)
 }
