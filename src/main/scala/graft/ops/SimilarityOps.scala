@@ -213,5 +213,33 @@ object SimilarityOps {
       SELECT query_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rn
       FROM r WHERE rn <= 5"""))
 
-  val all: Seq[QueryDef] = Seq(s01, s02, s03)
+  /** ANN index evaluation: recall@5 of the LSH index (s02) against the
+    * brute-force ground truth (s01), per query — the measurement an ANN
+    * deployment must ship with (an index without a recall number is a
+    * guess). Composes the two verified plans; the join touches only the
+    * |Q|·k result rows (tiny — broadcast at any corpus scale), so the cost
+    * is the two underlying searches, not the comparison. n_hit is an exact
+    * integer; recall is one IEEE division by an exact constant. */
+  val s04 = QueryDef(
+    "s04_ann_recall",
+    (s, d) => {
+      s01.run(s, d).createOrReplaceTempView("s04_bf")
+      s02.run(s, d).createOrReplaceTempView("s04_lsh")
+      s.sql("""
+        SELECT b.query_id,
+               CAST(count(l.neighbor_id) AS BIGINT) AS n_hit,
+               CAST(count(l.neighbor_id) AS DOUBLE) / CAST(5 AS DOUBLE) AS recall_at_5
+        FROM s04_bf b LEFT JOIN s04_lsh l
+          ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+        GROUP BY b.query_id""")
+    },
+    Some(s"""
+      SELECT b.query_id,
+             CAST(count(l.neighbor_id) AS BIGINT) AS n_hit,
+             CAST(count(l.neighbor_id) AS DOUBLE) / CAST(5 AS DOUBLE) AS recall_at_5
+      FROM (${s01.oracle.get}) b LEFT JOIN (${s02.oracle.get}) l
+        ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+      GROUP BY b.query_id"""))
+
+  val all: Seq[QueryDef] = Seq(s01, s02, s03, s04)
 }

@@ -170,5 +170,138 @@ object TextOps {
              CAST(len(regexp_extract_all(nt, '[0-9]+', 0)) AS BIGINT) AS n_redacted
       FROM c"""))
 
-  val all: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, d01)
+  // Union of the four stopword sets — the language-agnostic "contains
+  // common function words" signal for the quality-filter battery.
+  private val allStop =
+    "('the','a','of','and','to','in','is','el','la','de','y','que','en'," +
+      "'der','die','und','das','ist','le','les','et','des','un')"
+
+  /** Repetition / boilerplate detection (the Gopher-style repeated-n-gram
+    * rules): per document, the duplicate-bigram fraction and the most
+    * frequent word's share of all tokens. Pure row-wise (the bigram list
+    * and word-frequency scan stay inside one row — no explode, no
+    * shuffle); ratios are single IEEE divisions of exact integers, and the
+    * repetitive flag uses integer cross-multiplication so no float
+    * threshold can diverge across engines. */
+  val t07 = QueryDef(
+    "t07_repetition_stats",
+    (s, d) => withViews(s, d, "documents")(s"""
+      WITH t AS (SELECT doc_id, split($sNorm, ' ') AS w FROM documents),
+      b AS (SELECT doc_id, w,
+              CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1),
+                     i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))
+                   ELSE CAST(array() AS ARRAY<STRING>) END AS bg
+            FROM t),
+      f AS (SELECT doc_id,
+              CAST(size(w) AS BIGINT) AS n_tokens,
+              CAST(size(array_distinct(w)) AS BIGINT) AS n_uniq,
+              CAST(size(bg) AS BIGINT) AS n_bigrams,
+              CAST(size(array_distinct(bg)) AS BIGINT) AS n_uniq_bigrams,
+              CAST(array_max(transform(array_distinct(w),
+                x -> size(filter(w, y -> y = x)))) AS BIGINT) AS top_word_cnt
+            FROM b)
+      SELECT doc_id, n_tokens, n_uniq, n_bigrams, n_uniq_bigrams, top_word_cnt,
+             CASE WHEN n_bigrams > 0
+                  THEN CAST(n_bigrams - n_uniq_bigrams AS DOUBLE)
+                         / CAST(n_bigrams AS DOUBLE)
+                  ELSE CAST(0 AS DOUBLE) END AS dup_bigram_frac,
+             CAST(top_word_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_word_frac,
+             ((n_bigrams - n_uniq_bigrams) * 5 > n_bigrams)
+               OR (top_word_cnt * 5 > n_tokens) AS is_repetitive
+      FROM f"""),
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split($oNorm, ' ') AS w FROM documents),
+      b AS (SELECT doc_id, w,
+              CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)),
+                     i -> w[i] || ' ' || w[i + 1])
+                   ELSE CAST([] AS VARCHAR[]) END AS bg
+            FROM t),
+      f AS (SELECT doc_id,
+              CAST(len(w) AS BIGINT) AS n_tokens,
+              CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
+              CAST(len(bg) AS BIGINT) AS n_bigrams,
+              CAST(len(list_distinct(bg)) AS BIGINT) AS n_uniq_bigrams,
+              CAST(list_max(list_transform(list_distinct(w),
+                x -> len(list_filter(w, y -> y = x)))) AS BIGINT) AS top_word_cnt
+            FROM b)
+      SELECT doc_id, n_tokens, n_uniq, n_bigrams, n_uniq_bigrams, top_word_cnt,
+             CASE WHEN n_bigrams > 0
+                  THEN CAST(n_bigrams - n_uniq_bigrams AS DOUBLE)
+                         / CAST(n_bigrams AS DOUBLE)
+                  ELSE CAST(0 AS DOUBLE) END AS dup_bigram_frac,
+             CAST(top_word_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_word_frac,
+             ((n_bigrams - n_uniq_bigrams) * 5 > n_bigrams)
+               OR (top_word_cnt * 5 > n_tokens) AS is_repetitive
+      FROM f"""))
+
+  /** C4/Gopher-style quality-filter battery: six orthogonal keep/drop
+    * rules (length band, mean word length, stopword presence, symbol
+    * ratio, digit ratio, duplicate-bigram boilerplate), each emitted as
+    * its own flag so a curation run can report WHY documents were dropped,
+    * plus the conjunctive keep decision. Row-wise; every threshold is an
+    * integer cross-multiplication — nothing to diverge across engines. */
+  val t08 = QueryDef(
+    "t08_quality_filter",
+    (s, d) => withViews(s, d, "documents")(s"""
+      WITH t AS (SELECT doc_id, lang, $sNorm AS nt,
+                   split($sNorm, ' ') AS w FROM documents),
+      b AS (SELECT doc_id, lang, nt, w,
+              CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1),
+                     i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))
+                   ELSE CAST(array() AS ARRAY<STRING>) END AS bg
+            FROM t),
+      f AS (SELECT doc_id, lang,
+              CAST(size(w) AS BIGINT) AS n_tokens,
+              aggregate(w, CAST(0 AS BIGINT), (a, x) -> a + length(x)) AS total_chars,
+              CAST(size(filter(w, x -> x IN $allStop)) AS BIGINT) AS n_stop,
+              CAST(length(nt) AS BIGINT) AS n_chars,
+              CAST(size(regexp_extract_all(nt, '[^a-z0-9 ]', 0)) AS BIGINT) AS n_sym,
+              CAST(size(regexp_extract_all(nt, '[0-9]', 0)) AS BIGINT) AS n_digit,
+              CAST(size(bg) AS BIGINT) AS n_bigrams,
+              CAST(size(array_distinct(bg)) AS BIGINT) AS n_uniq_bigrams
+            FROM b),
+      r AS (SELECT doc_id, lang,
+              n_tokens BETWEEN 5 AND 1000 AS r_len,
+              3 * n_tokens <= total_chars AND total_chars <= 10 * n_tokens AS r_wordlen,
+              n_stop >= 2 AS r_stop,
+              n_sym * 10 < n_chars AS r_sym,
+              n_digit * 5 < n_chars AS r_digit,
+              (n_bigrams - n_uniq_bigrams) * 5 <= n_bigrams AS r_boiler
+            FROM f)
+      SELECT doc_id, lang, r_len, r_wordlen, r_stop, r_sym, r_digit, r_boiler,
+             r_len AND r_wordlen AND r_stop AND r_sym AND r_digit AND r_boiler AS keep
+      FROM r"""),
+    Some(s"""
+      WITH t AS (SELECT doc_id, lang, $oNorm AS nt,
+                   string_split($oNorm, ' ') AS w FROM documents),
+      b AS (SELECT doc_id, lang, nt, w,
+              CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)),
+                     i -> w[i] || ' ' || w[i + 1])
+                   ELSE CAST([] AS VARCHAR[]) END AS bg
+            FROM t),
+      f AS (SELECT doc_id, lang,
+              CAST(len(w) AS BIGINT) AS n_tokens,
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(w, x -> CAST(length(x) AS BIGINT))),
+                (a, x) -> a + x) AS total_chars,
+              CAST(len(list_filter(w, x -> x IN $allStop)) AS BIGINT) AS n_stop,
+              CAST(length(nt) AS BIGINT) AS n_chars,
+              CAST(len(regexp_extract_all(nt, '[^a-z0-9 ]', 0)) AS BIGINT) AS n_sym,
+              CAST(len(regexp_extract_all(nt, '[0-9]', 0)) AS BIGINT) AS n_digit,
+              CAST(len(bg) AS BIGINT) AS n_bigrams,
+              CAST(len(list_distinct(bg)) AS BIGINT) AS n_uniq_bigrams
+            FROM b),
+      r AS (SELECT doc_id, lang,
+              n_tokens BETWEEN 5 AND 1000 AS r_len,
+              3 * n_tokens <= total_chars AND total_chars <= 10 * n_tokens AS r_wordlen,
+              n_stop >= 2 AS r_stop,
+              n_sym * 10 < n_chars AS r_sym,
+              n_digit * 5 < n_chars AS r_digit,
+              (n_bigrams - n_uniq_bigrams) * 5 <= n_bigrams AS r_boiler
+            FROM f)
+      SELECT doc_id, lang, r_len, r_wordlen, r_stop, r_sym, r_digit, r_boiler,
+             r_len AND r_wordlen AND r_stop AND r_sym AND r_digit AND r_boiler AS keep
+      FROM r"""))
+
+  val all: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t07, t08, d01)
 }
