@@ -160,5 +160,112 @@ object CorpusOps {
             FROM c)
       SELECT lang, bg AS bigram, cnt, rnk FROM r WHERE rnk <= 5"""))
 
-  val all: Seq[QueryDef] = Seq(d08, d09, q44, t06)
+  // ---- corpus datasheet, chunking, packing ----------------------------
+
+  /** Corpus composition report — the "datasheet" a curation run publishes:
+    * per (lang, source) document counts, kept fraction after the t08
+    * quality battery, exact-dup rate from d01, and total token volume.
+    * Composes three verified per-doc plans; the joins are all on doc_id
+    * (co-partitioned shuffles of id + a few flags — the text never moves),
+    * and the final aggregate shuffles only (lang, source) partials. */
+  val q46 = QueryDef(
+    "q46_corpus_report",
+    (s, d) => {
+      graft.ops.TextOps.t01.run(s, d).createOrReplaceTempView("q46_tok")
+      graft.ops.TextOps.t08.run(s, d).createOrReplaceTempView("q46_keep")
+      graft.ops.TextOps.d01.run(s, d).createOrReplaceTempView("q46_dup")
+      withViews(s, d, "documents")("""
+        SELECT d.lang, d.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN k.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN e.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+               CAST(sum(t.n_tokens) AS BIGINT) AS n_tokens_total,
+               CAST(sum(CASE WHEN k.keep THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS kept_frac
+        FROM documents d
+          JOIN q46_tok t ON t.doc_id = d.doc_id
+          JOIN q46_keep k ON k.doc_id = d.doc_id
+          JOIN q46_dup e ON e.doc_id = d.doc_id
+        GROUP BY d.lang, d.source""")
+    },
+    Some(s"""
+      SELECT d.lang, d.source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN k.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN e.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+             CAST(sum(t.n_tokens) AS BIGINT) AS n_tokens_total,
+             CAST(sum(CASE WHEN k.keep THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS kept_frac
+      FROM documents d
+        JOIN (${graft.ops.TextOps.t01.oracle.get}) t ON t.doc_id = d.doc_id
+        JOIN (${graft.ops.TextOps.t08.oracle.get}) k ON k.doc_id = d.doc_id
+        JOIN (${graft.ops.TextOps.d01.oracle.get}) e ON e.doc_id = d.doc_id
+      GROUP BY d.lang, d.source"""))
+
+  /** Context-window chunking: split each document into fixed-size token
+    * windows (50 tokens, stride 40 — 10-token overlap), the transform that
+    * turns a curated corpus into training sequences. The window starts are
+    * generated per row and exploded — embarrassingly parallel, no shuffle;
+    * output carries the exact token span so a trainer can reconstruct
+    * provenance. */
+  val q47 = QueryDef(
+    "q47_chunk_windows",
+    (s, d) => withViews(s, d, "documents")(s"""
+      WITH t AS (SELECT doc_id, split($sNorm, ' ') AS w FROM documents),
+      c AS (SELECT doc_id, w, st FROM t
+            LATERAL VIEW explode(sequence(1, size(w), 40)) x AS st)
+      SELECT doc_id,
+             CAST((st - 1) DIV 40 AS BIGINT) AS chunk_idx,
+             CAST(st AS BIGINT) AS start_tok,
+             CAST(least(st + 49, size(w)) AS BIGINT) AS end_tok,
+             CAST(size(slice(w, st, 50)) AS BIGINT) AS n_chunk_tokens,
+             array_join(slice(w, st, 50), ' ') AS chunk_text
+      FROM c"""),
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split($oNorm, ' ') AS w FROM documents),
+      c AS (SELECT doc_id, w, unnest(range(1, len(w) + 1, 40)) AS st FROM t)
+      SELECT doc_id,
+             CAST((st - 1) // 40 AS BIGINT) AS chunk_idx,
+             CAST(st AS BIGINT) AS start_tok,
+             CAST(least(st + 49, len(w)) AS BIGINT) AS end_tok,
+             CAST(len(list_slice(w, st, least(st + 49, len(w)))) AS BIGINT)
+               AS n_chunk_tokens,
+             array_to_string(list_slice(w, st, least(st + 49, len(w))), ' ')
+               AS chunk_text
+      FROM c"""))
+
+  /** Deterministic greedy sequence packing: docs stream through each lang
+    * in doc_id order and fall into consecutive 2048-token bins by
+    * cumulative token count — the streaming approximation of bin packing
+    * that a distributed trainer actually uses (exact bin packing is
+    * NP-hard and order-dependent; fixed order makes the assignment
+    * reproducible). One window shuffle per lang; all arithmetic exact. */
+  val q48 = QueryDef(
+    "q48_greedy_packing",
+    (s, d) => withViews(s, d, "documents")(s"""
+      WITH t AS (SELECT doc_id, lang,
+                   CAST(size(split($sNorm, ' ')) AS BIGINT) AS n_tokens
+                 FROM documents),
+      c AS (SELECT doc_id, lang, n_tokens,
+              sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+                AS cum_before
+            FROM t)
+      SELECT doc_id, lang, n_tokens, cum_before,
+             CAST(cum_before DIV 2048 AS BIGINT) AS pack_id
+      FROM c"""),
+    Some(s"""
+      WITH t AS (SELECT doc_id, lang,
+                   CAST(len(string_split($oNorm, ' ')) AS BIGINT) AS n_tokens
+                 FROM documents),
+      c AS (SELECT doc_id, lang, n_tokens,
+              sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+                AS cum_before
+            FROM t)
+      SELECT doc_id, lang, n_tokens, CAST(cum_before AS BIGINT) AS cum_before,
+             CAST(cum_before // 2048 AS BIGINT) AS pack_id
+      FROM c"""))
+
+  val all: Seq[QueryDef] = Seq(d08, d09, q44, t06, q46, q47, q48)
 }
