@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guardrails on the PHYSICAL plan shapes that make queries survive a
+  * 100× scale-up. Correctness is the oracle gate's job; this spec pins the
+  * scale properties — a Spark upgrade or an innocent-looking refactor that
+  * silently turns a broadcast join into a cartesian product, or drops a
+  * partial top-k below a shuffle, fails here instead of in production.
+  *
+  * Assertions read the pre-execution plan string (the AQE-initial plan:
+  * what the optimizer committed to before runtime re-planning), so they
+  * are deterministic and cheap — no job runs.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val spark = TestSpark.spark
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("d09 ranks with WindowGroupLimit partials below AND above the exchange") {
+    val p = plan("d09_fixed_size_sample")
+    // two occurrences: partial (pre-shuffle, caps what the exchange
+    // carries at K·partitions rows/stratum) + final (post-shuffle)
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q47 chunking is shuffle-free (explode stays embarrassingly parallel)") {
+    val p = plan("q47_chunk_windows")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q48 packing shuffles exactly once (the per-lang window)") {
+    val p = plan("q48_greedy_packing")
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
+
+  test("t07/t08 text stages are shuffle-free row-wise projections") {
+    for (n <- Seq("t07_repetition_stats", "t08_quality_filter")) {
+      val p = plan(n)
+      assert(!p.contains("Exchange"), s"$n shuffles:\n$p")
+    }
+  }
+
+  test("dim joins broadcast; no cartesian product in relational paths") {
+    for (n <- Seq("q03_shipping_priority", "q05_local_supplier_volume")) {
+      val p = plan(n)
+      assert(p.contains("BroadcastHashJoin"), s"$n lost its broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$n went cartesian:\n$p")
+    }
+  }
+
+  test("LSH dedup candidates come from equality joins, never nested-loop") {
+    val p = plan("d02_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("filters reach the parquet scan (pushdown not regressed)") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(!p.replaceAll("\\s", "").contains("PushedFilters:[]"), p)
+  }
+}
