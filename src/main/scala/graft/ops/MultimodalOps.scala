@@ -67,5 +67,60 @@ object MultimodalOps {
              len AS size_bytes
       FROM b"""))
 
-  val all: Seq[QueryDef] = Seq(m01)
+  final case class FrameMeta(doc_id: Long, frame_idx: Long, byte_start: Long,
+      n_bytes: Long, frame_md5: String)
+
+  /** Frame sampling: slice each binary payload into fixed-size frames and
+    * keep every Nth (the video/audio "sample k frames per clip" stage).
+    * Same per-partition batch shape as [[decodeMetadata]]: the digest
+    * "codec" is initialized once per partition and rows stream through —
+    * swap `MessageDigest` for a real decoder and nothing else changes.
+    * Row-wise flatMap: no shuffle, output is offsets + per-frame digests
+    * (provenance a downstream trainer can verify). */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+      frameBytes: Int = 64, every: Int = 4): DataFrame = {
+    import spark.implicits._
+    val ds = media.as[MediaIn].mapPartitions { it =>
+      // per-partition codec bootstrap (mirrors Worker::bootstrap,
+      // /root/reference/gasket/src/framework.rs:103)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { m =>
+        val len = m.payload.length
+        val nFrames = (len + frameBytes - 1) / frameBytes
+        (0 until nFrames by every).iterator.map { fi =>
+          val start = fi * frameBytes
+          val bytes = java.util.Arrays.copyOfRange(
+            m.payload, start, math.min(start + frameBytes, len))
+          md.reset()
+          val hex = md.digest(bytes).map("%02x".format(_)).mkString
+          FrameMeta(m.doc_id, fi.toLong, start + 1L, bytes.length.toLong, hex)
+        }
+      }
+    }
+    ds.toDF()
+  }
+
+  /** Oracle: ASCII payloads mean byte slices == character substrings, so
+    * DuckDB's md5(substring(...)) replicates the frame digests exactly. */
+  val m02 = QueryDef(
+    "m02_frame_sample",
+    (s, d) => {
+      import s.implicits._
+      val media = table(s, d, "documents")
+        .select($"doc_id", $"text".cast("binary").as("payload"), $"source")
+      sampleFrames(s, media)
+    },
+    Some("""
+      WITH b AS (SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS len
+                 FROM documents),
+      f AS (SELECT doc_id, text, len,
+              unnest(range(0, (len + 63) // 64, 4)) AS fi FROM b)
+      SELECT doc_id,
+             CAST(fi AS BIGINT) AS frame_idx,
+             CAST(fi * 64 + 1 AS BIGINT) AS byte_start,
+             CAST(least(64, len - fi * 64) AS BIGINT) AS n_bytes,
+             md5(substring(text, CAST(fi * 64 + 1 AS INT), 64)) AS frame_md5
+      FROM f"""))
+
+  val all: Seq[QueryDef] = Seq(m01, m02)
 }
