@@ -50,22 +50,28 @@ object StreamingGate {
     Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Populate a streaming input dir: the real events file(s) symlinked
-    * (copied if the filesystem refuses links) plus two sentinel files
-    * whose mtimes force them to batch AFTER the real data. */
-  private def stageInput(s: SparkSession, d: String): Path = {
-    val inDir = Files.createTempDirectory("graft-q42-in")
-    val src = Paths.get(s"$d/events.parquet").toAbsolutePath
+  /** Symlink (or copy) every part file of `table`.parquet into `inDir`
+    * under an ordered name prefix. */
+  private def linkParts(d: String, table: String, inDir: Path): Unit = {
+    val src = Paths.get(s"$d/$table.parquet").toAbsolutePath
     val parts: Seq[Path] =
       if (Files.isDirectory(src))
         Files.list(src).filter(_.getFileName.toString.endsWith(".parquet"))
           .toArray.toSeq.map(_.asInstanceOf[Path])
       else Seq(src)
     parts.zipWithIndex.foreach { case (p, i) =>
-      val link = inDir.resolve(f"0_events_$i%04d.parquet")
+      val link = inDir.resolve(f"0_${table}_$i%04d.parquet")
       try Files.createSymbolicLink(link, p)
       catch { case _: Throwable => Files.copy(p, link) }
     }
+  }
+
+  /** Populate a streaming input dir: the real events file(s) symlinked
+    * (copied if the filesystem refuses links) plus two sentinel files
+    * whose mtimes force them to batch AFTER the real data. */
+  private def stageInput(s: SparkSession, d: String): Path = {
+    val inDir = Files.createTempDirectory("graft-q42-in")
+    linkParts(d, "events", inDir)
     val sch = Q.table(s, d, "events").schema
     val now = System.currentTimeMillis()
     val s1 = inDir.resolve("1_sentinel.parquet")
@@ -147,5 +153,49 @@ object StreamingGate {
              count(*) AS n_events, ${Q.oSumd("value")} AS sum_value
       FROM g GROUP BY user_id, sid"""))
 
-  val all: Seq[QueryDef] = Seq(q42, q43)
+  /** Streaming exact deduplication in the hard gate: file stream over the
+    * documents parquet → content digest → stateful `dropDuplicates` →
+    * parquet sink, `Trigger.AvailableNow`. The input is replayed as a
+    * SECOND file with `maxFilesPerTrigger=1`, so batch 2 is 100%
+    * duplicates of batch 1 — the dedup state must genuinely carry across
+    * batches (a single-batch run would prove nothing), and the distinct
+    * set is unchanged by the replay. Output is the distinct
+    * digest SET — deterministic regardless of which arrival won — so the
+    * oracle is plain batch `SELECT DISTINCT`. No watermark: the gate input
+    * is bounded; an unbounded deployment would bound the state with
+    * `dropDuplicatesWithinWatermark` instead, same plan otherwise. */
+  val q49 = QueryDef(
+    "q49_streaming_dedup",
+    (s, d) => {
+      import s.implicits._
+      val sch = Q.table(s, d, "documents").schema
+      val inDir = Files.createTempDirectory("graft-q49-in")
+      linkParts(d, "documents", inDir)
+      // replay: same bytes under a later name — batch 2 is all duplicates
+      val src = Paths.get(s"$d/documents.parquet").toAbsolutePath
+      if (Files.isRegularFile(src)) {
+        val replay = inDir.resolve("1_documents_replay.parquet")
+        try Files.createSymbolicLink(replay, src)
+        catch { case _: Throwable => Files.copy(src, replay) }
+        Files.setLastModifiedTime(replay,
+          FileTime.fromMillis(System.currentTimeMillis() + 60000))
+      }
+      val outDir = Files.createTempDirectory("graft-q49-out").toString
+      val ckpt = Files.createTempDirectory("graft-q49-ckpt").toString
+      val q = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.toString)
+        .select(expr(s"md5(${Q.sNorm})").as("fp"))
+        .dropDuplicates("fp")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+    },
+    Some(s"SELECT DISTINCT md5(${Q.oNorm}) AS fp FROM documents"))
+
+  val all: Seq[QueryDef] = Seq(q42, q43, q49)
 }
