@@ -33,11 +33,26 @@ object ScaleData {
         df.withColumn(keyCol, col(keyCol) + lit(i * keyStride))
       }.reduce(_ unionByName _)
 
+    // documents replicate with shifted ids AND a per-replica salt token on
+    // the text: naive copies would give every doc factor-1 exact clones,
+    // inflating dedup hit rates far beyond real corpora — the salt keeps
+    // per-replica dup structure identical to the base corpus while sizes
+    // grow linearly (one extra token per doc).
+    val docStride =
+      read("documents").agg(max(col("doc_id"))).head().getLong(0) + 1L
+    def replicateDocs(df: DataFrame): DataFrame =
+      (0 until factor).map { i =>
+        val shifted = df.withColumn("doc_id", col("doc_id") + lit(i * docStride))
+        if (i == 0) shifted
+        else shifted.withColumn("text", concat(col("text"), lit(s" r$i")))
+      }.reduce(_ unionByName _)
+
     val out: Seq[(String, DataFrame)] = Seq(
       "orders" -> replicate(read("orders"), "o_orderkey"),
-      "lineitem" -> replicate(read("lineitem"), "l_orderkey")) ++
+      "lineitem" -> replicate(read("lineitem"), "l_orderkey"),
+      "documents" -> replicateDocs(read("documents"))) ++
       Seq("region", "nation", "customer", "supplier", "part",
-        "events", "documents", "embeddings").map(t => t -> read(t))
+        "events", "embeddings").map(t => t -> read(t))
 
     out.foreach { case (t, df) =>
       df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")

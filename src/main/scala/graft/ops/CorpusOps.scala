@@ -165,29 +165,54 @@ object CorpusOps {
   /** Corpus composition report — the "datasheet" a curation run publishes:
     * per (lang, source) document counts, kept fraction after the t08
     * quality battery, exact-dup rate from d01, and total token volume.
-    * Composes three verified per-doc plans; the joins are all on doc_id
-    * (co-partitioned shuffles of id + a few flags — the text never moves),
-    * and the final aggregate shuffles only (lang, source) partials. */
+    *
+    * SINGLE-SCAN plan: one pass over the text computes token count, the
+    * six quality rules, and the content digest together; one window
+    * shuffle of (digest, doc_id, flags) marks duplicates (the text never
+    * moves past the first projection); one tiny (lang, source) aggregate.
+    * The ORACLE is the composition of the verified t01/t08/d01 statements
+    * — proving the fused plan equals the composed semantics bit-for-bit
+    * (DuckDB re-scans per subquery; at 100 TB the fused form is the one
+    * you want, which is exactly why the engine side fuses). */
   val q46 = QueryDef(
     "q46_corpus_report",
-    (s, d) => {
-      graft.ops.TextOps.t01.run(s, d).createOrReplaceTempView("q46_tok")
-      graft.ops.TextOps.t08.run(s, d).createOrReplaceTempView("q46_keep")
-      graft.ops.TextOps.d01.run(s, d).createOrReplaceTempView("q46_dup")
-      withViews(s, d, "documents")("""
-        SELECT d.lang, d.source,
-               CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(CASE WHEN k.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-               CAST(sum(CASE WHEN e.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
-               CAST(sum(t.n_tokens) AS BIGINT) AS n_tokens_total,
-               CAST(sum(CASE WHEN k.keep THEN 1 ELSE 0 END) AS DOUBLE)
-                 / CAST(count(*) AS DOUBLE) AS kept_frac
-        FROM documents d
-          JOIN q46_tok t ON t.doc_id = d.doc_id
-          JOIN q46_keep k ON k.doc_id = d.doc_id
-          JOIN q46_dup e ON e.doc_id = d.doc_id
-        GROUP BY d.lang, d.source""")
-    },
+    (s, d) => withViews(s, d, "documents")(s"""
+      WITH t AS (SELECT doc_id, lang, source, $sNorm AS nt,
+                   split($sNorm, ' ') AS w FROM documents),
+      b AS (SELECT doc_id, lang, source, nt, w,
+              CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1),
+                     i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))
+                   ELSE CAST(array() AS ARRAY<STRING>) END AS bg
+            FROM t),
+      f AS (SELECT doc_id, lang, source, md5(nt) AS fp,
+              CAST(size(w) AS BIGINT) AS n_tokens,
+              aggregate(w, CAST(0 AS BIGINT), (a, x) -> a + length(x)) AS total_chars,
+              CAST(size(filter(w, x -> x IN ${TextOps.allStop})) AS BIGINT) AS n_stop,
+              CAST(length(nt) AS BIGINT) AS n_chars,
+              CAST(size(regexp_extract_all(nt, '[^a-z0-9 ]', 0)) AS BIGINT) AS n_sym,
+              CAST(size(regexp_extract_all(nt, '[0-9]', 0)) AS BIGINT) AS n_digit,
+              CAST(size(bg) AS BIGINT) AS n_bigrams,
+              CAST(size(array_distinct(bg)) AS BIGINT) AS n_uniq_bigrams
+            FROM b),
+      k AS (SELECT doc_id, lang, source, fp, n_tokens,
+              (n_tokens BETWEEN 5 AND 1000)
+                AND (3 * n_tokens <= total_chars AND total_chars <= 10 * n_tokens)
+                AND n_stop >= 2
+                AND n_sym * 10 < n_chars
+                AND n_digit * 5 < n_chars
+                AND (n_bigrams - n_uniq_bigrams) * 5 <= n_bigrams AS keep
+            FROM f),
+      u AS (SELECT lang, source, n_tokens, keep,
+              doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_dup
+            FROM k)
+      SELECT lang, source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS kept_frac
+      FROM u GROUP BY lang, source"""),
     Some(s"""
       SELECT d.lang, d.source,
              CAST(count(*) AS BIGINT) AS n_docs,

@@ -171,8 +171,9 @@ object TextOps {
       FROM c"""))
 
   // Union of the four stopword sets — the language-agnostic "contains
-  // common function words" signal for the quality-filter battery.
-  private val allStop =
+  // common function words" signal for the quality-filter battery (shared
+  // with the fused corpus report q46).
+  private[ops] val allStop =
     "('the','a','of','and','to','in','is','el','la','de','y','que','en'," +
       "'der','die','und','das','ist','le','les','et','des','un')"
 

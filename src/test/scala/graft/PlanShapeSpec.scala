@@ -45,6 +45,12 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q46 datasheet is single-scan: one text scan, two shuffles") {
+    val p = plan("q46_corpus_report")
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"re-scans the corpus:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+  }
+
   test("dim joins broadcast; no cartesian product in relational paths") {
     for (n <- Seq("q03_shipping_priority", "q05_local_supplier_volume")) {
       val p = plan(n)
