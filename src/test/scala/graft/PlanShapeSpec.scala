@@ -65,6 +65,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q44 BM25 joins the 1-row corpus stats by broadcast, not shuffle") {
+    val p = plan("q44_bm25_search")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"stats side not broadcast:\n$p")
+  }
+
+  test("s02 LSH candidates come from an equality hash join on the bucket") {
+    val p = plan("s02_knn_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin"), s"bucket join not hash-based:\n$p")
+  }
+
   test("filters reach the parquet scan (pushdown not regressed)") {
     val p = plan("q02_filter_project")
     assert(p.contains("PushedFilters: ["), p)
