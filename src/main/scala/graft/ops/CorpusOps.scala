@@ -292,5 +292,113 @@ object CorpusOps {
              CAST(cum_before // 2048 AS BIGINT) AS pack_id
       FROM c"""))
 
-  val all: Seq[QueryDef] = Seq(d08, d09, q44, t06, q46, q47, q48)
+  /** Capstone sequence-production pipeline: quality-filter (t08 rules) →
+    * exact-dedup keep-first (d01 semantics) → context-window chunking
+    * (q47's 50/40 geometry) → greedy packing into 2048-token bins (q48)
+    * → per-language summary. ONE text scan; after it only ids and token
+    * counts flow — chunk sizes are computed arithmetically
+    * (`least(50, n_tokens - st + 1)`), so no chunk text ever
+    * materializes. Shuffles: the digest window, the per-lang packing
+    * window, the final agg — all metadata-width. This is the plan shape
+    * that turns a 100 TB corpus into training sequences without ever
+    * moving the corpus twice. */
+  val q50 = QueryDef(
+    "q50_sequence_pipeline",
+    (s, d) => withViews(s, d, "documents")(s"""
+      WITH t AS (SELECT doc_id, lang, $sNorm AS nt,
+                   split($sNorm, ' ') AS w FROM documents),
+      b AS (SELECT doc_id, lang, nt, w,
+              CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1),
+                     i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))
+                   ELSE CAST(array() AS ARRAY<STRING>) END AS bg
+            FROM t),
+      f AS (SELECT doc_id, lang, md5(nt) AS fp,
+              CAST(size(w) AS BIGINT) AS n_tokens,
+              aggregate(w, CAST(0 AS BIGINT), (a, x) -> a + length(x)) AS total_chars,
+              CAST(size(filter(w, x -> x IN ${TextOps.allStop})) AS BIGINT) AS n_stop,
+              CAST(length(nt) AS BIGINT) AS n_chars,
+              CAST(size(regexp_extract_all(nt, '[^a-z0-9 ]', 0)) AS BIGINT) AS n_sym,
+              CAST(size(regexp_extract_all(nt, '[0-9]', 0)) AS BIGINT) AS n_digit,
+              CAST(size(bg) AS BIGINT) AS n_bigrams,
+              CAST(size(array_distinct(bg)) AS BIGINT) AS n_uniq_bigrams
+            FROM b),
+      k AS (SELECT doc_id, lang, fp, n_tokens,
+              (n_tokens BETWEEN 5 AND 1000)
+                AND (3 * n_tokens <= total_chars AND total_chars <= 10 * n_tokens)
+                AND n_stop >= 2
+                AND n_sym * 10 < n_chars
+                AND n_digit * 5 < n_chars
+                AND (n_bigrams - n_uniq_bigrams) * 5 <= n_bigrams AS keep
+            FROM f),
+      u AS (SELECT doc_id, lang, n_tokens, keep,
+              doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_dup
+            FROM k),
+      kept AS (SELECT doc_id, lang, n_tokens FROM u WHERE keep AND NOT is_dup),
+      ch AS (SELECT doc_id, lang, st,
+               least(CAST(50 AS BIGINT), n_tokens - st + 1) AS n_chunk_tokens
+             FROM kept
+             LATERAL VIEW explode(sequence(CAST(1 AS BIGINT), n_tokens,
+               CAST(40 AS BIGINT))) x AS st),
+      p AS (SELECT lang, doc_id, st, n_chunk_tokens,
+              sum(n_chunk_tokens) OVER (PARTITION BY lang ORDER BY doc_id, st
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_chunk_tokens AS cum_before
+            FROM ch)
+      SELECT lang,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(count(DISTINCT cum_before DIV 2048) AS BIGINT) AS n_packs,
+             CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens_packed
+      FROM p GROUP BY lang"""),
+    Some(s"""
+      WITH t AS (SELECT doc_id, lang, $oNorm AS nt,
+                   string_split($oNorm, ' ') AS w FROM documents),
+      b AS (SELECT doc_id, lang, nt, w,
+              CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)),
+                     i -> w[i] || ' ' || w[i + 1])
+                   ELSE CAST([] AS VARCHAR[]) END AS bg
+            FROM t),
+      f AS (SELECT doc_id, lang, md5(nt) AS fp,
+              CAST(len(w) AS BIGINT) AS n_tokens,
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(w, x -> CAST(length(x) AS BIGINT))),
+                (a, x) -> a + x) AS total_chars,
+              CAST(len(list_filter(w, x -> x IN ${TextOps.allStop})) AS BIGINT) AS n_stop,
+              CAST(length(nt) AS BIGINT) AS n_chars,
+              CAST(len(regexp_extract_all(nt, '[^a-z0-9 ]', 0)) AS BIGINT) AS n_sym,
+              CAST(len(regexp_extract_all(nt, '[0-9]', 0)) AS BIGINT) AS n_digit,
+              CAST(len(bg) AS BIGINT) AS n_bigrams,
+              CAST(len(list_distinct(bg)) AS BIGINT) AS n_uniq_bigrams
+            FROM b),
+      k AS (SELECT doc_id, lang, fp, n_tokens,
+              (n_tokens BETWEEN 5 AND 1000)
+                AND (3 * n_tokens <= total_chars AND total_chars <= 10 * n_tokens)
+                AND n_stop >= 2
+                AND n_sym * 10 < n_chars
+                AND n_digit * 5 < n_chars
+                AND (n_bigrams - n_uniq_bigrams) * 5 <= n_bigrams AS keep
+            FROM f),
+      u AS (SELECT doc_id, lang, n_tokens, keep,
+              doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_dup
+            FROM k),
+      kept AS (SELECT doc_id, lang, n_tokens FROM u WHERE keep AND NOT is_dup),
+      ch AS (SELECT doc_id, lang, unnest(range(1, n_tokens + 1, 40)) AS st,
+               n_tokens
+             FROM kept),
+      ch2 AS (SELECT doc_id, lang, st,
+                least(CAST(50 AS BIGINT), n_tokens - st + 1) AS n_chunk_tokens
+              FROM ch),
+      p AS (SELECT lang, doc_id, st, n_chunk_tokens,
+              sum(n_chunk_tokens) OVER (PARTITION BY lang ORDER BY doc_id, st
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_chunk_tokens AS cum_before
+            FROM ch2)
+      SELECT lang,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(count(DISTINCT cum_before // 2048) AS BIGINT) AS n_packs,
+             CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens_packed
+      FROM p GROUP BY lang"""))
+
+  val all: Seq[QueryDef] = Seq(d08, d09, q44, t06, q46, q47, q48, q50)
 }

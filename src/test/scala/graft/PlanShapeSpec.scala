@@ -51,6 +51,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size <= 2, p)
   }
 
+  test("q50 sequence pipeline is single-scan (text read once, never re-read)") {
+    val p = plan("q50_sequence_pipeline")
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"re-scans the corpus:\n$p")
+  }
+
   test("dim joins broadcast; no cartesian product in relational paths") {
     for (n <- Seq("q03_shipping_priority", "q05_local_supplier_volume")) {
       val p = plan(n)
