@@ -66,13 +66,14 @@ class QueriesSpec extends AnyFunSuite {
       graft.ops.Q.clearStaged()
       SparkEntry.queries(name)(spark, dir).collect().map(_.toString).sorted.toSeq
     }
-    val base44 = run("q44_bm25_search")
-    val base06 = run("d06_dedup_clusters")
+    val names = Seq("q44_bm25_search", "d06_dedup_clusters",
+      "q46_corpus_report", "q50_sequence_pipeline")
+    val base = names.map(n => n -> run(n)).toMap
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "7")
     try {
-      assert(run("q44_bm25_search") == base44, "q44 must not depend on partitioning")
-      assert(run("d06_dedup_clusters") == base06, "d06 must not depend on partitioning")
+      names.foreach(n =>
+        assert(run(n) == base(n), s"$n must not depend on partitioning"))
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       graft.ops.Q.clearStaged()
