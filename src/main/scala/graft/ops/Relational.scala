@@ -206,13 +206,18 @@ object Relational {
       WHERE rn <= 3"""))
 
   // ---------------------------------------------------------------- q08
-  /** Frame windows: running sum (decimal-exact) + lag over a unique order. */
+  /** Frame windows: running sum (decimal-exact) + lag. The driver's
+    * synthetic lineitem does NOT have unique (l_orderkey, l_linenumber) —
+    * ~118k duplicate key groups at sf0.1 — so l_quantity closes the sort:
+    * rows tying on all four keys carry equal quantity, making lag/sum
+    * value-deterministic under any shuffle order (caught by the sf0.1
+    * oracle sweep: 3/600k rows flipped prev_qty between engines). */
   val q08 = QueryDef(
     "q08_running_totals",
     (s, d) => {
       import s.implicits._
       val w = Window.partitionBy($"l_suppkey")
-        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_quantity")
       li(s, d)
         .withColumn("running_qty",
           sum($"l_quantity".cast(D6))
@@ -226,11 +231,11 @@ object Relational {
       SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
              cast(sum(cast(l_quantity as decimal(18,6)))
                   OVER (PARTITION BY l_suppkey
-                        ORDER BY l_shipdate, l_orderkey, l_linenumber
+                        ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   as double) AS running_qty,
              lag(l_quantity, 1) OVER (PARTITION BY l_suppkey
-                        ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
+                        ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity) AS prev_qty
       FROM lineitem"""),
     headline = true)
 
