@@ -67,7 +67,7 @@ class QueriesSpec extends AnyFunSuite {
       SparkEntry.queries(name)(spark, dir).collect().map(_.toString).sorted.toSeq
     }
     val names = Seq("q44_bm25_search", "d06_dedup_clusters",
-      "q46_corpus_report", "q50_sequence_pipeline")
+      "q46_corpus_report", "q50_sequence_pipeline", "q08_running_totals")
     val base = names.map(n => n -> run(n)).toMap
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "7")
