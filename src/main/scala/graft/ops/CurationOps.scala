@@ -1,0 +1,222 @@
+package graft.ops
+
+import org.apache.spark.sql.functions.{broadcast, udf}
+
+import Q._
+
+/** Corpus-curation operators layered on the dedup/text base: weighted
+  * sampling, cross-document span (paragraph) dedup, n-gram overlap
+  * decontamination with a Bloom prefilter, domain-level quality gating,
+  * and rare-token surprisal scoring. All oracle-exact: integer arithmetic
+  * end-to-end, with at most one final IEEE division per output double.
+  *
+  * Shared building block: documents are chunked into NON-overlapping
+  * 8-token spans ("paragraphs" — the synthetic corpus has no newlines, so
+  * fixed-width token windows stand in for line boundaries). Chunk count is
+  * ceil(n/8); the last span may be short.
+  */
+object CurationOps {
+
+  private val W = 8
+
+  /** Spark SQL for (doc_id, source, i, chunk) over normalized text. */
+  private[graft] val sChunks = s"""
+    toks AS (SELECT doc_id, source, split($sNorm, ' ') AS t FROM documents
+             WHERE length(text) >= 1),
+    n AS (SELECT doc_id, source, t,
+            CAST((size(t) + ${W - 1}) div $W AS INT) AS nch FROM toks),
+    chunks AS (SELECT doc_id, source, i,
+                 array_join(slice(t, i * $W + 1, $W), ' ') AS chunk
+               FROM n LATERAL VIEW explode(sequence(0, nch - 1)) x AS i)"""
+
+  /** DuckDB spelling of [[sChunks]] (range + list_slice; `//` int div). */
+  private val oChunks = s"""
+    toks AS (SELECT doc_id, source, string_split($oNorm, ' ') AS t
+             FROM documents WHERE length(text) >= 1),
+    n AS (SELECT doc_id, source, t, (len(t) + ${W - 1}) // $W AS nch FROM toks),
+    ix AS (SELECT doc_id, source, t, unnest(range(nch)) AS i FROM n),
+    chunks AS (SELECT doc_id, source, i,
+                 array_to_string(list_slice(t, i * $W + 1, (i + 1) * $W), ' ')
+                   AS chunk
+               FROM ix)"""
+
+  /** Weighted priority sampling: each document draws a deterministic
+    * "uniform" u from a portable hash of its id (NO rand() — re-running
+    * the pipeline reproduces the sample) and competes with priority u/w,
+    * w = document length. Longer documents get proportionally smaller
+    * priorities, so the per-stratum top-K skews toward content-rich docs —
+    * the deterministic cousin of weighted reservoir sampling (Efraimidis-
+    * Spirakis keys, with the hash standing in for the random draw).
+    * Priority is ONE IEEE division of two exact integers — bit-identical
+    * across engines. Row-wise + per-stratum top-K (WindowGroupLimit:
+    * partial top-K before the lang shuffle), same scale shape as d09. */
+  val d10 = QueryDef(
+    "d10_weighted_sample",
+    (s, d) => withViews(s, d, "documents")(s"""
+      WITH h AS (SELECT doc_id, lang, greatest(n_chars, 1) AS w,
+                   CAST(char_fold(CAST(doc_id AS STRING), 303) % 1000000
+                     AS BIGINT) AS u
+                 FROM documents),
+      p AS (SELECT doc_id, lang, w,
+              CAST(u AS DOUBLE) / CAST(w AS DOUBLE) AS priority FROM h),
+      r AS (SELECT doc_id, lang, priority,
+              CAST(row_number() OVER (PARTITION BY lang
+                ORDER BY priority, doc_id) AS BIGINT) AS rnk
+            FROM p)
+      SELECT doc_id, lang, priority, rnk FROM r WHERE rnk <= 20"""),
+    Some(s"""
+      WITH h AS (SELECT doc_id, lang, greatest(n_chars, 1) AS w,
+                   CAST(${oCharFold("CAST(doc_id AS VARCHAR)", 303)} % 1000000
+                     AS BIGINT) AS u
+                 FROM documents),
+      p AS (SELECT doc_id, lang, w,
+              CAST(u AS DOUBLE) / CAST(w AS DOUBLE) AS priority FROM h),
+      r AS (SELECT doc_id, lang, priority,
+              CAST(row_number() OVER (PARTITION BY lang
+                ORDER BY priority, doc_id) AS BIGINT) AS rnk
+            FROM p)
+      SELECT doc_id, lang, priority, rnk FROM r WHERE rnk <= 20"""))
+
+  /** Cross-document span dedup (CCNet/RefinedWeb line-dedup shape): any
+    * 8-token span appearing in ≥2 DISTINCT documents is boilerplate —
+    * strip it everywhere and reassemble each document from its surviving
+    * spans, in order. Scale shape: the frequency count shuffles only
+    * (md5, doc_id) — span text never leaves its scan partition until the
+    * final per-doc regroup; the repeated-span set is tiny relative to the
+    * corpus (most spans are unique) and broadcasts back, so the only
+    * full-width shuffle is the doc_id regroup of kept spans. */
+  val d11 = QueryDef(
+    "d11_span_dedup",
+    (s, d) => withViews(s, d, "documents")(s"""
+      WITH $sChunks,
+      b AS (SELECT md5(chunk) AS h FROM chunks
+            GROUP BY md5(chunk) HAVING count(DISTINCT doc_id) >= 2),
+      j AS (SELECT /*+ BROADCAST(b) */ c.doc_id, c.i, c.chunk,
+              (b.h IS NOT NULL) AS bad
+            FROM chunks c LEFT JOIN b ON md5(c.chunk) = b.h)
+      SELECT doc_id,
+             array_join(transform(array_sort(collect_list(
+               CASE WHEN NOT bad THEN struct(i, chunk) END)),
+               x -> x.chunk), ' ') AS kept_text,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+      FROM j GROUP BY doc_id"""),
+    Some(s"""
+      WITH $oChunks,
+      b AS (SELECT md5(chunk) AS h FROM chunks
+            GROUP BY md5(chunk) HAVING count(DISTINCT doc_id) >= 2),
+      j AS (SELECT c.doc_id, c.i, c.chunk, (b.h IS NOT NULL) AS bad
+            FROM chunks c LEFT JOIN b ON md5(c.chunk) = b.h)
+      SELECT doc_id,
+             coalesce(string_agg(chunk, ' ' ORDER BY i)
+               FILTER (WHERE NOT bad), '') AS kept_text,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+      FROM j GROUP BY doc_id"""),
+    headline = true)
+
+  /** N-gram overlap decontamination, Bloom-prefiltered — the GPT-3/PaLM
+    * hygiene recipe: a training document is contaminated if it shares any
+    * 8-token span with the eval set (source = 'src0' stands in). The eval
+    * side is bounded by construction (benchmarks are MBs, not TBs), so its
+    * span-digest set builds into a driver-side Bloom filter and broadcasts
+    * to every executor; the filter discards the overwhelmingly-unique
+    * training spans BEFORE the shuffle, and the exact semi-join then
+    * removes the Bloom's false positives — the result is exact regardless
+    * of the filter, which only prunes true negatives. The oracle is the
+    * plain exact overlap query. */
+  val d12 = QueryDef(
+    "d12_ngram_decontam",
+    (s, d) => {
+      import s.implicits._
+      val chunks = withViews(s, d, "documents")(s"""
+        WITH $sChunks
+        SELECT doc_id, source, md5(chunk) AS h FROM chunks""")
+      val evalH = chunks.where($"source" === "src0").select($"h").distinct()
+      // expectedNumItems sized for a real eval suite (~1e6 spans), not the
+      // test fixture: the filter stays a few MB broadcast either way
+      val bloom = evalH.stat.bloomFilter("h", 1000000L, 0.01)
+      val bbf = s.sparkContext.broadcast(bloom)
+      val mightContain = udf((h: String) => h != null && bbf.value.mightContainString(h))
+      val candidates = chunks.where($"source" =!= "src0")
+        .where(mightContain($"h"))
+      candidates
+        .join(evalH.withColumnRenamed("h", "eh"), $"h" === $"eh", "left_semi")
+        .groupBy($"doc_id")
+        .agg(org.apache.spark.sql.functions.countDistinct($"h").as("n_hit_spans"))
+    },
+    Some(s"""
+      WITH $oChunks,
+      cd AS (SELECT doc_id, source, md5(chunk) AS h FROM chunks),
+      ev AS (SELECT DISTINCT h FROM cd WHERE source = 'src0')
+      SELECT doc_id, CAST(count(DISTINCT h) AS BIGINT) AS n_hit_spans
+      FROM cd WHERE source <> 'src0' AND h IN (SELECT h FROM ev)
+      GROUP BY doc_id"""))
+
+  /** Domain-level quality gate (UT1-blocklist shape, stats-driven): score
+    * every source from its own aggregate (mean doc length), then keep only
+    * documents from sources above the bar. Integer-only threshold —
+    * `sum >= n * 295` cross-multiplies the mean, so no float ever enters
+    * the decision. Scale shape: the per-source aggregate is tiny (domains
+    * ≪ documents) and broadcasts back onto the corpus scan — two jobs, one
+    * full scan, no wide shuffle of document text. */
+  val q51 = QueryDef(
+    "q51_domain_quality_gate",
+    (s, d) => withViews(s, d, "documents")(s"""
+      WITH st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                  FROM documents GROUP BY source),
+      g AS (SELECT source, n_docs, sum_chars FROM st
+            WHERE sum_chars >= n_docs * 295)
+      SELECT /*+ BROADCAST(g) */ d.doc_id, d.source,
+             g.n_docs AS src_docs, g.sum_chars AS src_chars
+      FROM documents d JOIN g ON d.source = g.source"""),
+    Some(s"""
+      WITH st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                  FROM documents GROUP BY source),
+      g AS (SELECT source, n_docs, sum_chars FROM st
+            WHERE sum_chars >= n_docs * 295)
+      SELECT d.doc_id, d.source, g.n_docs AS src_docs, g.sum_chars AS src_chars
+      FROM documents d JOIN g ON d.source = g.source"""))
+
+  /** Rare-token surprisal: an information-theoretic quality signal with the
+    * transcendentals stripped out. Per token, surprisal ∝ N/count(token)
+    * (the log is monotone — dropped, like BM25's idf in q44); scaled by 1e6
+    * and floored to an integer, per-doc totals are exact BIGINT sums, and
+    * the mean is ONE final IEEE division. Scale shape: the vocabulary is
+    * Zipf-bounded (≪ corpus), broadcasts onto the exploded token stream;
+    * shuffles carry (token) for the count and (doc_id, int) for the final
+    * regroup — never the text. */
+  val t09 = QueryDef(
+    "t09_token_surprisal",
+    (s, d) => withViews(s, d, "documents")(s"""
+      WITH toks AS (SELECT doc_id, explode(split($sNorm, ' ')) AS tok
+                    FROM documents WHERE length(text) >= 1),
+      v AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+      sc AS (SELECT /*+ BROADCAST(v) */ t.doc_id,
+               CAST((tot.n * 1000000) div v.cnt AS BIGINT) AS surp
+             FROM toks t JOIN v ON t.tok = v.tok CROSS JOIN tot)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(surp) AS BIGINT) AS surp_sum,
+             CAST(sum(surp) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS mean_surprisal
+      FROM sc GROUP BY doc_id"""),
+    Some(s"""
+      WITH toks AS (SELECT doc_id, unnest(string_split($oNorm, ' ')) AS tok
+                    FROM documents WHERE length(text) >= 1),
+      v AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+      sc AS (SELECT t.doc_id, (tot.n * 1000000) // v.cnt AS surp
+             FROM toks t JOIN v ON t.tok = v.tok CROSS JOIN tot)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(surp) AS BIGINT) AS surp_sum,
+             CAST(sum(surp) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS mean_surprisal
+      FROM sc GROUP BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(d10, d11, d12, q51, t09)
+}

@@ -82,6 +82,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashJoin"), s"bucket join not hash-based:\n$p")
   }
 
+  test("d10 weighted sample ranks with WindowGroupLimit partials (like d09)") {
+    val p = plan("d10_weighted_sample")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("d11 span dedup: repeated-span set joins by hash, never nested-loop") {
+    val p = plan("d11_span_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashJoin"), s"span-frequency join not hash-based:\n$p")
+  }
+
+  test("q51 domain gate broadcasts the per-source stats back onto the scan") {
+    val p = plan("q51_domain_quality_gate")
+    assert(p.contains("BroadcastHashJoin"), s"stats join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"tiny stats side shuffled:\n$p")
+  }
+
+  test("t09 surprisal broadcasts the vocabulary onto the token stream") {
+    val p = plan("t09_token_surprisal")
+    assert(p.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("filters reach the parquet scan (pushdown not regressed)") {
     val p = plan("q02_filter_project")
     assert(p.contains("PushedFilters: ["), p)

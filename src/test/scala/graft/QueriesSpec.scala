@@ -67,7 +67,8 @@ class QueriesSpec extends AnyFunSuite {
       SparkEntry.queries(name)(spark, dir).collect().map(_.toString).sorted.toSeq
     }
     val names = Seq("q44_bm25_search", "d06_dedup_clusters",
-      "q46_corpus_report", "q50_sequence_pipeline", "q08_running_totals")
+      "q46_corpus_report", "q50_sequence_pipeline", "q08_running_totals",
+      "d11_span_dedup", "t09_token_surprisal")
     val base = names.map(n => n -> run(n)).toMap
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "7")
@@ -78,6 +79,25 @@ class QueriesSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       graft.ops.Q.clearStaged()
     }
+  }
+
+  test("d12 Bloom prefilter is lossless (equals the exact overlap result)") {
+    // the Bloom filter may only prune true negatives — the exact semi-join
+    // behind it must make the final result identical to the unfiltered path
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val dir001 = "/root/testdata/sf0.01" // sf0.001 has too few docs to collide
+    val bloomed = SparkEntry.queries("d12_ngram_decontam")(spark, dir001)
+      .collect().map(_.toString).sorted.toSeq
+    val chunks = graft.ops.Q.withViews(spark, dir001, "documents")(s"""
+      WITH ${graft.ops.CurationOps.sChunks}
+      SELECT doc_id, source, md5(chunk) AS h FROM chunks""")
+    val evalH = chunks.where(col("source") === "src0").select(col("h")).distinct()
+    val exact = chunks.where(col("source") =!= "src0")
+      .join(evalH.withColumnRenamed("h", "eh"), col("h") === col("eh"), "left_semi")
+      .groupBy(col("doc_id")).agg(countDistinct(col("h")).as("n_hit_spans"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(exact.nonEmpty, "fixture must produce at least one contaminated doc")
+    assert(bloomed == exact, "bloom prefilter changed the decontamination result")
   }
 
   test("d06 identical under reliable checkpoint (cluster durability path)") {
