@@ -218,5 +218,91 @@ object CurationOps {
                AS mean_surprisal
       FROM sc GROUP BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(d10, d11, d12, q51, t09)
+  /** Canonical-document selection — the retention policy that rides on
+    * dedup clustering: within every near-dup cluster (d06's connected
+    * components) keep the HIGHEST-QUALITY member (longest document,
+    * doc_id tie-break), not d06's arbitrary min-id representative. The
+    * cluster set is tiny relative to the corpus (only docs with a near-dup
+    * edge), so the labels→documents join broadcasts and the per-cluster
+    * argmax is a window over a bounded group. */
+  val d13 = QueryDef(
+    "d13_canonical_selection",
+    (s, d) => {
+      DedupOps.d06.run(s, d).createOrReplaceTempView("d13_lab")
+      withViews(s, d, "documents")("""
+        WITH r AS (SELECT l.cluster_id, l.doc_id, doc.n_chars,
+                     row_number() OVER (PARTITION BY l.cluster_id
+                       ORDER BY doc.n_chars DESC, l.doc_id) AS rk
+                   FROM d13_lab l JOIN documents doc ON l.doc_id = doc.doc_id)
+        SELECT cluster_id,
+               max(CASE WHEN rk = 1 THEN doc_id END) AS canonical_doc,
+               max(CASE WHEN rk = 1 THEN n_chars END) AS canonical_chars,
+               CAST(count(*) AS BIGINT) AS n_members
+        FROM r GROUP BY cluster_id""")
+    },
+    Some(s"""
+      WITH r AS (SELECT l.cluster_id, l.doc_id, doc.n_chars,
+                   row_number() OVER (PARTITION BY l.cluster_id
+                     ORDER BY doc.n_chars DESC, l.doc_id) AS rk
+                 FROM (${DedupOps.d06.oracle.get.trim}) l
+                 JOIN documents doc ON l.doc_id = doc.doc_id)
+      SELECT cluster_id,
+             max(CASE WHEN rk = 1 THEN doc_id END) AS canonical_doc,
+             max(CASE WHEN rk = 1 THEN n_chars END) AS canonical_chars,
+             CAST(count(*) AS BIGINT) AS n_members
+      FROM r GROUP BY cluster_id"""))
+
+  /** Data-mixture sampling: hit a per-language token BUDGET (the Pile /
+    * DoReMi-style static mixture weights) with a deterministic hash
+    * sample. A document survives iff `bucket · lang_tokens < 1000 ·
+    * budget` — the integer cross-multiplication of `bucket/1000 <
+    * budget/lang_tokens`, so the keep-rate tracks the budget with no
+    * float ever entering the decision, and re-running reproduces the
+    * sample. Scale shape: pass 1 is a tiny per-lang aggregate that
+    * broadcasts back onto the scan; pass 2 is row-wise. */
+  val q52 = QueryDef(
+    "q52_mixture_sample",
+    (s, d) => withViews(s, d, "documents")(s"""
+      WITH t AS (SELECT doc_id, lang,
+                   CAST(size(split($sNorm, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(char_fold(CAST(doc_id AS STRING), 404) % 1000
+                     AS BIGINT) AS bucket
+                 FROM documents),
+      lt AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS lang_tokens
+             FROM t GROUP BY lang),
+      b AS (SELECT lang, lang_tokens,
+              CASE lang WHEN 'en' THEN 5000 WHEN 'es' THEN 3000
+                        WHEN 'de' THEN 3000 WHEN 'fr' THEN 2000
+                        ELSE 4000 END AS budget
+            FROM lt),
+      k AS (SELECT /*+ BROADCAST(b) */ t.doc_id, t.lang, t.n_tokens,
+              b.lang_tokens, b.budget
+            FROM t JOIN b ON t.lang = b.lang
+            WHERE t.bucket * b.lang_tokens < 1000 * b.budget)
+      SELECT lang, lang_tokens, budget,
+             CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+      FROM k GROUP BY lang, lang_tokens, budget"""),
+    Some(s"""
+      WITH t AS (SELECT doc_id, lang,
+                   CAST(len(string_split($oNorm, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(${oCharFold("CAST(doc_id AS VARCHAR)", 404)} % 1000
+                     AS BIGINT) AS bucket
+                 FROM documents),
+      lt AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS lang_tokens
+             FROM t GROUP BY lang),
+      b AS (SELECT lang, lang_tokens,
+              CASE lang WHEN 'en' THEN 5000 WHEN 'es' THEN 3000
+                        WHEN 'de' THEN 3000 WHEN 'fr' THEN 2000
+                        ELSE 4000 END AS budget
+            FROM lt),
+      k AS (SELECT t.doc_id, t.lang, t.n_tokens, b.lang_tokens, b.budget
+            FROM t JOIN b ON t.lang = b.lang
+            WHERE t.bucket * b.lang_tokens < 1000 * b.budget)
+      SELECT lang, lang_tokens, budget,
+             CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+      FROM k GROUP BY lang, lang_tokens, budget"""))
+
+  val all: Seq[QueryDef] = Seq(d10, d11, d12, q51, t09, d13, q52)
 }

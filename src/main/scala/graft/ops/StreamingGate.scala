@@ -197,5 +197,62 @@ object StreamingGate {
     },
     Some(s"SELECT DISTINCT md5(${Q.oNorm}) AS fp FROM documents"))
 
-  val all: Seq[QueryDef] = Seq(q42, q43, q49)
+  /** Stream-stream inner join in the hard gate: purchases and clicks as
+    * two independent file streams, joined on user_id with a 1-hour
+    * lookback (`c.ts ∈ [p.ts − 1h, p.ts]`). The click side is delivered
+    * in TWO files with `maxFilesPerTrigger=1`, so batch 2's clicks must
+    * match purchases buffered in join state from batch 1 — a single-batch
+    * run would prove nothing about the stateful join. Inner-join matches
+    * emit in the batch they pair up (no watermark flush needed); the
+    * watermarks + time-range bound the state for an unbounded deployment.
+    * Output is the match SET (event-id pairs) — arrival order can't
+    * matter — and the oracle is the identical batch self-join. */
+  val q53 = QueryDef(
+    "q53_streaming_join",
+    (s, d) => {
+      import s.implicits._
+      val ev = Q.events(s, d) // batch read, ns→us normalized
+      val pDir = Files.createTempDirectory("graft-q53-p").toString
+      val cDir = Files.createTempDirectory("graft-q53-c").toString
+      ev.where($"event_type" === "purchase").coalesce(1)
+        .write.mode("overwrite").parquet(pDir)
+      // two click files => two source batches => cross-batch join state
+      val clicks = ev.where($"event_type" === "click")
+      clicks.where($"event_id" % 2 === 0).coalesce(1)
+        .write.mode("append").parquet(cDir)
+      clicks.where($"event_id" % 2 =!= 0).coalesce(1)
+        .write.mode("append").parquet(cDir)
+      val pSch = s.read.parquet(pDir).schema
+      val purchases = s.readStream.schema(pSch).parquet(pDir)
+        .select($"event_id".as("p_id"), $"user_id".as("p_user"), $"ts".as("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+      val clickStream = s.readStream.schema(pSch)
+        .option("maxFilesPerTrigger", "1").parquet(cDir)
+        .select($"event_id".as("c_id"), $"user_id".as("c_user"), $"ts".as("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+      val joined = purchases.join(clickStream,
+        expr("p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"))
+      val outDir = Files.createTempDirectory("graft-q53-out").toString
+      val ckpt = Files.createTempDirectory("graft-q53-ckpt").toString
+      val q = joined
+        .select($"p_id", $"c_id", $"p_user".as("user_id"),
+          Q.tsStr($"p_ts").as("purchase_ts"), Q.tsStr($"c_ts").as("click_ts"))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+    },
+    Some(s"""
+      WITH e AS (SELECT event_id, user_id, cast(ts as timestamp) AS ts,
+                        event_type FROM events)
+      SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id,
+             ${Q.oTsStr("p.ts")} AS purchase_ts, ${Q.oTsStr("c.ts")} AS click_ts
+      FROM e p JOIN e c ON p.user_id = c.user_id
+      WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts"""))
+
+  val all: Seq[QueryDef] = Seq(q42, q43, q49, q53)
 }

@@ -106,6 +106,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q52 mixture sampling broadcasts the per-lang budgets, no cartesian") {
+    val p = plan("q52_mixture_sample")
+    assert(p.contains("BroadcastHashJoin"), s"budget join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("filters reach the parquet scan (pushdown not regressed)") {
     val p = plan("q02_filter_project")
     assert(p.contains("PushedFilters: ["), p)
