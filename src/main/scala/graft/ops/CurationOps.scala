@@ -304,5 +304,65 @@ object CurationOps {
              CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
       FROM k GROUP BY lang, lang_tokens, budget"""))
 
-  val all: Seq[QueryDef] = Seq(d10, d11, d12, q51, t09, d13, q52)
+  /** Incremental (new-batch-vs-corpus) dedup — the ingestion-time shape:
+    * the newest 20% of documents (integer cross-multiplied id threshold
+    * stands in for an arrival batch) are checked against the EXISTING 80%
+    * only, never against each other. Exact hits come from a digest
+    * semi-join; near-dup hits reuse d02's verified MinHash pairs filtered
+    * to new×old. At 100 TB the old side's digests and band keys are
+    * precomputed state — each incoming batch joins against them without
+    * rescanning the corpus, which is why incremental dedup is cheap while
+    * full-corpus dedup is a campaign. */
+  val d15 = QueryDef(
+    "d15_incremental_dedup",
+    (s, d) => {
+      val fps = withViews(s, d, "documents")(s"""
+        SELECT doc_id, md5($sNorm) AS fp FROM documents""")
+      fps.createOrReplaceTempView("d15_fps")
+      DedupOps.d02.run(s, d).createOrReplaceTempView("d15_pairs")
+      s.sql("""
+        WITH mx AS (SELECT max(doc_id) AS mxid FROM d15_fps),
+        t AS (SELECT f.doc_id, f.fp, (f.doc_id * 5 >= mx.mxid * 4) AS is_new
+              FROM d15_fps f CROSS JOIN mx),
+        oldf AS (SELECT DISTINCT fp FROM t WHERE NOT is_new),
+        near AS (SELECT p.doc_b AS nid FROM d15_pairs p
+                   JOIN t a ON p.doc_a = a.doc_id
+                   JOIN t b ON p.doc_b = b.doc_id
+                 WHERE b.is_new AND NOT a.is_new
+                 UNION
+                 SELECT p.doc_a FROM d15_pairs p
+                   JOIN t a ON p.doc_a = a.doc_id
+                   JOIN t b ON p.doc_b = b.doc_id
+                 WHERE a.is_new AND NOT b.is_new)
+        SELECT n.doc_id,
+               (o.fp IS NOT NULL) AS exact_dup,
+               (nr.nid IS NOT NULL) AS near_dup
+        FROM (SELECT doc_id, fp FROM t WHERE is_new) n
+        LEFT JOIN oldf o ON n.fp = o.fp
+        LEFT JOIN near nr ON n.doc_id = nr.nid""")
+    },
+    Some(s"""
+      WITH fps AS (SELECT doc_id, md5($oNorm) AS fp FROM documents),
+      mx AS (SELECT max(doc_id) AS mxid FROM fps),
+      t AS (SELECT f.doc_id, f.fp, (f.doc_id * 5 >= mx.mxid * 4) AS is_new
+            FROM fps f CROSS JOIN mx),
+      oldf AS (SELECT DISTINCT fp FROM t WHERE NOT is_new),
+      prs AS (${DedupOps.d02.oracle.get.trim}),
+      near AS (SELECT p.doc_b AS nid FROM prs p
+                 JOIN t a ON p.doc_a = a.doc_id
+                 JOIN t b ON p.doc_b = b.doc_id
+               WHERE b.is_new AND NOT a.is_new
+               UNION
+               SELECT p.doc_a FROM prs p
+                 JOIN t a ON p.doc_a = a.doc_id
+                 JOIN t b ON p.doc_b = b.doc_id
+               WHERE a.is_new AND NOT b.is_new)
+      SELECT n.doc_id,
+             (o.fp IS NOT NULL) AS exact_dup,
+             (nr.nid IS NOT NULL) AS near_dup
+      FROM (SELECT doc_id, fp FROM t WHERE is_new) n
+      LEFT JOIN oldf o ON n.fp = o.fp
+      LEFT JOIN near nr ON n.doc_id = nr.nid"""))
+
+  val all: Seq[QueryDef] = Seq(d10, d11, d12, q51, t09, d13, q52, d15)
 }

@@ -24,19 +24,24 @@ object SimilarityOps {
   private val planeO =
     "(CAST(((p*64 + j) * 2654435761) % 4294967296 % 2001 AS BIGINT) - 1000) / 1000.0"
 
+  /** Normalized double vectors with norms, staged once per data dir and
+    * shared by every similarity query (s01 broadcast side + corpus side,
+    * s05 centroid seeding + assignment). */
+  private def normalized(s: org.apache.spark.sql.SparkSession, d: String) =
+    staged("s01_n", d) {
+      withViews(s, d, "embeddings")("""
+        WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings)
+        SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM e""")
+    }
+
   val s01 = QueryDef(
     "s01_knn_bruteforce",
     (s, d) => {
       // Normalized vectors materialize once (consumed by the query side
       // and the corpus side); the tiny query side broadcasts, so the scan
       // over the corpus stays a single parallel pass — linear in N.
-      val n = staged("s01_n", d) {
-        withViews(s, d, "embeddings")("""
-          WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                     FROM embeddings)
-          SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM e""")
-      }
-      n.createOrReplaceTempView("s01_n")
+      normalized(s, d).createOrReplaceTempView("s01_n")
       s.sql("""
         WITH q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM s01_n
               WHERE vec_id % 100 = 0),
@@ -241,5 +246,86 @@ object SimilarityOps {
         ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
       GROUP BY b.query_id"""))
 
-  val all: Seq[QueryDef] = Seq(s01, s02, s03, s04)
+  /** One distributed Lloyd (k-means) iteration over the embeddings — the
+    * topic-balancing primitive: deterministic centroid seeds (every 125th
+    * vec_id), cosine assignment against the BROADCAST centroid set, then
+    * the centroid update as per-(cluster, dim) means. Output is one row
+    * per (cluster, dimension) — no array columns, so the gate hashes it
+    * directly. Bit-exact: dot products are fixed left folds; per-dim
+    * component sums are EXACT INTEGERS — each component is floored to
+    * 12 decimal places via one IEEE multiply (decimal(28,12) casts are
+    * NOT portable here: Spark casts a double through its shortest string
+    * form, DuckDB rounds the exact binary value, and at 12 fractional
+    * digits they disagree ~1e-5 of the time) — and each mean is ONE IEEE
+    * division by (count · 10^12).
+    * Scale shape: K centroids broadcast (K ≪ N); the only shuffles carry
+    * (cluster, dim, partial sums) — the vectors themselves never move. */
+  val s05 = QueryDef(
+    "s05_kmeans_update",
+    (s, d) => {
+      normalized(s, d).createOrReplaceTempView("s05_n")
+      s.sql("""
+        WITH c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM s05_n
+                   WHERE vec_id % 125 = 0),
+        sc AS (SELECT /*+ BROADCAST(c) */ t.vec_id, t.v, c.cid,
+                 dot_product(c.cv, t.v) / (c.cn * t.nrm) AS cos
+               FROM s05_n t CROSS JOIN c),
+        a AS (SELECT vec_id, v, cid, cos,
+                row_number() OVER (PARTITION BY vec_id
+                  ORDER BY cos DESC, cid) AS rk
+              FROM sc),
+        asg AS (SELECT vec_id, v, cid, cos FROM a WHERE rk = 1),
+        g AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+                CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS mean_cos
+              FROM asg GROUP BY cid),
+        e AS (SELECT cid, dim,
+                CAST(floor(xv * CAST(1000000000000 AS DOUBLE)) AS BIGINT) AS xi
+              FROM asg LATERAL VIEW posexplode(v) t AS dim, xv),
+        m AS (SELECT cid, CAST(dim AS BIGINT) AS dim,
+                CAST(sum(xi) AS DOUBLE)
+                  / CAST(count(*) * 1000000000000 AS DOUBLE) AS mean_component
+              FROM e GROUP BY cid, dim)
+        SELECT m.cid AS cluster_id, m.dim, m.mean_component,
+               g.n_members, g.mean_cos
+        FROM m JOIN g ON m.cid = g.cid""")
+    },
+    Some(s"""
+      WITH e0 AS (SELECT vec_id,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                  FROM embeddings),
+      n AS (SELECT vec_id, v,
+              sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+            FROM e0),
+      c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
+            WHERE vec_id % 125 = 0),
+      sc AS (SELECT t.vec_id, t.v, c.cid,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(list_zip(c.cv, t.v), s -> s[1] * s[2])),
+                 (acc, z) -> acc + z) / (c.cn * t.nrm) AS cos
+             FROM n t CROSS JOIN c),
+      a AS (SELECT vec_id, v, cid, cos,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY cos DESC, cid) AS rk
+            FROM sc),
+      asg AS (SELECT vec_id, v, cid, cos FROM a WHERE rk = 1),
+      g AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+              CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) AS mean_cos
+            FROM asg GROUP BY cid),
+      ix AS (SELECT cid, v, unnest(range(len(v))) AS dim FROM asg),
+      e AS (SELECT cid, dim,
+              CAST(floor(v[dim + 1] * CAST(1000000000000 AS DOUBLE)) AS BIGINT)
+                AS xi
+            FROM ix),
+      m AS (SELECT cid, CAST(dim AS BIGINT) AS dim,
+              CAST(sum(xi) AS DOUBLE)
+                / CAST(count(*) * 1000000000000 AS DOUBLE) AS mean_component
+            FROM e GROUP BY cid, dim)
+      SELECT m.cid AS cluster_id, m.dim, m.mean_component,
+             g.n_members, g.mean_cos
+      FROM m JOIN g ON m.cid = g.cid"""))
+
+  val all: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05)
 }

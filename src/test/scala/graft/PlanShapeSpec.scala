@@ -112,6 +112,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("s05 k-means assigns against BROADCAST centroids, never a shuffle product") {
+    val p = plan("s05_kmeans_update")
+    // K centroids ≪ N vectors: the deliberate K×N pass must be a broadcast
+    // nested-loop (or hash) join, never a partition-shuffling cartesian
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"centroids not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("filters reach the parquet scan (pushdown not regressed)") {
     val p = plan("q02_filter_project")
     assert(p.contains("PushedFilters: ["), p)
