@@ -47,12 +47,28 @@ object ScaleData {
         else shifted.withColumn("text", concat(col("text"), lit(s" r$i")))
       }.reduce(_ unionByName _)
 
+    // embeddings replicate with shifted vec_ids (vectors repeat verbatim:
+    // ANN/k-means cost is driven by row count and the deterministic
+    // seed/bucket structure, both of which scale correctly with the id)
+    val vecStride =
+      read("embeddings").agg(max(col("vec_id"))).head().getLong(0) + 1L
+    def replicateVecs(df: DataFrame): DataFrame =
+      (0 until factor).map { i =>
+        df.withColumn("vec_id", col("vec_id") + lit(i * vecStride))
+      }.reduce(_ unionByName _)
+
     val out: Seq[(String, DataFrame)] = Seq(
       "orders" -> replicate(read("orders"), "o_orderkey"),
       "lineitem" -> replicate(read("lineitem"), "l_orderkey"),
-      "documents" -> replicateDocs(read("documents"))) ++
-      Seq("region", "nation", "customer", "supplier", "part",
-        "events", "embeddings").map(t => t -> read(t))
+      "documents" -> replicateDocs(read("documents")),
+      "embeddings" -> replicateVecs(read("embeddings")),
+      // pass events through Q.events' ns→µs normalization: a raw copy
+      // would re-write the TIMESTAMP(NANOS) column as BIGINT (this
+      // session reads nanos as long), breaking every oracle that does
+      // `cast(ts as timestamp)` on the scaled dir
+      "events" -> graft.ops.Q.events(spark, baseDir)) ++
+      Seq("region", "nation", "customer", "supplier", "part")
+        .map(t => t -> read(t))
 
     out.foreach { case (t, df) =>
       df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
