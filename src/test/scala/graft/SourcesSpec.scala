@@ -90,4 +90,42 @@ class SourcesSpec extends AnyFunSuite {
       .runSync(spark)
     assert(spark.read.parquet(dir).count() == 100)
   }
+
+  test("Compactor merges small files, preserves rows, range-clusters the sort key") {
+    import graft.sources.Compactor
+    val lineitem = graft.ops.Q.table(spark, "/root/testdata/sf0.001", "lineitem")
+    val inDir = tmp("graft-compact-in")
+    // simulate a streaming sink's droppings: 40 tiny part files
+    lineitem.repartition(40).write.mode("overwrite").parquet(inDir)
+    val outDir = tmp("graft-compact-out")
+    val rep = Compactor.compact(spark, inDir, outDir,
+      targetBytes = 64L * 1024 * 1024, sortCols = Seq("l_orderkey"))
+    assert(rep.filesBefore == 40)
+    assert(rep.filesAfter == 1, s"expected 1 file for tiny input, got $rep")
+    val back = spark.read.parquet(outDir)
+    assert(back.count() == lineitem.count())
+    // multiset equality, not just counts
+    assert(back.orderBy($"l_orderkey", $"l_linenumber", $"l_quantity")
+      .collect().toSeq.sortBy(_.toString) ==
+      lineitem.orderBy($"l_orderkey", $"l_linenumber", $"l_quantity")
+        .collect().toSeq.sortBy(_.toString))
+    // multi-file path: force 4 output files and check disjoint key ranges
+    val outDir4 = tmp("graft-compact-out4")
+    val bytes = rep.bytesBefore
+    val rep4 = Compactor.compact(spark, inDir, outDir4,
+      targetBytes = math.max(1L, bytes / 4), sortCols = Seq("l_orderkey"))
+    assert(rep4.filesAfter >= 2, s"expected multiple files, got $rep4")
+    val ranges = new java.io.File(outDir4).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).toSeq
+      .map { f =>
+        val d = spark.read.parquet(f.getAbsolutePath)
+          .agg(min($"l_orderkey"), max($"l_orderkey")).head()
+        (d.getLong(0), d.getLong(1))
+      }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"file key ranges overlap: $ranges")
+      case _ => ()
+    }
+  }
 }
