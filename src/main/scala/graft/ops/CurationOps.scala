@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.functions.{broadcast, udf}
+import org.apache.spark.sql.functions.udf
 
 import Q._
 
@@ -129,9 +129,15 @@ object CurationOps {
     "d12_ngram_decontam",
     (s, d) => {
       import s.implicits._
-      val chunks = withViews(s, d, "documents")(s"""
-        WITH $sChunks
-        SELECT doc_id, source, md5(chunk) AS h FROM chunks""")
+      // staged: the digest projection feeds THREE consumers (the driver's
+      // bloom build, the candidate side, the semi-join's eval side) — one
+      // corpus scan + chunk explode instead of three, and the cached frame
+      // is narrow (id, source, md5), never the chunk text
+      val chunks = staged("d12_chunks", d) {
+        withViews(s, d, "documents")(s"""
+          WITH $sChunks
+          SELECT doc_id, source, md5(chunk) AS h FROM chunks""")
+      }
       val evalH = chunks.where($"source" === "src0").select($"h").distinct()
       // expectedNumItems sized for a real eval suite (~1e6 spans), not the
       // test fixture: the filter stays a few MB broadcast either way

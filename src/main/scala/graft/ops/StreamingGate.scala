@@ -223,13 +223,21 @@ object StreamingGate {
       clicks.where($"event_id" % 2 =!= 0).coalesce(1)
         .write.mode("append").parquet(cDir)
       val pSch = s.read.parquet(pDir).schema
+      // Watermark delay must exceed the EVENT-TIME SPAN of the replay, not
+      // a deployment-realistic lateness: batch N's late-record filter uses
+      // the watermark from before batch N-1, so with a short delay a third
+      // click batch (another part file, a replay) would be silently dropped
+      // wholesale — the bounded-replay twin of q42's sentinel rule. The
+      // events table spans ~1 month; 90 days keeps every possible batch
+      // split correct. An unbounded deployment would use its real lateness
+      // bound here — the plan is identical.
       val purchases = s.readStream.schema(pSch).parquet(pDir)
         .select($"event_id".as("p_id"), $"user_id".as("p_user"), $"ts".as("p_ts"))
-        .withWatermark("p_ts", "2 hours")
+        .withWatermark("p_ts", "90 days")
       val clickStream = s.readStream.schema(pSch)
         .option("maxFilesPerTrigger", "1").parquet(cDir)
         .select($"event_id".as("c_id"), $"user_id".as("c_user"), $"ts".as("c_ts"))
-        .withWatermark("c_ts", "2 hours")
+        .withWatermark("c_ts", "90 days")
       val joined = purchases.join(clickStream,
         expr("p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"))
       val outDir = Files.createTempDirectory("graft-q53-out").toString

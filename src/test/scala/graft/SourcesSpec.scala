@@ -104,11 +104,9 @@ class SourcesSpec extends AnyFunSuite {
     assert(rep.filesAfter == 1, s"expected 1 file for tiny input, got $rep")
     val back = spark.read.parquet(outDir)
     assert(back.count() == lineitem.count())
-    // multiset equality, not just counts
-    assert(back.orderBy($"l_orderkey", $"l_linenumber", $"l_quantity")
-      .collect().toSeq.sortBy(_.toString) ==
-      lineitem.orderBy($"l_orderkey", $"l_linenumber", $"l_quantity")
-        .collect().toSeq.sortBy(_.toString))
+    // multiset equality, not just counts (driver-side total order)
+    assert(back.collect().toSeq.sortBy(_.toString) ==
+      lineitem.collect().toSeq.sortBy(_.toString))
     // multi-file path: force 4 output files and check disjoint key ranges
     val outDir4 = tmp("graft-compact-out4")
     val bytes = rep.bytesBefore
