@@ -81,6 +81,47 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("curation invariants: d11 reassembly, d10 ranking, d15 asymmetry, q52 budgets") {
+    import org.apache.spark.sql.functions.col
+    val dir01 = "/root/testdata/sf0.01"
+    // d11: kept+removed spans account for every span; kept_text token count
+    // equals 8·(kept full spans) plus the short tail iff the tail survived
+    val d11 = SparkEntry.queries("d11_span_dedup")(spark, dir01).collect()
+    assert(d11.nonEmpty)
+    d11.foreach { r =>
+      val (kept, nch, nrm) = (r.getAs[String]("kept_text"),
+        r.getAs[Long]("n_chunks"), r.getAs[Long]("n_removed"))
+      assert(nrm >= 0 && nrm <= nch)
+      val keptTokens = if (kept.isEmpty) 0 else kept.split(" ").length
+      // every kept span has ≤ 8 tokens, so token count is bounded by 8·kept
+      assert(keptTokens <= 8 * (nch - nrm),
+        s"doc ${r.get(0)}: $keptTokens tokens from ${nch - nrm} kept spans")
+      if (nrm == 0) assert(keptTokens > 0)
+    }
+    // d10: exactly ≤20 per stratum, rank sequence is 1..n without gaps
+    val d10 = SparkEntry.queries("d10_weighted_sample")(spark, dir01)
+      .collect().groupBy(_.getAs[String]("lang"))
+    d10.values.foreach { rs =>
+      val rnks = rs.map(_.getAs[Long]("rnk")).sorted.toSeq
+      assert(rnks == (1L to rnks.size))
+      assert(rnks.size <= 20)
+    }
+    // d15: only new-batch docs appear (doc_id in the top-20% id range)
+    val mx = graft.ops.Q.table(spark, dir01, "documents")
+      .agg(org.apache.spark.sql.functions.max(col("doc_id"))).head().getLong(0)
+    val d15 = SparkEntry.queries("d15_incremental_dedup")(spark, dir01).collect()
+    assert(d15.nonEmpty)
+    d15.foreach(r => assert(r.getAs[Long]("doc_id") * 5 >= mx * 4))
+    // q52: kept tokens never exceed total; every lang row present exactly once
+    val q52 = SparkEntry.queries("q52_mixture_sample")(spark, dir01).collect()
+    assert(q52.map(_.getAs[String]("lang")).toSeq.sorted ==
+      Seq("de", "en", "es", "fr", "zh"))
+    q52.foreach { r =>
+      assert(r.getAs[Long]("kept_tokens") <= r.getAs[Long]("lang_tokens"))
+      assert(r.getAs[Long]("n_kept") >= 1) // bucket 0 always passes a >0 budget
+    }
+  }
+
   test("d12 Bloom prefilter is lossless (equals the exact overlap result)") {
     // the Bloom filter may only prune true negatives — the exact semi-join
     // behind it must make the final result identical to the unfiltered path
