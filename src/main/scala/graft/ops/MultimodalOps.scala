@@ -122,5 +122,69 @@ object MultimodalOps {
              md5(substring(text, CAST(fi * 64 + 1 AS INT), 64)) AS frame_md5
       FROM f"""))
 
-  val all: Seq[QueryDef] = Seq(m01, m02)
+  final case class WinMeta(doc_id: Long, win_idx: Long, byte_start: Long,
+      n_bytes: Long, energy: Long, win_md5: String)
+
+  /** Overlapping window segmentation — the audio analysis-frame shape
+    * (STFT-style: window W bytes, hop H < W, 50% overlap by default).
+    * Per window: an energy proxy (exact unsigned-byte sum — the stand-in
+    * for the spectral feature a real DSP codec would emit) and a digest.
+    * Tail windows shorter than W are kept (documented; an equal-length
+    * formulation would drop starts past len − W). Same per-partition
+    * batch shape as [[sampleFrames]]: swap the digest/energy loop for a
+    * real FFT and nothing else changes. Row-wise flatMap — no shuffle. */
+  def segmentWindows(spark: SparkSession, media: DataFrame,
+      winBytes: Int = 96, hopBytes: Int = 48): DataFrame = {
+    import spark.implicits._
+    media.as[MediaIn].mapPartitions { it =>
+      // per-partition codec bootstrap (mirrors Worker::bootstrap,
+      // /root/reference/gasket/src/framework.rs:103)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { m =>
+        val len = m.payload.length
+        val nWin = (len + hopBytes - 1) / hopBytes
+        (0 until nWin).iterator.map { wi =>
+          val start = wi * hopBytes
+          val bytes = java.util.Arrays.copyOfRange(
+            m.payload, start, math.min(start + winBytes, len))
+          var e = 0L
+          var i = 0
+          while (i < bytes.length) { e += (bytes(i) & 0xff); i += 1 }
+          md.reset()
+          val hex = md.digest(bytes).map("%02x".format(_)).mkString
+          WinMeta(m.doc_id, wi.toLong, start + 1L, bytes.length.toLong, e, hex)
+        }
+      }
+    }.toDF()
+  }
+
+  /** Oracle: ASCII payloads — byte slices == substrings and byte values ==
+    * character codes, so energy and digests replicate exactly in SQL. */
+  val m03 = QueryDef(
+    "m03_window_segments",
+    (s, d) => {
+      import s.implicits._
+      val media = table(s, d, "documents")
+        .select($"doc_id", $"text".cast("binary").as("payload"), $"source")
+      segmentWindows(s, media)
+    },
+    Some("""
+      WITH b AS (SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS len
+                 FROM documents),
+      w AS (SELECT doc_id, text, len,
+              unnest(range(0, (len + 47) // 48)) AS wi FROM b),
+      sub AS (SELECT doc_id, wi,
+                substring(text, CAST(wi * 48 + 1 AS INT), 96) AS win FROM w)
+      SELECT doc_id,
+             CAST(wi AS BIGINT) AS win_idx,
+             CAST(wi * 48 + 1 AS BIGINT) AS byte_start,
+             CAST(length(win) AS BIGINT) AS n_bytes,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length(win) + 1),
+                 i -> CAST(ascii(substring(win, i, 1)) AS BIGINT))),
+               (a, c) -> a + c) AS BIGINT) AS energy,
+             md5(win) AS win_md5
+      FROM sub"""))
+
+  val all: Seq[QueryDef] = Seq(m01, m02, m03)
 }
