@@ -370,5 +370,48 @@ object CurationOps {
       LEFT JOIN oldf o ON n.fp = o.fp
       LEFT JOIN near nr ON n.doc_id = nr.nid"""))
 
-  val all: Seq[QueryDef] = Seq(d10, d11, d12, q51, t09, d13, q52, d15)
+  /** Leakage-safe train/val/test split: the split is assigned by hashing
+    * the DEDUP-CLUSTER key, not the document id — near-duplicates always
+    * land in the same split (hashing doc_ids directly is the classic eval
+    *-leakage bug: one copy trains, its near-twin evaluates). Documents
+    * outside any near-dup cluster key by their own id. 80/10/10 by hash
+    * bucket — deterministic, reproducible, no rand(). Scale shape: d06's
+    * label set is tiny (only docs with a near-dup edge) and broadcasts
+    * onto the corpus scan; everything else is row-wise. */
+  val q54 = QueryDef(
+    "q54_leakage_safe_split",
+    (s, d) => {
+      DedupOps.d06.run(s, d).createOrReplaceTempView("q54_lab")
+      withViews(s, d, "documents")("""
+        WITH k AS (SELECT /*+ BROADCAST(l) */ doc.doc_id,
+                     coalesce(l.cluster_id, doc.doc_id) AS split_key
+                   FROM documents doc
+                   LEFT JOIN q54_lab l ON doc.doc_id = l.doc_id),
+        b AS (SELECT doc_id, split_key,
+                CAST(char_fold(CAST(split_key AS STRING), 505) % 100
+                  AS BIGINT) AS bucket
+              FROM k)
+        SELECT doc_id, split_key,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b""")
+    },
+    Some(s"""
+      WITH k AS (SELECT doc.doc_id,
+                   coalesce(l.cluster_id, doc.doc_id) AS split_key
+                 FROM documents doc
+                 LEFT JOIN (${DedupOps.d06.oracle.get.trim}) l
+                   ON doc.doc_id = l.doc_id),
+      b AS (SELECT doc_id, split_key,
+              CAST(${oCharFold("CAST(split_key AS VARCHAR)", 505)} % 100
+                AS BIGINT) AS bucket
+            FROM k)
+      SELECT doc_id, split_key,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM b"""))
+
+  val all: Seq[QueryDef] = Seq(d10, d11, d12, q51, t09, d13, q52, d15, q54)
 }

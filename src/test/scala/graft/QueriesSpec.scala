@@ -122,6 +122,24 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q54 split has no near-dup leakage: every d02 pair shares a split") {
+    import org.apache.spark.sql.functions.col
+    val dir01 = "/root/testdata/sf0.01"
+    val split = SparkEntry.queries("q54_leakage_safe_split")(spark, dir01)
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = graft.ops.DedupOps.d02.run(spark, dir01)
+      .select(col("doc_a"), col("doc_b")).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(split(a) == split(b),
+        s"near-dup pair ($a, $b) split across ${split(a)}/${split(b)}")
+    }
+    val counts = split.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts.keySet == Set("train", "val", "test"), counts.toString)
+  }
+
   test("d12 Bloom prefilter is lossless (equals the exact overlap result)") {
     // the Bloom filter may only prune true negatives — the exact semi-join
     // behind it must make the final result identical to the unfiltered path
