@@ -70,6 +70,17 @@ object MultimodalOps {
   final case class FrameMeta(doc_id: Long, frame_idx: Long, byte_start: Long,
       n_bytes: Long, frame_md5: String)
 
+  /** Shared slice-and-digest mechanics for the per-partition "codecs":
+    * clamp-slice `[start, start+len)` out of the payload and hex-digest
+    * it with the partition's digest instance. */
+  private def sliceDigest(md: java.security.MessageDigest,
+      payload: Array[Byte], start: Int, len: Int): (Array[Byte], String) = {
+    val bytes = java.util.Arrays.copyOfRange(
+      payload, start, math.min(start + len, payload.length))
+    md.reset()
+    (bytes, md.digest(bytes).map("%02x".format(_)).mkString)
+  }
+
   /** Frame sampling: slice each binary payload into fixed-size frames and
     * keep every Nth (the video/audio "sample k frames per clip" stage).
     * Same per-partition batch shape as [[decodeMetadata]]: the digest
@@ -89,10 +100,7 @@ object MultimodalOps {
         val nFrames = (len + frameBytes - 1) / frameBytes
         (0 until nFrames by every).iterator.map { fi =>
           val start = fi * frameBytes
-          val bytes = java.util.Arrays.copyOfRange(
-            m.payload, start, math.min(start + frameBytes, len))
-          md.reset()
-          val hex = md.digest(bytes).map("%02x".format(_)).mkString
+          val (bytes, hex) = sliceDigest(md, m.payload, start, frameBytes)
           FrameMeta(m.doc_id, fi.toLong, start + 1L, bytes.length.toLong, hex)
         }
       }
@@ -145,13 +153,10 @@ object MultimodalOps {
         val nWin = (len + hopBytes - 1) / hopBytes
         (0 until nWin).iterator.map { wi =>
           val start = wi * hopBytes
-          val bytes = java.util.Arrays.copyOfRange(
-            m.payload, start, math.min(start + winBytes, len))
+          val (bytes, hex) = sliceDigest(md, m.payload, start, winBytes)
           var e = 0L
           var i = 0
           while (i < bytes.length) { e += (bytes(i) & 0xff); i += 1 }
-          md.reset()
-          val hex = md.digest(bytes).map("%02x".format(_)).mkString
           WinMeta(m.doc_id, wi.toLong, start + 1L, bytes.length.toLong, e, hex)
         }
       }
