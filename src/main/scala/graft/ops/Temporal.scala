@@ -114,5 +114,29 @@ object Temporal {
        AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts"""),
     headline = true)
 
-  val all: Seq[QueryDef] = Seq(q22, q23, q27, q28)
+  /** Skew-tolerant salted join in the gate: events (the side where one
+    * hot user would pin a whole task) joined to customers through
+    * [[graft.operators.SaltedJoin]] — key becomes (key, salt), the hot key
+    * spreads over 8 tasks, and the result set is PROVABLY identical to
+    * the plain join (the oracle runs the unsalted SQL). The aggregate
+    * keeps gate output bounded; at scale the salted shuffle is what keeps
+    * the p99 task from owning the whole join. */
+  val q55 = QueryDef(
+    "q55_salted_join",
+    (s, d) => {
+      import s.implicits._
+      val ev = events(s, d).select($"user_id", $"value")
+      val cust = table(s, d, "customer")
+        .select($"c_custkey".as("user_id"), $"c_nationkey")
+      graft.operators.SaltedJoin(ev, cust, "user_id", 8)
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n_events"), sumd($"value").as("sum_value"))
+    },
+    Some(s"""
+      SELECT c.c_nationkey, count(*) AS n_events,
+             ${oSumd("e.value")} AS sum_value
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY c.c_nationkey"""))
+
+  val all: Seq[QueryDef] = Seq(q22, q23, q27, q28, q55)
 }
