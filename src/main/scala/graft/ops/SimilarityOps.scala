@@ -248,7 +248,10 @@ object SimilarityOps {
 
   /** One distributed Lloyd (k-means) iteration over the embeddings — the
     * topic-balancing primitive: deterministic centroid seeds (every 125th
-    * vec_id), cosine assignment against the BROADCAST centroid set, then
+    * vec_id, CAPPED at K=64 — k-means K must not scale with N or the
+    * N·K assignment pass turns quadratic; the 64× scale run caught
+    * exactly that at 24 s before the cap), cosine assignment against the
+    * BROADCAST centroid set, then
     * the centroid update as per-(cluster, dim) means. Output is one row
     * per (cluster, dimension) — no array columns, so the gate hashes it
     * directly. Bit-exact: dot products are fixed left folds; per-dim
@@ -266,7 +269,7 @@ object SimilarityOps {
       normalized(s, d).createOrReplaceTempView("s05_n")
       s.sql("""
         WITH c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM s05_n
-                   WHERE vec_id % 125 = 0),
+                   WHERE vec_id % 125 = 0 AND vec_id < 8000),
         sc AS (SELECT /*+ BROADCAST(c) */ t.vec_id, t.v, c.cid,
                  dot_product(c.cv, t.v) / (c.cn * t.nrm) AS cos
                FROM s05_n t CROSS JOIN c),
@@ -299,7 +302,7 @@ object SimilarityOps {
                 list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
             FROM e0),
       c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
-            WHERE vec_id % 125 = 0),
+            WHERE vec_id % 125 = 0 AND vec_id < 8000),
       sc AS (SELECT t.vec_id, t.v, c.cid,
                list_reduce(list_prepend(CAST(0 AS DOUBLE),
                  list_transform(list_zip(c.cv, t.v), s -> s[1] * s[2])),
