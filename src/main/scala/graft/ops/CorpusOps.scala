@@ -264,21 +264,53 @@ object CorpusOps {
     * cumulative token count — the streaming approximation of bin packing
     * that a distributed trainer actually uses (exact bin packing is
     * NP-hard and order-dependent; fixed order makes the assignment
-    * reproducible). One window shuffle per lang; all arithmetic exact. */
+    * reproducible).
+    *
+    * TWO-PHASE DISTRIBUTED PREFIX SUM — the naive formulation
+    * (`sum() OVER (PARTITION BY lang ORDER BY doc_id)`) sorts each whole
+    * language inside ONE task: with a handful of languages a 100 TB
+    * corpus funnels through ~5 tasks. Instead, rows bucket into fixed
+    * doc_id blocks (`blk = doc_id DIV 4096` — deterministic, monotone in
+    * the packing order, so block order = row order); phase 1 aggregates
+    * per-(lang, blk) token subtotals (map-side partial agg → the exchange
+    * carries one row per block, not per doc); the subtotal table is tiny
+    * (|blocks|), so its cumulative offsets are one cheap window; phase 2
+    * broadcast-joins the offsets back and computes the running sum WITHIN
+    * each (lang, blk) — every window group is ≤ 4096 rows regardless of
+    * corpus size. Same integer arithmetic as the global window (the
+    * oracle keeps the naive one-window spelling), parallel at any scale.
+    * The narrow (id, lang, count, blk) projection is staged once so the
+    * text is scanned exactly once across both phases. */
   val q48 = QueryDef(
     "q48_greedy_packing",
-    (s, d) => withViews(s, d, "documents")(s"""
-      WITH t AS (SELECT doc_id, lang,
-                   CAST(size(split($sNorm, ' ')) AS BIGINT) AS n_tokens
-                 FROM documents),
-      c AS (SELECT doc_id, lang, n_tokens,
-              sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
-                AS cum_before
-            FROM t)
-      SELECT doc_id, lang, n_tokens, cum_before,
-             CAST(cum_before DIV 2048 AS BIGINT) AS pack_id
-      FROM c"""),
+    (s, d) => {
+      val t = staged("q48_t", d) {
+        withViews(s, d, "documents")(s"""
+          SELECT doc_id, lang,
+                 CAST(size(split($sNorm, ' ')) AS BIGINT) AS n_tokens,
+                 CAST(doc_id DIV 4096 AS BIGINT) AS blk
+          FROM documents""")
+      }
+      t.createOrReplaceTempView("q48_t")
+      s.sql("""
+        WITH sub AS (SELECT lang, blk, sum(n_tokens) AS sub_tokens
+                     FROM q48_t GROUP BY lang, blk),
+        off AS (SELECT lang, blk,
+                  coalesce(sum(sub_tokens) OVER (PARTITION BY lang ORDER BY blk
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    CAST(0 AS BIGINT)) AS blk_offset
+                FROM sub),
+        c AS (SELECT /*+ BROADCAST(off) */ t.doc_id, t.lang, t.n_tokens,
+                off.blk_offset
+                  + sum(t.n_tokens) OVER (PARTITION BY t.lang, t.blk
+                      ORDER BY t.doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - t.n_tokens AS cum_before
+              FROM q48_t t JOIN off ON t.lang = off.lang AND t.blk = off.blk)
+        SELECT doc_id, lang, n_tokens, cum_before,
+               CAST(cum_before DIV 2048 AS BIGINT) AS pack_id
+        FROM c""")
+    },
     Some(s"""
       WITH t AS (SELECT doc_id, lang,
                    CAST(len(string_split($oNorm, ' ')) AS BIGINT) AS n_tokens
@@ -298,58 +330,86 @@ object CorpusOps {
     * → per-language summary. ONE text scan; after it only ids and token
     * counts flow — chunk sizes are computed arithmetically
     * (`least(50, n_tokens - st + 1)`), so no chunk text ever
-    * materializes. Shuffles: the digest window, the per-lang packing
-    * window, the final agg — all metadata-width. This is the plan shape
-    * that turns a 100 TB corpus into training sequences without ever
-    * moving the corpus twice. */
+    * materializes. The packing step uses q48's two-phase distributed
+    * prefix sum (block key `doc_id DIV 4096`, monotone in the
+    * (doc_id, st) packing order): per-(lang, blk) subtotals → tiny
+    * cumulative-offset window → broadcast join + bounded within-block
+    * window — no whole-language sort ever lands in one task. The narrow
+    * chunk frame (id, lang, st, count, blk) is staged once, so the text
+    * is still scanned exactly once end-to-end. Shuffles: the digest
+    * window, the per-(lang, blk) packing window, the final agg — all
+    * metadata-width. This is the plan shape that turns a 100 TB corpus
+    * into training sequences without ever moving the corpus twice. */
   val q50 = QueryDef(
     "q50_sequence_pipeline",
-    (s, d) => withViews(s, d, "documents")(s"""
-      WITH t AS (SELECT doc_id, lang, $sNorm AS nt,
-                   split($sNorm, ' ') AS w FROM documents),
-      b AS (SELECT doc_id, lang, nt, w,
-              CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1),
-                     i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))
-                   ELSE CAST(array() AS ARRAY<STRING>) END AS bg
-            FROM t),
-      f AS (SELECT doc_id, lang, md5(nt) AS fp,
-              CAST(size(w) AS BIGINT) AS n_tokens,
-              aggregate(w, CAST(0 AS BIGINT), (a, x) -> a + length(x)) AS total_chars,
-              CAST(size(filter(w, x -> x IN ${TextOps.allStop})) AS BIGINT) AS n_stop,
-              CAST(length(nt) AS BIGINT) AS n_chars,
-              CAST(size(regexp_extract_all(nt, '[^a-z0-9 ]', 0)) AS BIGINT) AS n_sym,
-              CAST(size(regexp_extract_all(nt, '[0-9]', 0)) AS BIGINT) AS n_digit,
-              CAST(size(bg) AS BIGINT) AS n_bigrams,
-              CAST(size(array_distinct(bg)) AS BIGINT) AS n_uniq_bigrams
-            FROM b),
-      k AS (SELECT doc_id, lang, fp, n_tokens,
-              (n_tokens BETWEEN 5 AND 1000)
-                AND (3 * n_tokens <= total_chars AND total_chars <= 10 * n_tokens)
-                AND n_stop >= 2
-                AND n_sym * 10 < n_chars
-                AND n_digit * 5 < n_chars
-                AND (n_bigrams - n_uniq_bigrams) * 5 <= n_bigrams AS keep
-            FROM f),
-      u AS (SELECT doc_id, lang, n_tokens, keep,
-              doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_dup
-            FROM k),
-      kept AS (SELECT doc_id, lang, n_tokens FROM u WHERE keep AND NOT is_dup),
-      ch AS (SELECT doc_id, lang, st,
-               least(CAST(50 AS BIGINT), n_tokens - st + 1) AS n_chunk_tokens
-             FROM kept
-             LATERAL VIEW explode(sequence(CAST(1 AS BIGINT), n_tokens,
-               CAST(40 AS BIGINT))) x AS st),
-      p AS (SELECT lang, doc_id, st, n_chunk_tokens,
-              sum(n_chunk_tokens) OVER (PARTITION BY lang ORDER BY doc_id, st
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                - n_chunk_tokens AS cum_before
-            FROM ch)
-      SELECT lang,
-             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-             CAST(count(*) AS BIGINT) AS n_chunks,
-             CAST(count(DISTINCT cum_before DIV 2048) AS BIGINT) AS n_packs,
-             CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens_packed
-      FROM p GROUP BY lang"""),
+    (s, d) => {
+      val ch = staged("q50_ch", d) {
+        withViews(s, d, "documents")(s"""
+          WITH t AS (SELECT doc_id, lang, $sNorm AS nt,
+                       split($sNorm, ' ') AS w FROM documents),
+          b AS (SELECT doc_id, lang, nt, w,
+                  CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1),
+                         i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))
+                       ELSE CAST(array() AS ARRAY<STRING>) END AS bg
+                FROM t),
+          f AS (SELECT doc_id, lang, md5(nt) AS fp,
+                  CAST(size(w) AS BIGINT) AS n_tokens,
+                  aggregate(w, CAST(0 AS BIGINT), (a, x) -> a + length(x)) AS total_chars,
+                  CAST(size(filter(w, x -> x IN ${TextOps.allStop})) AS BIGINT) AS n_stop,
+                  CAST(length(nt) AS BIGINT) AS n_chars,
+                  CAST(size(regexp_extract_all(nt, '[^a-z0-9 ]', 0)) AS BIGINT) AS n_sym,
+                  CAST(size(regexp_extract_all(nt, '[0-9]', 0)) AS BIGINT) AS n_digit,
+                  CAST(size(bg) AS BIGINT) AS n_bigrams,
+                  CAST(size(array_distinct(bg)) AS BIGINT) AS n_uniq_bigrams
+                FROM b),
+          k AS (SELECT doc_id, lang, fp, n_tokens,
+                  (n_tokens BETWEEN 5 AND 1000)
+                    AND (3 * n_tokens <= total_chars AND total_chars <= 10 * n_tokens)
+                    AND n_stop >= 2
+                    AND n_sym * 10 < n_chars
+                    AND n_digit * 5 < n_chars
+                    AND (n_bigrams - n_uniq_bigrams) * 5 <= n_bigrams AS keep
+                FROM f),
+          u AS (SELECT doc_id, lang, n_tokens, keep,
+                  doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_dup
+                FROM k),
+          kept AS (SELECT doc_id, lang, n_tokens FROM u WHERE keep AND NOT is_dup)
+          SELECT doc_id, lang, st,
+                 least(CAST(50 AS BIGINT), n_tokens - st + 1) AS n_chunk_tokens,
+                 CAST(doc_id DIV 4096 AS BIGINT) AS blk
+          FROM kept
+          LATERAL VIEW explode(sequence(CAST(1 AS BIGINT), n_tokens,
+            CAST(40 AS BIGINT))) x AS st""")
+      }
+      // phase 2 references the staged frame OBJECT (not a temp view): the
+      // cached subtree is reused by construction in both consumers, so the
+      // text scan happens exactly once (view-based reuse relied on cache
+      // canonicalization matching, which missed for this window-bearing
+      // plan and silently re-scanned the corpus)
+      import s.implicits._
+      import org.apache.spark.sql.functions.{broadcast, coalesce, count,
+        countDistinct, expr, lit, sum => fsum}
+      import org.apache.spark.sql.expressions.Window
+      val sub = ch.groupBy($"lang", $"blk")
+        .agg(fsum($"n_chunk_tokens").as("sub_tokens"))
+      val off = sub.select($"lang", $"blk",
+        coalesce(
+          fsum($"sub_tokens").over(Window.partitionBy($"lang").orderBy($"blk")
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)).as("blk_offset"))
+      val p = ch.join(broadcast(off), Seq("lang", "blk"))
+        .withColumn("cum_before",
+          $"blk_offset"
+            + fsum($"n_chunk_tokens").over(
+              Window.partitionBy($"lang", $"blk").orderBy($"doc_id", $"st")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            - $"n_chunk_tokens")
+      p.groupBy($"lang")
+        .agg(countDistinct($"doc_id").as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          countDistinct(expr("cum_before DIV 2048")).as("n_packs"),
+          fsum($"n_chunk_tokens").as("n_tokens_packed"))
+    },
     Some(s"""
       WITH t AS (SELECT doc_id, lang, $oNorm AS nt,
                    string_split($oNorm, ' ') AS w FROM documents),

@@ -172,15 +172,18 @@ object DedupOps {
   /** Embedding-cosine near-dup, blocked by label. Candidates INSIDE a
     * block come from IVF-style coarse quantization (s03's machinery):
     * every vector is assigned to its 3 nearest centroids (deterministic
-    * sample `vec_id % 50 = 7`, broadcast — one |N|×|C| map-side pass) and
-    * candidate pairs are an equality join on (label, centroid). Because
-    * |C| grows with the corpus, cluster sizes stay ~constant and the
-    * candidate count is O(N · cluster), not O(B²) per block — unlike
-    * hyperplane LSH, whose recall collapses at thresholds as low as 0.4
-    * (measured: 2/5 planted pairs vs 5/5 for 3-probe IVF at ~1/3 of the
-    * all-pairs candidates). The oracle runs the identical quantizer, so
-    * both engines produce the same candidates; dots fold left-to-right →
-    * bit-identical doubles. */
+    * sample `vec_id % 50 = 7`, CAPPED at |C| ≤ 64 by `vec_id < 3200` —
+    * the centroid count must NOT scale with N, or the broadcast grows
+    * unboundedly and the N×|C| assignment pass turns O(N²); same rule as
+    * s05's k-means seeds) and candidate pairs are an equality join on
+    * (label, centroid). With fixed |C| the assignment stays one linear
+    * broadcast pass; at real scale |C| is a tunable (more centroids =
+    * smaller lists) refreshed by the s06 k-means loop, never a function
+    * of corpus size. IVF beats hyperplane LSH here: LSH recall collapses
+    * at thresholds as low as 0.4 (measured: 2/5 planted pairs vs 5/5 for
+    * 3-probe IVF at ~1/3 of the all-pairs candidates). The oracle runs
+    * the identical quantizer, so both engines produce the same
+    * candidates; dots fold left-to-right → bit-identical doubles. */
   val d05 = QueryDef(
     "d05_embedding_neardup",
     (s, d) => {
@@ -194,7 +197,7 @@ object DedupOps {
       n.createOrReplaceTempView("d05_n")
       s.sql("""
         WITH c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM d05_n
-                   WHERE vec_id % 50 = 7),
+                   WHERE vec_id % 50 = 7 AND vec_id < 3200),
         sc AS (SELECT /*+ BROADCAST(c) */ t.vec_id, t.label, cid,
                  row_number() OVER (PARTITION BY t.vec_id
                                     ORDER BY dot_product(t.v, cv) / (t.nrm * cn) DESC,
@@ -218,7 +221,8 @@ object DedupOps {
               sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
                 list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
             FROM e),
-      c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id % 50 = 7),
+      c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
+            WHERE vec_id % 50 = 7 AND vec_id < 3200),
       sc AS (SELECT t.vec_id, t.label, cid,
                row_number() OVER (PARTITION BY t.vec_id
                                   ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),

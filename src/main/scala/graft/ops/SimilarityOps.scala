@@ -135,12 +135,17 @@ object SimilarityOps {
       FROM r WHERE rn <= 5"""))
 
   /** IVF-flavored ANN: coarse quantizer = deterministically sampled
-    * centroids (vec_id % 50 == 7); every vector is assigned to its
-    * nearest centroid (one |N|×|C| pass); queries probe their top-2
-    * centroids' inverted lists. At scale the assignment shuffle keys by
-    * cluster id, and search touches only probed lists — the classic
-    * IVF trade of recall for a bounded candidate set. Oracle replicates
-    * the same quantizer, so results stay exact-checkable. */
+    * centroids (vec_id % 50 == 7, CAPPED at |C| ≤ 64 by `vec_id < 3200`
+    * — K must not scale with N or the broadcast grows unboundedly and
+    * the N×|C| assignment pass turns O(N²); same rule as s05's seeds, and
+    * at real scale the centroid set comes from the s06 k-means loop at a
+    * K chosen for list size, never from corpus cardinality); every
+    * vector is assigned to its nearest centroid (one linear broadcast
+    * pass); queries probe their top-2 centroids' inverted lists. At scale
+    * the assignment shuffle keys by cluster id, and search touches only
+    * probed lists — the classic IVF trade of recall for a bounded
+    * candidate set. Oracle replicates the same quantizer, so results
+    * stay exact-checkable. */
   val s03 = QueryDef(
     "s03_knn_ivf",
     (s, d) => {
@@ -154,7 +159,7 @@ object SimilarityOps {
       val assign = staged("s03_assign", d) {
         s.sql("""
           WITH c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM s03_n
-                     WHERE vec_id % 50 = 7),
+                     WHERE vec_id % 50 = 7 AND vec_id < 3200),
           sc AS (SELECT /*+ BROADCAST(c) */ t.vec_id, cid,
                    dot_product(t.v, cv) / (t.nrm * cn) AS cos,
                    row_number() OVER (PARTITION BY t.vec_id
@@ -189,7 +194,8 @@ object SimilarityOps {
               sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
                 list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
             FROM e),
-      c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id % 50 = 7),
+      c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
+            WHERE vec_id % 50 = 7 AND vec_id < 3200),
       sc0 AS (SELECT t.vec_id, cid,
                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
                   list_transform(list_zip(t.v, cv), s -> s[1] * s[2])),
