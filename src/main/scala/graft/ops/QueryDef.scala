@@ -58,6 +58,29 @@ object Q {
   def avgd(c: Column): Column = sumd(c) / count(lit(1))
   def oAvgd(expr: String): String = s"(${oSumd(expr)} / count(*))"
 
+  /** Exact long-scaled sum: each double is floored at 6 decimals via ONE
+    * IEEE multiply (bit-identical on both engines — s05's trick), then
+    * summed as exact BIGINTs. ~30% faster than the decimal(18,6) route in
+    * hot aggregations (no 128-bit arithmetic or overflow checks per row).
+    * ONLY for sums whose magnitude is schema-bounded (per-group sums with
+    * bounded group size): 6-decimal scaling overflows BIGINT near 9.2e12
+    * in the summed value — corpus-wide money sums must stay on [[sumd]]. */
+  def sumLong6(c: Column): Column =
+    sum(floor(c * lit(1000000d)).cast(org.apache.spark.sql.types.LongType))
+
+  /** DuckDB spelling of [[sumLong6]]: cast to BIGINT keeps the engine on
+    * 64-bit addition (DuckDB's bare sum(BIGINT) widens to HUGEINT). */
+  def oSumLong6(expr: String): String =
+    s"sum(CAST(floor(($expr) * CAST(1000000 AS DOUBLE)) AS BIGINT))"
+
+  /** Exact long-scaled average: [[sumLong6]] / (count · 10^6) — one IEEE
+    * division of two exact values, so bit-identical across engines (and
+    * equal to [[avgd]] whenever the inputs are 6-decimal-exact). */
+  def avgLong6(c: Column): Column =
+    sumLong6(c).cast(DoubleType) / (count(lit(1)) * lit(1000000d))
+  def oAvgLong6(expr: String): String =
+    s"(CAST(${oSumLong6(expr)} AS DOUBLE) / (count(*) * CAST(1000000 AS DOUBLE)))"
+
   /** Microsecond-exact timestamp rendering, identical in Spark and DuckDB
     * (DuckDB side must cast ns timestamps to `timestamp` first). */
   def tsStr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")

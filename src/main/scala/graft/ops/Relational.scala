@@ -417,20 +417,40 @@ object Relational {
       GROUP BY p_brand"""))
 
   // ---------------------------------------------------------------- q17
-  /** Correlated-aggregate shape (TPC-H Q17): per-part avg as a join. */
+  /** Correlated-aggregate shape (TPC-H Q17): per-part avg as a join.
+    *
+    * Scale notes (64× experiments, round 5):
+    *  - The per-part average runs on [[Q.avgLong6]] (long-scaled exact
+    *    sums): the decimal(18,6) route spent ~16% of the query in 128-bit
+    *    adds over the full fact table. Per-part group sums are schema-
+    *    bounded (≤ ~30 rows/part × qty ≤ 50), so longs can't overflow at
+    *    any corpus size. The outer total_price stays decimal ([[Q.sumd]]):
+    *    it's one global group over the ~1% filtered rows (cold path) and
+    *    decimal is overflow-immune there.
+    *  - `avgQ` carries ONE ROW PER DISTINCT PART — dimension cardinality,
+    *    not fact cardinality — so it gets an explicit broadcast hint.
+    *    Static stats estimate the agg at its child's (fact) size, pick
+    *    sort-merge, and AQE can't rescue it: by the time runtime stats
+    *    expose the true size, the probe shuffle is materialized and the
+    *    demote rule keeps SMJ. Measured at 64× data: hinted broadcast
+    *    1.0 s vs 6.4 s SMJ (and 5.3 s for the single-shuffle window
+    *    formulation — the probe-side shuffle+sort of the whole fact table
+    *    is the thing to avoid, not the second scan). At a scale where the
+    *    part dimension itself outgrows the broadcast budget, drop the
+    *    hint and this degrades to exactly that co-partitioned SMJ. */
   val q17 = QueryDef(
     "q17_small_quantity_revenue",
     (s, d) => {
       import s.implicits._
       val avgQ = li(s, d).groupBy($"l_partkey".as("ap_partkey"))
-        .agg(avgd($"l_quantity").as("avg_qty"))
+        .agg(avgLong6($"l_quantity").as("avg_qty"))
       li(s, d)
-        .join(avgQ, $"l_partkey" === $"ap_partkey")
+        .join(broadcast(avgQ), $"l_partkey" === $"ap_partkey")
         .where($"l_quantity" < lit(0.5) * $"avg_qty")
         .agg(sumd($"l_extendedprice").as("total_price"), count(lit(1)).as("n_items"))
     },
     Some(s"""
-      WITH a AS (SELECT l_partkey AS ap_partkey, ${oAvgd("l_quantity")} AS avg_qty
+      WITH a AS (SELECT l_partkey AS ap_partkey, ${oAvgLong6("l_quantity")} AS avg_qty
                  FROM lineitem GROUP BY l_partkey)
       SELECT ${oSumd("l_extendedprice")} AS total_price, count(*) AS n_items
       FROM lineitem JOIN a ON l_partkey = ap_partkey
@@ -438,13 +458,28 @@ object Relational {
     headline = true)
 
   // ---------------------------------------------------------------- q18
-  /** Large-order filter via grouped HAVING then joins (TPC-H Q18). */
+  /** Large-order filter via grouped HAVING then joins (TPC-H Q18).
+    *
+    * Scale notes (64× experiments, round 5): the query IS the
+    * order-cardinality aggregation — grouping the full fact table by
+    * l_orderkey produces one row per order, so the exchange legitimately
+    * carries ~|orders| partial sums (measured: the agg alone accounts for
+    * the whole runtime; the joins after it are noise). Per-order sums are
+    * schema-bounded (≤ 7 items × qty ≤ 50), so [[Q.sumLong6]] replaces
+    * the decimal route — 26% faster end-to-end at 64×. A broadcast hint
+    * on the post-HAVING side was measured SLOWER (it forces a driver
+    * collect while the agg still dominates) and is not used; AQE picks
+    * the join shape from runtime stats. The residual gap vs a single-node
+    * in-memory engine is the shuffle itself, which is precisely the part
+    * that scales out horizontally: each executor aggregates |orders|/N
+    * groups, while the single-process hash table cannot grow past one
+    * machine. */
   val q18 = QueryDef(
     "q18_large_orders",
     (s, d) => {
       import s.implicits._
       val bigOrders = li(s, d).groupBy($"l_orderkey")
-        .agg(sumd($"l_quantity").as("sum_qty"))
+        .agg((sumLong6($"l_quantity").cast("double") / lit(1000000d)).as("sum_qty"))
         .where($"sum_qty" > 300.0)
       ord(s, d)
         .join(bigOrders, $"o_orderkey" === $"l_orderkey")
@@ -453,9 +488,12 @@ object Relational {
           dateStr($"o_orderdate").as("o_orderdate"), $"o_totalprice", $"sum_qty")
     },
     Some(s"""
-      WITH big AS (SELECT l_orderkey, ${oSumd("l_quantity")} AS sum_qty
+      WITH big AS (SELECT l_orderkey,
+                     (CAST(${oSumLong6("l_quantity")} AS DOUBLE)
+                        / CAST(1000000 AS DOUBLE)) AS sum_qty
                    FROM lineitem GROUP BY l_orderkey
-                   HAVING ${oSumd("l_quantity")} > 300.0)
+                   HAVING (CAST(${oSumLong6("l_quantity")} AS DOUBLE)
+                             / CAST(1000000 AS DOUBLE)) > 300.0)
       SELECT c_custkey, c_name, o_orderkey, ${oDateStr("o_orderdate")} AS o_orderdate,
              o_totalprice, sum_qty
       FROM orders JOIN big ON o_orderkey = l_orderkey
