@@ -251,21 +251,6 @@ object DedupOps {
     * standard scalable formulation when a graph library isn't available).
     * Oracle: DuckDB recursive CTE computing min reachable id — identical
     * fixpoint by definition. */
-  /** Per-round lineage truncation for iterative algorithms. Each round
-    * must read the previous round's BLOCKS, never its plan — without this
-    * the final plan re-derives all K rounds (each referencing the previous
-    * twice → exponential recompute).
-    *
-    * Durability is configurable: when the session has a reliable
-    * checkpoint dir (`sc.setCheckpointDir`, e.g. HDFS/S3 on a cluster),
-    * rounds checkpoint there and survive executor loss; otherwise
-    * `localCheckpoint` stores blocks on executors — the right default at
-    * local[32], NOT fault-tolerant on a real cluster (an executor loss
-    * kills the job). */
-  private def roundCheckpoint(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
-    else df.localCheckpoint(true)
-
   val d06 = QueryDef(
     "d06_dedup_clusters",
     (s, d) => {

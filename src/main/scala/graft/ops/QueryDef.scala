@@ -147,6 +147,22 @@ object Q {
       }
   }
 
+  /** Per-round lineage truncation for iterative algorithms (d06 label
+    * propagation, s06 Lloyd iterations). Each round must read the previous
+    * round's BLOCKS, never its plan — without this the final plan
+    * re-derives all K rounds (each referencing the previous twice →
+    * exponential recompute).
+    *
+    * Durability is configurable: when the session has a reliable
+    * checkpoint dir (`sc.setCheckpointDir`, e.g. HDFS/S3 on a cluster),
+    * rounds checkpoint there and survive executor loss; otherwise
+    * `localCheckpoint` stores blocks on executors — the right default at
+    * local[32], NOT fault-tolerant on a real cluster (an executor loss
+    * kills the job). */
+  def roundCheckpoint(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+    else df.localCheckpoint(true)
+
   /** Register the named driver tables as temp views (plus graft SQL
     * functions) and run a Spark-SQL statement against them. */
   def withViews(s: SparkSession, d: String, names: String*)(sql: String): DataFrame = {

@@ -366,5 +366,153 @@ object SimilarityOps {
              g.n_members, g.mean_cos
       FROM m JOIN g ON m.cid = g.cid"""))
 
-  val all: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05)
+  /** One Lloyd round in the oracle dialect: centroid table `c$r`
+    * (cid, cv) → `c${r+1}`. Exactly the s05 update arithmetic: cosine
+    * argmax assignment (ties → smaller cid), per-(cluster, dim) means of
+    * 12-decimal-floored components, arrays reassembled in dim order. */
+  private def oRound(r: Int): String = s"""
+      cn$r AS (SELECT cid, cv,
+                 sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(cv, x -> x * x)), (a, b) -> a + b)) AS cn
+               FROM c$r),
+      sc$r AS (SELECT t.vec_id, t.v, c.cid,
+                 row_number() OVER (PARTITION BY t.vec_id
+                   ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(list_zip(c.cv, t.v), s -> s[1] * s[2])),
+                     (acc, z) -> acc + z) / (c.cn * t.nrm) DESC, c.cid) AS rk
+               FROM n t CROSS JOIN cn$r c),
+      asg$r AS (SELECT vec_id, v, cid FROM sc$r WHERE rk = 1),
+      ix$r AS (SELECT cid, v, unnest(range(len(v))) AS dim FROM asg$r),
+      e$r AS (SELECT cid, dim,
+                CAST(floor(v[dim + 1] * CAST(1000000000000 AS DOUBLE)) AS BIGINT) AS xi
+              FROM ix$r),
+      m$r AS (SELECT cid, dim,
+                CAST(sum(xi) AS DOUBLE)
+                  / CAST(count(*) * 1000000000000 AS DOUBLE) AS mc
+              FROM e$r GROUP BY cid, dim),
+      c${r + 1} AS (SELECT cid, list(mc ORDER BY dim) AS cv FROM m$r GROUP BY cid)"""
+
+  /** The same Lloyd round on the engine side (`s06_c` view → next
+    * centroid frame). `sort_array(collect_list(struct(dim, mc)))` is the
+    * deterministic array reassembly: dim is unique per group, so the
+    * struct sort IS the dim sort on both engines. */
+  private def sRound(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
+    s.sql("""
+      WITH c AS (SELECT cid, cv, sqrt(dot_product(cv, cv)) AS cn FROM s06_c),
+      sc AS (SELECT /*+ BROADCAST(c) */ t.vec_id, t.v, c.cid,
+               row_number() OVER (PARTITION BY t.vec_id
+                 ORDER BY dot_product(c.cv, t.v) / (c.cn * t.nrm) DESC, c.cid) AS rk
+             FROM s06_n t CROSS JOIN c),
+      asg AS (SELECT vec_id, v, cid FROM sc WHERE rk = 1),
+      e AS (SELECT cid, CAST(dim AS BIGINT) AS dim,
+              CAST(floor(xv * CAST(1000000000000 AS DOUBLE)) AS BIGINT) AS xi
+            FROM asg LATERAL VIEW posexplode(v) t AS dim, xv),
+      m AS (SELECT cid, dim,
+              CAST(sum(xi) AS DOUBLE)
+                / CAST(count(*) * 1000000000000 AS DOUBLE) AS mc
+            FROM e GROUP BY cid, dim)
+      SELECT cid, transform(sort_array(collect_list(struct(dim, mc))), x -> x.mc) AS cv
+      FROM m GROUP BY cid""")
+
+  /** Full distributed k-means: `lloydRounds` Lloyd iterations composed
+    * from the s05 update (capped K=64 deterministic seeds, broadcast
+    * centroids, (cluster, dim) partial sums — the vectors never shuffle),
+    * then the s05-style report against the final centroids (so the
+    * output schema and exactness story are identical to s05's).
+    *
+    * Driver loop mechanics: each round's centroid frame is TINY (K×64
+    * doubles) but its plan references the previous round twice —
+    * [[Q.roundCheckpoint]] truncates lineage per round exactly as d06's
+    * label propagation does (reliable checkpoint dir when configured,
+    * localCheckpoint otherwise). The iteration count is FIXED, not
+    * convergence-driven: the DuckDB oracle must run the identical
+    * unrolled computation, and a fixed count is what keeps the two
+    * engines' outputs hash-comparable (an early-stop at a detected
+    * fixpoint would still be oracle-safe — one extra Lloyd round at a
+    * fixpoint is idempotent — but buys nothing at a fixed small count).
+    * Scale: per round one broadcast assignment pass over N + one
+    * metadata-width (cluster, dim) shuffle; K is a config, never f(N). */
+  private val lloydRounds = 2
+
+  val s06 = QueryDef(
+    "s06_kmeans_lloyd",
+    (s, d) => {
+      normalized(s, d).createOrReplaceTempView("s06_n")
+      var cents = s.sql(
+        "SELECT vec_id AS cid, v AS cv FROM s06_n WHERE vec_id % 125 = 0 AND vec_id < 8000")
+      for (_ <- 1 to lloydRounds) {
+        cents.createOrReplaceTempView("s06_c")
+        val next = roundCheckpoint(sRound(s))
+        org.apache.spark.sql.GraftSqlBridge.releaseCheckpointBlocks(cents)
+        cents = next
+      }
+      cents.createOrReplaceTempView("s06_c")
+      // final report: s05's update query against the converged centroids
+      s.sql("""
+        WITH c AS (SELECT cid, cv, sqrt(dot_product(cv, cv)) AS cn FROM s06_c),
+        sc AS (SELECT /*+ BROADCAST(c) */ t.vec_id, t.v, c.cid,
+                 dot_product(c.cv, t.v) / (c.cn * t.nrm) AS cos
+               FROM s06_n t CROSS JOIN c),
+        a AS (SELECT vec_id, v, cid, cos,
+                row_number() OVER (PARTITION BY vec_id
+                  ORDER BY cos DESC, cid) AS rk
+              FROM sc),
+        asg AS (SELECT vec_id, v, cid, cos FROM a WHERE rk = 1),
+        g AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+                CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS mean_cos
+              FROM asg GROUP BY cid),
+        e AS (SELECT cid, dim,
+                CAST(floor(xv * CAST(1000000000000 AS DOUBLE)) AS BIGINT) AS xi
+              FROM asg LATERAL VIEW posexplode(v) t AS dim, xv),
+        m AS (SELECT cid, CAST(dim AS BIGINT) AS dim,
+                CAST(sum(xi) AS DOUBLE)
+                  / CAST(count(*) * 1000000000000 AS DOUBLE) AS mean_component
+              FROM e GROUP BY cid, dim)
+        SELECT m.cid AS cluster_id, m.dim, m.mean_component,
+               g.n_members, g.mean_cos
+        FROM m JOIN g ON m.cid = g.cid""")
+    },
+    Some(s"""
+      WITH e0 AS (SELECT vec_id,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                  FROM embeddings),
+      n AS (SELECT vec_id, v,
+              sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+            FROM e0),
+      c1 AS (SELECT vec_id AS cid, v AS cv FROM n
+             WHERE vec_id % 125 = 0 AND vec_id < 8000),
+      ${(1 to lloydRounds).map(oRound).mkString(",")},
+      cF AS (SELECT cid, cv,
+               sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(cv, x -> x * x)), (a, b) -> a + b)) AS cn
+             FROM c${lloydRounds + 1}),
+      scF AS (SELECT t.vec_id, t.v, c.cid,
+                list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(list_zip(c.cv, t.v), s -> s[1] * s[2])),
+                  (acc, z) -> acc + z) / (c.cn * t.nrm) AS cos
+              FROM n t CROSS JOIN cF c),
+      aF AS (SELECT vec_id, v, cid, cos,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cos DESC, cid) AS rk
+             FROM scF),
+      asgF AS (SELECT vec_id, v, cid, cos FROM aF WHERE rk = 1),
+      gF AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+               CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS mean_cos
+             FROM asgF GROUP BY cid),
+      ixF AS (SELECT cid, v, unnest(range(len(v))) AS dim FROM asgF),
+      eF AS (SELECT cid, dim,
+               CAST(floor(v[dim + 1] * CAST(1000000000000 AS DOUBLE)) AS BIGINT) AS xi
+             FROM ixF),
+      mF AS (SELECT cid, CAST(dim AS BIGINT) AS dim,
+               CAST(sum(xi) AS DOUBLE)
+                 / CAST(count(*) * 1000000000000 AS DOUBLE) AS mean_component
+             FROM eF GROUP BY cid, dim)
+      SELECT mF.cid AS cluster_id, mF.dim, mF.mean_component,
+             gF.n_members, gF.mean_cos
+      FROM mF JOIN gF ON mF.cid = gF.cid"""))
+
+  val all: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06)
 }

@@ -68,7 +68,7 @@ class QueriesSpec extends AnyFunSuite {
     }
     val names = Seq("q44_bm25_search", "d06_dedup_clusters",
       "q46_corpus_report", "q50_sequence_pipeline", "q08_running_totals",
-      "d11_span_dedup", "t09_token_surprisal")
+      "d11_span_dedup", "t09_token_surprisal", "s06_kmeans_lloyd")
     val base = names.map(n => n -> run(n)).toMap
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "7")
@@ -158,6 +158,23 @@ class QueriesSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(exact.nonEmpty, "fixture must produce at least one contaminated doc")
     assert(bloomed == exact, "bloom prefilter changed the decontamination result")
+  }
+
+  test("s06 Lloyd output partitions the corpus over the seed cluster ids") {
+    import org.apache.spark.sql.functions.col
+    // argmax assignment gives every vector exactly ONE cluster, and Lloyd
+    // updates can empty a seed's cluster but never mint a new id — so the
+    // per-cluster member counts must sum to |embeddings| and every
+    // cluster_id must come from the deterministic seed set
+    val out = SparkEntry.queries("s06_kmeans_lloyd")(spark, dir)
+      .where(col("dim") === 0).collect()
+    val nVec = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(out.map(_.getAs[Long]("n_members")).sum == nVec,
+      "cluster memberships must partition the corpus")
+    out.foreach { r =>
+      val cid = r.getAs[Long]("cluster_id")
+      assert(cid % 125 == 0 && cid < 8000, s"cluster id $cid not a seed id")
+    }
   }
 
   test("d06 identical under reliable checkpoint (cluster durability path)") {
