@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 import Q._
 
 /** Multimodal-column plumbing: media payloads ride as opaque `binary`
@@ -10,43 +9,29 @@ import Q._
   * Scala analogue of `mapInPandas`: one iterator per partition, codec state
   * initialized once per partition, rows streamed through).
   *
-  * The actual codec is a STUB (no image/audio libraries in this container):
-  * `decodeStub` derives deterministic fake dimensions from the byte
-  * payload. The Spark-side plumbing — binary schema, encoder round-trip,
-  * partition-wise batching, metadata struct — is real and oracle-checked
-  * (the fake is a pure function of payload length, expressible in SQL).
-  */
+  * Decoding is behind the pluggable [[MediaCodec]] seam; the gate queries
+  * run the deterministic [[MediaCodec.Stub]] (no media libraries in this
+  * container), whose outputs are pure functions of the payload bytes and
+  * therefore SQL-expressible — the plumbing is real and oracle-checked. */
 object MultimodalOps {
 
   final case class MediaIn(doc_id: Long, payload: Array[Byte], source: String)
   final case class MediaMeta(doc_id: Long, media_type: String, width: Long,
       height: Long, n_frames: Long, size_bytes: Long)
 
-  /** STUB decode: real implementation would parse the container header /
-    * decode frames here (per-partition codec init, then per-row decode). */
-  private def decodeStub(in: MediaIn): MediaMeta = {
-    val len = in.payload.length.toLong
-    MediaMeta(
-      doc_id = in.doc_id,
-      media_type = if (len % 3 == 0) "image" else if (len % 3 == 1) "audio" else "video",
-      width = (len * 31 + 7) % 640 + 1,
-      height = (len * 17 + 3) % 480 + 1,
-      n_frames = len % 30 + 1,
-      size_bytes = len)
-  }
-
-  /** Reusable stage: binary-payload Dataset → metadata Dataset. */
-  def decodeMetadata(spark: SparkSession, media: DataFrame): DataFrame = {
+  /** Reusable stage: binary-payload Dataset → metadata Dataset. The codec
+    * session opens once per partition (decoder init), then rows stream. */
+  def decodeMetadata(spark: SparkSession, media: DataFrame,
+      codec: MediaCodec = MediaCodec.Stub): DataFrame = {
     import spark.implicits._
     media.as[MediaIn].mapPartitions { it =>
-      // per-partition codec bootstrap would go here (mirrors
-      // Worker::bootstrap, /root/reference/gasket/src/framework.rs:103)
-      it.map(decodeStub)
+      val sess = codec.open()
+      it.map(sess.metadata)
     }.toDF()
   }
 
-  /** Documents' text bytes stand in for media payloads; metadata is a pure
-    * function of payload length → SQL oracle (ASCII text: chars == bytes). */
+  /** Documents' text bytes stand in for media payloads; stub metadata is a
+    * pure function of payload length → SQL oracle (ASCII: chars == bytes). */
   val m01 = QueryDef(
     "m01_media_metadata",
     (s, d) => {
@@ -70,42 +55,29 @@ object MultimodalOps {
   final case class FrameMeta(doc_id: Long, frame_idx: Long, byte_start: Long,
       n_bytes: Long, frame_md5: String)
 
-  /** Shared slice-and-digest mechanics for the per-partition "codecs":
-    * clamp-slice `[start, start+len)` out of the payload and hex-digest
-    * it with the partition's digest instance. */
-  private def sliceDigest(md: java.security.MessageDigest,
-      payload: Array[Byte], start: Int, len: Int): (Array[Byte], String) = {
-    val bytes = java.util.Arrays.copyOfRange(
-      payload, start, math.min(start + len, payload.length))
-    md.reset()
-    (bytes, md.digest(bytes).map("%02x".format(_)).mkString)
-  }
-
   /** Frame sampling: slice each binary payload into fixed-size frames and
     * keep every Nth (the video/audio "sample k frames per clip" stage).
-    * Same per-partition batch shape as [[decodeMetadata]]: the digest
-    * "codec" is initialized once per partition and rows stream through —
-    * swap `MessageDigest` for a real decoder and nothing else changes.
-    * Row-wise flatMap: no shuffle, output is offsets + per-frame digests
-    * (provenance a downstream trainer can verify). */
+    * Same per-partition batch shape as [[decodeMetadata]]: the codec
+    * session is the per-partition state — a real decoder replaces the
+    * stub and nothing else changes. Row-wise flatMap: no shuffle, output
+    * is offsets + per-frame digests (provenance a downstream trainer can
+    * verify). */
   def sampleFrames(spark: SparkSession, media: DataFrame,
-      frameBytes: Int = 64, every: Int = 4): DataFrame = {
+      frameBytes: Int = 64, every: Int = 4,
+      codec: MediaCodec = MediaCodec.Stub): DataFrame = {
     import spark.implicits._
-    val ds = media.as[MediaIn].mapPartitions { it =>
-      // per-partition codec bootstrap (mirrors Worker::bootstrap,
-      // /root/reference/gasket/src/framework.rs:103)
-      val md = java.security.MessageDigest.getInstance("MD5")
+    media.as[MediaIn].mapPartitions { it =>
+      val sess = codec.open()
       it.flatMap { m =>
         val len = m.payload.length
         val nFrames = (len + frameBytes - 1) / frameBytes
         (0 until nFrames by every).iterator.map { fi =>
           val start = fi * frameBytes
-          val (bytes, hex) = sliceDigest(md, m.payload, start, frameBytes)
+          val (bytes, hex) = sess.slice(m.payload, start, frameBytes)
           FrameMeta(m.doc_id, fi.toLong, start + 1L, bytes.length.toLong, hex)
         }
       }
-    }
-    ds.toDF()
+    }.toDF()
   }
 
   /** Oracle: ASCII payloads mean byte slices == character substrings, so
@@ -135,29 +107,25 @@ object MultimodalOps {
 
   /** Overlapping window segmentation — the audio analysis-frame shape
     * (STFT-style: window W bytes, hop H < W, 50% overlap by default).
-    * Per window: an energy proxy (exact unsigned-byte sum — the stand-in
-    * for the spectral feature a real DSP codec would emit) and a digest.
+    * Per window: the codec's scalar feature (stub: exact unsigned-byte
+    * sum — the stand-in for a spectral feature) and a content digest.
     * Tail windows shorter than W are kept (documented; an equal-length
     * formulation would drop starts past len − W). Same per-partition
-    * batch shape as [[sampleFrames]]: swap the digest/energy loop for a
-    * real FFT and nothing else changes. Row-wise flatMap — no shuffle. */
+    * batch shape as [[sampleFrames]]. Row-wise flatMap — no shuffle. */
   def segmentWindows(spark: SparkSession, media: DataFrame,
-      winBytes: Int = 96, hopBytes: Int = 48): DataFrame = {
+      winBytes: Int = 96, hopBytes: Int = 48,
+      codec: MediaCodec = MediaCodec.Stub): DataFrame = {
     import spark.implicits._
     media.as[MediaIn].mapPartitions { it =>
-      // per-partition codec bootstrap (mirrors Worker::bootstrap,
-      // /root/reference/gasket/src/framework.rs:103)
-      val md = java.security.MessageDigest.getInstance("MD5")
+      val sess = codec.open()
       it.flatMap { m =>
         val len = m.payload.length
         val nWin = (len + hopBytes - 1) / hopBytes
         (0 until nWin).iterator.map { wi =>
           val start = wi * hopBytes
-          val (bytes, hex) = sliceDigest(md, m.payload, start, winBytes)
-          var e = 0L
-          var i = 0
-          while (i < bytes.length) { e += (bytes(i) & 0xff); i += 1 }
-          WinMeta(m.doc_id, wi.toLong, start + 1L, bytes.length.toLong, e, hex)
+          val (bytes, hex) = sess.slice(m.payload, start, winBytes)
+          WinMeta(m.doc_id, wi.toLong, start + 1L, bytes.length.toLong,
+            sess.feature(bytes), hex)
         }
       }
     }.toDF()
