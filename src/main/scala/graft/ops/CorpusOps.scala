@@ -404,10 +404,23 @@ object CorpusOps {
               Window.partitionBy($"lang", $"blk").orderBy($"doc_id", $"st")
                 .rowsBetween(Window.unboundedPreceding, Window.currentRow))
             - $"n_chunk_tokens")
+      // The summary's two count(DISTINCT)s (the oracle's spelling) compile
+      // to an Expand that triples every chunk row through a wide exchange
+      // — measured as the dominant q50 cost at 64×. Both are replaced by
+      // exact plain aggregates:
+      //  - n_docs: every kept doc emits exactly ONE st=1 chunk (the
+      //    explode starts at 1 and kept docs have n_tokens ≥ 5), so
+      //    counting st=1 rows IS the distinct doc count;
+      //  - n_packs: pack ids are DENSE per lang — cum_before grows by the
+      //    previous chunk's ≤ 50 tokens ≪ 2048, so consecutive pack ids
+      //    differ by at most 1 and start at 0 — hence max(pack)+1 IS the
+      //    distinct pack count.
+      // One straight HashAggregate pass; no row multiplication.
+      import org.apache.spark.sql.functions.{max, when}
       p.groupBy($"lang")
-        .agg(countDistinct($"doc_id").as("n_docs"),
+        .agg(fsum(when($"st" === 1L, 1L).otherwise(0L)).as("n_docs"),
           count(lit(1)).as("n_chunks"),
-          countDistinct(expr("cum_before DIV 2048")).as("n_packs"),
+          (max(expr("cum_before DIV 2048")) + 1L).as("n_packs"),
           fsum($"n_chunk_tokens").as("n_tokens_packed"))
     },
     Some(s"""
