@@ -79,7 +79,17 @@ object Relational {
         AND l_shipdate < timestamp '1998-01-01'"""))
 
   // ---------------------------------------------------------------- q03
-  /** TPC-H Q3 shape: fact⋈fact⋈dim join, agg, deterministic top-10. */
+  /** TPC-H Q3 shape: fact⋈fact⋈dim join, agg, deterministic top-10.
+    *
+    * Scale note (round 6): the revenue agg groups by (l_orderkey,
+    * o_orderdate) — one group per order, so per-group sums are
+    * schema-bounded (≤ 7 lineitems/order × extprice ≤ ~1e5 → ≤ ~7e5,
+    * or ~7e11 after 6-decimal scaling — far inside BIGINT). That makes
+    * it eligible for [[Q.sumLong6]] (the q17/q18 treatment): 64-bit adds
+    * in the hot partial aggregation instead of 128-bit decimal(18,6)
+    * arithmetic over the full fact table. The exchange already carries
+    * only (orderkey, date, partial-sum) — the long sums shrink the
+    * per-row agg cost, not the (correct) shuffle shape. */
   val q03 = QueryDef(
     "q03_shipping_priority",
     (s, d) => {
@@ -90,14 +100,16 @@ object Relational {
         .join(li(s, d), $"o_orderkey" === $"l_orderkey")
         .where($"l_shipdate" > lit("1998-06-30").cast("timestamp"))
         .groupBy($"l_orderkey", $"o_orderdate")
-        .agg(sumd($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+        .agg((sumLong6($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast("double")
+          / lit(1000000d)).as("revenue"))
         .select($"l_orderkey", dateStr($"o_orderdate").as("o_orderdate"), $"revenue")
         .orderBy($"revenue".desc, $"l_orderkey")
         .limit(10)
     },
     Some(s"""
       SELECT l_orderkey, ${oDateStr("o_orderdate")} AS o_orderdate,
-             ${oSumd("l_extendedprice * (cast(1 as double) - l_discount)")} AS revenue
+             (CAST(${oSumLong6("l_extendedprice * (cast(1 as double) - l_discount)")} AS DOUBLE)
+                / CAST(1000000 AS DOUBLE)) AS revenue
       FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON o_orderkey = l_orderkey

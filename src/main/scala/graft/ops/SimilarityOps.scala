@@ -16,19 +16,40 @@ import Q._
   */
 object SimilarityOps {
 
-  /** Hyperplane count: buckets = 2^lshPlanes, expected candidates/query ≈
-    * (lshPlanes+1)/2^lshPlanes of the corpus (own bucket + the Hamming-1
-    * probes). This is THE recall/cost dial: more planes → smaller buckets
-    * → fewer candidates, and multi-probe buys back the recall the extra
-    * splits cost. 7 planes + multi-probe gives (7+1)/2^7 = 1/16 — the
-    * IDENTICAL candidate budget to the round-4 fixed 4-plane/no-probe
-    * setting — while dominating its recall at every per-plane collision
-    * probability p (p^7 + 7p^6(1-p) > p^4 for all p in (0,1)): measured
-    * recall@5 mean over the fixed query set rose 0.28 → 0.32 at sf0.01.
-    * 8 planes + probe halves the candidates again but was measured to
-    * LOSE recall on moderate-cosine neighbors (p < 0.7) — the dial is
-    * exposed here precisely so a deployment can trade on its own data. */
-  private[graft] val lshPlanes = 7
+  /** Multi-table LSH dials (the d02-banding idea applied to KNN): L
+    * independent hyperplane tables of `lshPlanes` planes each; a vector
+    * lands in one bucket PER TABLE, and a query probes its own bucket
+    * plus the Hamming-1 neighbors in EVERY table, unioning candidates.
+    *
+    * Recall: with per-plane collision probability p (p = 1 − θ/π under
+    * random hyperplanes; p ≥ 0.5 for positive-cosine neighbors, which is
+    * the regime that matters here), a table catches a neighbor with
+    * P₁ = p^k + k·p^(k−1)(1−p) and L tables catch it with 1 − (1−P₁)^L —
+    * the OR over independent tables is the recall multiplier banding
+    * gives d02.
+    *
+    * The dials were chosen by measurement, not the formula: the testdata
+    * embeddings are an ADVERSARIAL regime for hyperplane LSH — true
+    * top-5 neighbors sit at cos ≈ 0.27–0.45, i.e. p ≈ 0.59–0.65 against
+    * a 0.5 random-pair background, so candidate sets must be large at
+    * any useful recall (e2LSH exponent ρ = ln p₁ / ln p₂ ≈ 0.71). The
+    * measured frontier over (k, L, probe) on the real embeddings
+    * (grid-searched at sf0.01 AND sf0.1; query-directed probing was
+    * dominated by plain Hamming-1 everywhere at these distances):
+    *
+    *   k=8 L=4  H1: recall@5 0.48, candidates ≈ 15% of corpus (round-5⁺)
+    *   k=8 L=8  H1: recall@5 0.60, 24%
+    *   k=8 L=14 H1: recall@5 0.68 (min 0.60/query; 0.77 at sf0.1), 35%
+    *   k=9 L=16 H1: recall@5 0.64, 25% — more index for less recall
+    *
+    * k=8/L=14 is the shipped point: the ≥0.6-mean bar with per-query
+    * margin at both scales. SimilaritySpec asserts the recall floor and
+    * pins the candidate budget so a dial change that silently regresses
+    * either becomes a build failure. On easier (higher-cosine) corpora
+    * the same dials give far better budget — both are exposed precisely
+    * so a deployment can trade on its own data. */
+  private[graft] val lshPlanes = 8
+  private[graft] val lshTables = 14
 
   /** Fixed evaluation query set: every 100th vec_id, capped at 25 queries.
     * The cap matters at scale: a bare modulus keeps |Q| proportional to
@@ -36,15 +57,32 @@ object SimilarityOps {
     * work — the query workload must be a benchmark constant, not a
     * function of corpus size. The cap does not bind at the gate/bench SFs
     * (all vec_ids < 2500 there), same trick as the s05 centroid cap. */
-  private val qSet = "vec_id % 100 = 0 AND vec_id < 2500"
+  private[graft] val qSet = "vec_id % 100 = 0 AND vec_id < 2500"
 
-  /** Pseudo-random hyperplane component c(p, j) for plane p, dim j:
-    * Knuth-hash of (p*64+j) → [-1.000, 1.000] in 0.001 steps. Exact
+  /** Pseudo-random hyperplane component c(gp, j) for GLOBAL plane id gp
+    * (= tbl·lshPlanes + p, so every table draws distinct planes), dim j:
+    * Knuth-hash of (gp*64+j) → [-1.000, 1.000] in 0.001 steps. Exact
     * integer arithmetic + one division by 1000.0 on both engines. */
-  private val planeS =
-    "(CAST(((p*64 + j) * 2654435761) % 4294967296 % 2001 AS BIGINT) - 1000) / 1000.0"
-  private val planeO =
-    "(CAST(((p*64 + j) * 2654435761) % 4294967296 % 2001 AS BIGINT) - 1000) / 1000.0"
+  private def plane(gp: String) =
+    s"(CAST(((($gp)*64 + j) * 2654435761) % 4294967296 % 2001 AS BIGINT) - 1000) / 1000.0"
+  private val planeS = plane(s"tbl*$lshPlanes + p")
+  private val planeO = planeS // identical integer arithmetic in both dialects
+
+  /** Shared candidate-generation CTE chain (query probes → unioned,
+    * deduped candidate id pairs) over the `s02_n`/`s02_idx` views. Shared
+    * with SimilaritySpec so the committed budget measurement can never
+    * drift from what s02 actually executes. */
+  private[graft] def candCte: String = s"""
+        q AS (SELECT vec_id AS query_id FROM s02_n WHERE $qSet),
+        qi AS (SELECT /*+ BROADCAST(q) */ i.vec_id AS query_id, i.tbl, i.bkt
+               FROM s02_idx i JOIN q ON i.vec_id = q.query_id),
+        pr AS (SELECT query_id, tbl, pb
+               FROM qi LATERAL VIEW explode(concat(array(bkt),
+                 transform(sequence(0, ${lshPlanes - 1}),
+                   p -> bkt ^ shiftleft(CAST(1 AS BIGINT), p)))) x AS pb),
+        cand AS (SELECT /*+ BROADCAST(pr) */ DISTINCT query_id, i.vec_id AS neighbor_id
+                 FROM pr JOIN s02_idx i ON i.tbl = pr.tbl AND i.bkt = pr.pb
+                 WHERE i.vec_id <> query_id)"""
 
   /** Normalized double vectors with norms, staged once per data dir and
     * shared by every similarity query (s01 broadcast side + corpus side,
@@ -99,32 +137,41 @@ object SimilarityOps {
       FROM r WHERE rn <= 5"""),
     headline = true)
 
+  /** Multi-table LSH KNN. The index is METADATA-WIDTH — (vec_id, tbl,
+    * bkt), L rows per vector, never the vectors — i.e. the L hash tables
+    * of classic multi-table LSH carried as ~24 bytes/row. Candidates are
+    * unioned across tables and DEDUPED (DISTINCT on the id pair) before
+    * any vector is touched, so the exact-rerank cost is per unique
+    * candidate, not per (table, probe) hit. Vector lookups then ride two
+    * broadcast joins: the |Q|-row query-vector frame, and the bounded
+    * candidate frame (|Q| is a benchmark constant — see [[qSet]] — so
+    * |cand| ≤ |Q|·E[bucket] is bounded too); the corpus table never
+    * shuffles. At a scale where a deployment lets |Q| grow past broadcast
+    * range, drop the hints and both degrade to co-partitioned hash joins
+    * on vec_id. */
   val s02 = QueryDef(
     "s02_knn_lsh",
     (s, d) => {
-      val n = staged("s02_n", d) {
-        withViews(s, d, "embeddings")(s"""
-          WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                     FROM embeddings)
-          SELECT vec_id, v,
-                 sqrt(dot_product(v, v)) AS nrm,
+      normalized(s, d).createOrReplaceTempView("s02_n")
+      val idx = staged("s02_idx", d) {
+        s.sql(s"""
+          SELECT vec_id, tbl,
                  aggregate(sequence(0, ${lshPlanes - 1}), CAST(0 AS BIGINT), (acc, p) ->
                    acc + CASE WHEN aggregate(sequence(0, 63), CAST(0 AS DOUBLE),
                      (a, j) -> a + element_at(v, j+1) * $planeS) >= 0
                    THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END) AS bkt
-          FROM e""")
+          FROM s02_n LATERAL VIEW explode(sequence(0, ${lshTables - 1})) x AS tbl""")
       }
-      n.createOrReplaceTempView("s02_n")
+      idx.createOrReplaceTempView("s02_idx")
       s.sql(s"""
-        WITH q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bkt AS qb FROM s02_n
-              WHERE $qSet),
-        pr AS (SELECT query_id, qv, qn, pb
-               FROM q LATERAL VIEW explode(concat(array(qb),
-                 transform(sequence(0, ${lshPlanes - 1}),
-                   p -> qb ^ shiftleft(CAST(1 AS BIGINT), p)))) x AS pb),
-        sc AS (SELECT /*+ BROADCAST(pr) */ query_id, t.vec_id AS neighbor_id,
-                 dot_product(qv, t.v) / (qn * t.nrm) AS cos
-               FROM pr JOIN s02_n t ON t.bkt = pb AND t.vec_id <> query_id),
+        WITH $candCte,
+        qv AS (SELECT vec_id, v, nrm FROM s02_n WHERE $qSet),
+        sc0 AS (SELECT /*+ BROADCAST(qv) */ query_id, neighbor_id,
+                  qv.v AS qvv, qv.nrm AS qvn
+                FROM cand JOIN qv ON qv.vec_id = cand.query_id),
+        sc AS (SELECT /*+ BROADCAST(sc0) */ query_id, neighbor_id,
+                 dot_product(qvv, t.v) / (qvn * t.nrm) AS cos
+               FROM sc0 JOIN s02_n t ON t.vec_id = sc0.neighbor_id),
         r AS (SELECT query_id, neighbor_id, cos,
                 row_number() OVER (PARTITION BY query_id
                                    ORDER BY cos DESC, neighbor_id) AS rn
@@ -137,26 +184,33 @@ object SimilarityOps {
                  FROM embeddings),
       n AS (SELECT vec_id, v,
               sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm,
-              list_reduce(list_prepend(CAST(0 AS BIGINT),
-                list_transform(range(0, $lshPlanes), p ->
-                  CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                    list_transform(range(0, 64), j -> v[j+1] * $planeO)),
-                    (a, b) -> a + b) >= 0
-                  THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)),
-                (a, b) -> a + b) AS bkt
+                list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
             FROM e),
-      q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bkt AS qb FROM n
-            WHERE $qSet),
-      pr AS (SELECT query_id, qv, qn,
-               unnest(list_concat([qb], list_transform(range(0, $lshPlanes),
-                 p -> xor(qb, CAST(1 AS BIGINT) << p)))) AS pb
-             FROM q),
-      sc AS (SELECT query_id, t.vec_id AS neighbor_id,
+      idx AS (SELECT vec_id, tbl,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(0, $lshPlanes), p ->
+                    CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(range(0, 64), j -> v[j+1] * $planeO)),
+                      (a, b) -> a + b) >= 0
+                    THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)),
+                  (a, b) -> a + b) AS bkt
+              FROM n CROSS JOIN (SELECT unnest(range(0, $lshTables)) AS tbl) tables),
+      q AS (SELECT vec_id AS query_id FROM n WHERE $qSet),
+      qi AS (SELECT i.vec_id AS query_id, i.tbl, i.bkt
+             FROM idx i JOIN q ON i.vec_id = q.query_id),
+      pr AS (SELECT query_id, tbl,
+               unnest(list_concat([bkt], list_transform(range(0, $lshPlanes),
+                 p -> xor(bkt, CAST(1 AS BIGINT) << p)))) AS pb
+             FROM qi),
+      cand AS (SELECT DISTINCT pr.query_id, i.vec_id AS neighbor_id
+               FROM pr JOIN idx i ON i.tbl = pr.tbl AND i.bkt = pr.pb
+               WHERE i.vec_id <> pr.query_id),
+      sc AS (SELECT cand.query_id, cand.neighbor_id,
                list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                 list_transform(list_zip(qv, t.v), s -> s[1] * s[2])),
-                 (acc, z) -> acc + z) / (qn * t.nrm) AS cos
-             FROM pr JOIN n t ON t.bkt = pb AND t.vec_id <> query_id),
+                 list_transform(list_zip(q2.v, t.v), s -> s[1] * s[2])),
+                 (acc, z) -> acc + z) / (q2.nrm * t.nrm) AS cos
+             FROM cand JOIN n q2 ON q2.vec_id = cand.query_id
+                       JOIN n t ON t.vec_id = cand.neighbor_id),
       r AS (SELECT query_id, neighbor_id, cos,
               row_number() OVER (PARTITION BY query_id
                                  ORDER BY cos DESC, neighbor_id) AS rn
@@ -264,8 +318,16 @@ object SimilarityOps {
   val s04 = QueryDef(
     "s04_ann_recall",
     (s, d) => {
-      s01.run(s, d).createOrReplaceTempView("s04_bf")
-      s02.run(s, d).createOrReplaceTempView("s04_lsh")
+      // Both searches share the staged normalized-vector cache (by design
+      // — one copy of the corpus), which makes this comparison a self-join
+      // over the same relations; Spark's DeduplicateRelations trips an
+      // analyzer bug (UnresolvedException: invalid call to exprId) on that
+      // shape. Each result is only |Q|·k rows, so an eager localCheckpoint
+      // truncates the shared lineage for free — and is the honest shape
+      // anyway: the eval join must compare MATERIALIZED search results,
+      // never re-derive the searches inside its own plan.
+      s01.run(s, d).localCheckpoint(true).createOrReplaceTempView("s04_bf")
+      s02.run(s, d).localCheckpoint(true).createOrReplaceTempView("s04_lsh")
       s.sql("""
         SELECT b.query_id,
                CAST(count(l.neighbor_id) AS BIGINT) AS n_hit,
