@@ -11,13 +11,20 @@ object Sessions {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // Let AQE coalesce small shuffles all the way down: the default
-      // (parallelismFirst=true) pins ~one partition per core even when a
-      // stage's whole output is kilobytes, so iterative/tiny stages pay
-      // 32 task overheads for no parallelism gain. With `false` the
-      // 64 MB advisory target governs — the right behavior BOTH at bench
-      // scale (tiny shuffle → 1 task) and at 100 TB (64 MB partitions).
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // AQE partition coalescing: keep the default parallelismFirst=true.
+      // Round 5 ran with `false` (64 MB advisory governs) to stop tiny
+      // iterative shuffles paying 32 task overheads — but a 64×-scale
+      // stage profile (round 6) showed it coalescing q18's 178 MB reduce
+      // to THREE tasks (2.5 s on 3 of 32 cores: the whole q18 "gap" vs
+      // DuckDB was self-inflicted serialization, not exchange cost).
+      // The default computes target = min(advisory 64 MB,
+      // max(stageBytes/parallelism, minPartitionSize 1 MB)), which does
+      // the right thing in BOTH regimes: kilobyte shuffles still coalesce
+      // to ~one task (1 MB floor), medium shuffles keep full parallelism,
+      // and at 100 TB the 64 MB advisory cap governs exactly as before.
+      // (A 4 MB floor was also tried for the iterative few-MB shuffles of
+      // d06/q40 — measured as noise at sf0.1 and strictly worse than the
+      // default at 64×, so the stock dials stand.)
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is parquet TIMESTAMP(NANOS); see graft.ops.Q.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

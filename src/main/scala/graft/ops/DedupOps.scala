@@ -256,7 +256,7 @@ object DedupOps {
     (s, d) => {
       import s.implicits._
       import org.apache.spark.sql.functions.{min, when, lit}
-      val labels = staged("d06_labels", d) {
+      val labels = staged("d06_labels", d) { withAdvisoryCoalesce(s) {
         val pairs = d02.run(s, d).select($"doc_a", $"doc_b")
         val edges = staged("d06_edges", d) {
           pairs.unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
@@ -297,7 +297,7 @@ object DedupOps {
           cur = next
         }
         cur
-      }
+      } }
       labels.select($"id".as("doc_id"), $"cluster".as("cluster_id"),
         ($"id" =!= $"cluster").as("is_duplicate"))
     },

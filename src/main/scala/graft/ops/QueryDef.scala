@@ -147,6 +147,28 @@ object Q {
       }
   }
 
+  /** Run `body` with AQE shuffle coalescing governed purely by the 64 MB
+    * advisory size (`parallelismFirst=false`), restoring the session's
+    * setting afterwards. For ITERATIVE operators (d06 label propagation,
+    * s06 Lloyd rounds) whose per-round shuffles carry metadata-width rows:
+    * a round is a synchronization barrier, so fewer, larger reduce tasks
+    * beat parallelism-first splitting at every scale — locally the 1 MB
+    * floor would split a 20 MB round-shuffle into 20 tasks of overhead,
+    * and on a cluster advisory-sized (64 MB) partitions minimize the
+    * per-round barrier cost the same way. Single-pass queries must NOT run
+    * under this: a 64×-scale profile showed the advisory target coalescing
+    * q18's 178 MB reduce onto 3 of 32 cores (see [[graft.Sessions]]). */
+  def withAdvisoryCoalesce[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   /** Per-round lineage truncation for iterative algorithms (d06 label
     * propagation, s06 Lloyd iterations). Each round must read the previous
     * round's BLOCKS, never its plan — without this the final plan

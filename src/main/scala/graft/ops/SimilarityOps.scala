@@ -502,11 +502,13 @@ object SimilarityOps {
       normalized(s, d).createOrReplaceTempView("s06_n")
       var cents = s.sql(
         "SELECT vec_id AS cid, v AS cv FROM s06_n WHERE vec_id % 125 = 0 AND vec_id < 8000")
-      for (_ <- 1 to lloydRounds) {
-        cents.createOrReplaceTempView("s06_c")
-        val next = roundCheckpoint(sRound(s))
-        org.apache.spark.sql.GraftSqlBridge.releaseCheckpointBlocks(cents)
-        cents = next
+      withAdvisoryCoalesce(s) {
+        for (_ <- 1 to lloydRounds) {
+          cents.createOrReplaceTempView("s06_c")
+          val next = roundCheckpoint(sRound(s))
+          org.apache.spark.sql.GraftSqlBridge.releaseCheckpointBlocks(cents)
+          cents = next
+        }
       }
       cents.createOrReplaceTempView("s06_c")
       // final report: s05's update query against the converged centroids
