@@ -9,6 +9,34 @@ import Q._
   */
 object CorpusOps {
 
+  /** Chunk/packing geometry — ONE definition interpolated into the engine
+    * Dataset code, the engine SQL, and the oracle SQL alike (q47, q48,
+    * q50), so retuning can never silently break engine↔oracle
+    * equivalence. The q50 summary's exact-plain-aggregate rewrite
+    * (n_docs = count of st=1 rows, n_packs = max(pack)+1) is only valid
+    * while a chunk is smaller than a pack (consecutive pack ids then
+    * differ by ≤ 1), so that relationship is enforced at load, not by
+    * comment. */
+  private[graft] val chunkTokens = 50
+  private[graft] val hopTokens = 40
+  private[graft] val packTokens = 2048
+  require(chunkTokens < packTokens,
+    "q50's n_packs = max(pack)+1 rewrite requires chunkTokens < packTokens")
+
+  /** Packing prefix-sum block width (docs per block) for q48/q50's
+    * two-phase distributed prefix sum — a JVM-level dial
+    * (`-Dgraft.pack.blockDocs=N`). The phase-1 offset table carries
+    * N_docs / packBlockDocs rows and rides a broadcast join, so the
+    * default 4096 holds to ~10⁹ docs (~250 k offset rows); past that,
+    * either raise the dial (each phase-2 window group is ≤ blockDocs
+    * rows — 64 k blocks are still instant) or apply the same two-phase
+    * trick to the offset table itself (a second prefix level: blocks of
+    * blocks). The second level is deliberately NOT pre-built: it adds a
+    * shuffle every run to serve a regime the dial alone covers past
+    * 10¹² docs. */
+  private[graft] val packBlockDocs: Long =
+    sys.props.getOrElse("graft.pack.blockDocs", "4096").toLong
+
   /** Deterministic stratified sampling: every document hashes to a bucket
     * (portable `char_fold` of its id — NO rand(): re-running the pipeline
     * reproduces the same sample, the property that matters when a 100 TB
@@ -238,24 +266,24 @@ object CorpusOps {
     (s, d) => withViews(s, d, "documents")(s"""
       WITH t AS (SELECT doc_id, split($sNorm, ' ') AS w FROM documents),
       c AS (SELECT doc_id, w, st FROM t
-            LATERAL VIEW explode(sequence(1, size(w), 40)) x AS st)
+            LATERAL VIEW explode(sequence(1, size(w), $hopTokens)) x AS st)
       SELECT doc_id,
-             CAST((st - 1) DIV 40 AS BIGINT) AS chunk_idx,
+             CAST((st - 1) DIV $hopTokens AS BIGINT) AS chunk_idx,
              CAST(st AS BIGINT) AS start_tok,
-             CAST(least(st + 49, size(w)) AS BIGINT) AS end_tok,
-             CAST(size(slice(w, st, 50)) AS BIGINT) AS n_chunk_tokens,
-             array_join(slice(w, st, 50), ' ') AS chunk_text
+             CAST(least(st + ${chunkTokens - 1}, size(w)) AS BIGINT) AS end_tok,
+             CAST(size(slice(w, st, $chunkTokens)) AS BIGINT) AS n_chunk_tokens,
+             array_join(slice(w, st, $chunkTokens), ' ') AS chunk_text
       FROM c"""),
     Some(s"""
       WITH t AS (SELECT doc_id, string_split($oNorm, ' ') AS w FROM documents),
-      c AS (SELECT doc_id, w, unnest(range(1, len(w) + 1, 40)) AS st FROM t)
+      c AS (SELECT doc_id, w, unnest(range(1, len(w) + 1, $hopTokens)) AS st FROM t)
       SELECT doc_id,
-             CAST((st - 1) // 40 AS BIGINT) AS chunk_idx,
+             CAST((st - 1) // $hopTokens AS BIGINT) AS chunk_idx,
              CAST(st AS BIGINT) AS start_tok,
-             CAST(least(st + 49, len(w)) AS BIGINT) AS end_tok,
-             CAST(len(list_slice(w, st, least(st + 49, len(w)))) AS BIGINT)
+             CAST(least(st + ${chunkTokens - 1}, len(w)) AS BIGINT) AS end_tok,
+             CAST(len(list_slice(w, st, least(st + ${chunkTokens - 1}, len(w)))) AS BIGINT)
                AS n_chunk_tokens,
-             array_to_string(list_slice(w, st, least(st + 49, len(w))), ' ')
+             array_to_string(list_slice(w, st, least(st + ${chunkTokens - 1}, len(w))), ' ')
                AS chunk_text
       FROM c"""))
 
@@ -270,7 +298,9 @@ object CorpusOps {
     * (`sum() OVER (PARTITION BY lang ORDER BY doc_id)`) sorts each whole
     * language inside ONE task: with a handful of languages a 100 TB
     * corpus funnels through ~5 tasks. Instead, rows bucket into fixed
-    * doc_id blocks (`blk = doc_id DIV 4096` — deterministic, monotone in
+    * doc_id blocks (`blk = doc_id DIV packBlockDocs` — a config dial,
+    * default 4096, see [[packBlockDocs]] for the >10⁹-doc sizing story —
+    * deterministic, monotone in
     * the packing order, so block order = row order); phase 1 aggregates
     * per-(lang, blk) token subtotals (map-side partial agg → the exchange
     * carries one row per block, not per doc); the subtotal table is tiny
@@ -288,11 +318,11 @@ object CorpusOps {
         withViews(s, d, "documents")(s"""
           SELECT doc_id, lang,
                  CAST(size(split($sNorm, ' ')) AS BIGINT) AS n_tokens,
-                 CAST(doc_id DIV 4096 AS BIGINT) AS blk
+                 CAST(doc_id DIV $packBlockDocs AS BIGINT) AS blk
           FROM documents""")
       }
       t.createOrReplaceTempView("q48_t")
-      s.sql("""
+      s.sql(s"""
         WITH sub AS (SELECT lang, blk, sum(n_tokens) AS sub_tokens
                      FROM q48_t GROUP BY lang, blk),
         off AS (SELECT lang, blk,
@@ -308,7 +338,7 @@ object CorpusOps {
                   - t.n_tokens AS cum_before
               FROM q48_t t JOIN off ON t.lang = off.lang AND t.blk = off.blk)
         SELECT doc_id, lang, n_tokens, cum_before,
-               CAST(cum_before DIV 2048 AS BIGINT) AS pack_id
+               CAST(cum_before DIV $packTokens AS BIGINT) AS pack_id
         FROM c""")
     },
     Some(s"""
@@ -321,7 +351,7 @@ object CorpusOps {
                 AS cum_before
             FROM t)
       SELECT doc_id, lang, n_tokens, CAST(cum_before AS BIGINT) AS cum_before,
-             CAST(cum_before // 2048 AS BIGINT) AS pack_id
+             CAST(cum_before // $packTokens AS BIGINT) AS pack_id
       FROM c"""))
 
   /** Capstone sequence-production pipeline: quality-filter (t08 rules) →
@@ -375,11 +405,11 @@ object CorpusOps {
                 FROM k),
           kept AS (SELECT doc_id, lang, n_tokens FROM u WHERE keep AND NOT is_dup)
           SELECT doc_id, lang, st,
-                 least(CAST(50 AS BIGINT), n_tokens - st + 1) AS n_chunk_tokens,
-                 CAST(doc_id DIV 4096 AS BIGINT) AS blk
+                 least(CAST($chunkTokens AS BIGINT), n_tokens - st + 1) AS n_chunk_tokens,
+                 CAST(doc_id DIV $packBlockDocs AS BIGINT) AS blk
           FROM kept
           LATERAL VIEW explode(sequence(CAST(1 AS BIGINT), n_tokens,
-            CAST(40 AS BIGINT))) x AS st""")
+            CAST($hopTokens AS BIGINT))) x AS st""")
       }
       // phase 2 references the staged frame OBJECT (not a temp view): the
       // cached subtree is reused by construction in both consumers, so the
@@ -420,7 +450,7 @@ object CorpusOps {
       p.groupBy($"lang")
         .agg(fsum(when($"st" === 1L, 1L).otherwise(0L)).as("n_docs"),
           count(lit(1)).as("n_chunks"),
-          (max(expr("cum_before DIV 2048")) + 1L).as("n_packs"),
+          (max(expr(s"cum_before DIV $packTokens")) + 1L).as("n_packs"),
           fsum($"n_chunk_tokens").as("n_tokens_packed"))
     },
     Some(s"""
@@ -455,11 +485,11 @@ object CorpusOps {
               doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_dup
             FROM k),
       kept AS (SELECT doc_id, lang, n_tokens FROM u WHERE keep AND NOT is_dup),
-      ch AS (SELECT doc_id, lang, unnest(range(1, n_tokens + 1, 40)) AS st,
+      ch AS (SELECT doc_id, lang, unnest(range(1, n_tokens + 1, $hopTokens)) AS st,
                n_tokens
              FROM kept),
       ch2 AS (SELECT doc_id, lang, st,
-                least(CAST(50 AS BIGINT), n_tokens - st + 1) AS n_chunk_tokens
+                least(CAST($chunkTokens AS BIGINT), n_tokens - st + 1) AS n_chunk_tokens
               FROM ch),
       p AS (SELECT lang, doc_id, st, n_chunk_tokens,
               sum(n_chunk_tokens) OVER (PARTITION BY lang ORDER BY doc_id, st
@@ -469,7 +499,7 @@ object CorpusOps {
       SELECT lang,
              CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
              CAST(count(*) AS BIGINT) AS n_chunks,
-             CAST(count(DISTINCT cum_before // 2048) AS BIGINT) AS n_packs,
+             CAST(count(DISTINCT cum_before // $packTokens) AS BIGINT) AS n_packs,
              CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens_packed
       FROM p GROUP BY lang"""))
 
