@@ -164,24 +164,28 @@ object StreamingGate {
     * oracle is plain batch `SELECT DISTINCT`. No watermark: the gate input
     * is bounded; an unbounded deployment would bound the state with
     * `dropDuplicatesWithinWatermark` instead, same plan otherwise. */
-  val q49 = QueryDef(
-    "q49_streaming_dedup",
-    (s, d) => {
-      import s.implicits._
-      val sch = Q.table(s, d, "documents").schema
-      val inDir = Files.createTempDirectory("graft-q49-in")
-      linkParts(d, "documents", inDir)
-      // replay: same bytes under a later name — batch 2 is all duplicates
-      val src = Paths.get(s"$d/documents.parquet").toAbsolutePath
-      if (Files.isRegularFile(src)) {
-        val replay = inDir.resolve("1_documents_replay.parquet")
-        try Files.createSymbolicLink(replay, src)
-        catch { case _: Throwable => Files.copy(src, replay) }
-        Files.setLastModifiedTime(replay,
-          FileTime.fromMillis(System.currentTimeMillis() + 60000))
-      }
-      val outDir = Files.createTempDirectory("graft-q49-out").toString
-      val ckpt = Files.createTempDirectory("graft-q49-ckpt").toString
+  /** q49's dedup stream, parameterized on the state-store provider (the
+    * [[graft.streaming.StateStores]] seam): the gate runs the session
+    * default; StreamingSpec runs the SAME pipeline under RocksDB — at
+    * 100 TB the distinct-digest state outgrows executor heap, and the
+    * spill-to-disk provider is the deployment setting. */
+  private[graft] def dedupStream(
+      s: SparkSession, d: String, provider: Option[String]): DataFrame = {
+    val sch = Q.table(s, d, "documents").schema
+    val inDir = Files.createTempDirectory("graft-q49-in")
+    linkParts(d, "documents", inDir)
+    // replay: same bytes under a later name — batch 2 is all duplicates
+    val src = Paths.get(s"$d/documents.parquet").toAbsolutePath
+    if (Files.isRegularFile(src)) {
+      val replay = inDir.resolve("1_documents_replay.parquet")
+      try Files.createSymbolicLink(replay, src)
+      catch { case _: Throwable => Files.copy(src, replay) }
+      Files.setLastModifiedTime(replay,
+        FileTime.fromMillis(System.currentTimeMillis() + 60000))
+    }
+    val outDir = Files.createTempDirectory("graft-q49-out").toString
+    val ckpt = Files.createTempDirectory("graft-q49-ckpt").toString
+    graft.streaming.StateStores.withProvider(s, provider) {
       val q = s.readStream.schema(sch)
         .option("maxFilesPerTrigger", "1")
         .parquet(inDir.toString)
@@ -193,8 +197,13 @@ object StreamingGate {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(outDir)
-    },
+    }
+    s.read.parquet(outDir)
+  }
+
+  val q49 = QueryDef(
+    "q49_streaming_dedup",
+    (s, d) => dedupStream(s, d, None),
     Some(s"SELECT DISTINCT md5(${Q.oNorm}) AS fp FROM documents"))
 
   /** Stream-stream inner join in the hard gate: purchases and clicks as

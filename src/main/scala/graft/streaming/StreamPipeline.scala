@@ -38,11 +38,12 @@ object StreamPipeline {
   final class StreamBuilder private[streaming] (
       val name: String,
       build: (SparkSession, Option[Long]) => DataFrame,
-      capacity: Option[Long] = None) {
+      capacity: Option[Long] = None,
+      provider: Option[String] = None) {
 
     def via(flow: Flow[Row, Row]): StreamBuilder =
       new StreamBuilder(s"$name->${flow.name}",
-        (s, c) => flow.apply(build(s, c)).toDF(), capacity)
+        (s, c) => flow.apply(build(s, c)).toDF(), capacity, provider)
 
     /** Capacity-bounded edge — the reference's channels carry an explicit
       * per-edge capacity (`messaging.rs:384-391`). Fused flows form ONE
@@ -53,16 +54,27 @@ object StreamPipeline {
       require(edgeCapacity > 0, s"edge capacity must be positive: $edgeCapacity")
       new StreamBuilder(s"$name->${flow.name}",
         (s, c) => flow.apply(build(s, c)).toDF(),
-        Some(capacity.fold(edgeCapacity)(math.min(_, edgeCapacity))))
+        Some(capacity.fold(edgeCapacity)(math.min(_, edgeCapacity))), provider)
     }
+
+    /** Per-pipeline state-store provider (see [[StateStores]]): stateful
+      * operators in THIS pipeline keep their state under `providerClass`
+      * (e.g. [[StateStores.RocksDB]] to spill unbounded dedup/join state
+      * to disk) without changing the session default. */
+    def stateStore(providerClass: String): StreamBuilder =
+      new StreamBuilder(name, build, capacity, Some(providerClass))
 
     /** Supervised terminal: `sink` configures the writer (format, mode,
       * checkpoint); the query runs under the stage runtime and restarts
-      * with the policy's bootstrap backoff on failure. */
+      * with the policy's bootstrap backoff on failure. The state-store
+      * provider conf is scoped around each (re)start — a restarted query
+      * re-reads it, so supervision keeps the pipeline's choice. */
     def spawn(spark: SparkSession, policy: Policy = Policy())(
         sink: DataStreamWriter[Row] => StreamingQuery): Tether =
       StreamSupervisor.spawn(name, policy) { () =>
-        sink(build(spark, capacity).writeStream)
+        StateStores.withProvider(spark, provider) {
+          sink(build(spark, capacity).writeStream)
+        }
       }
   }
 }

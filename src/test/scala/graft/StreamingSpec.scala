@@ -196,6 +196,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids == Seq(1L, 2L, 3L)) // replayed id=1 suppressed
   }
 
+  test("q49 dedup under the RocksDB state store (the 100 TB spill provider)") {
+    // the SAME gate pipeline, state in RocksDB instead of executor heap:
+    // result must equal the batch DISTINCT exactly, cross-batch state and
+    // all (q49 replays its input, so batch 2 is 100% duplicates)
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.ops.StreamingGate
+      .dedupStream(spark, dir, Some(graft.streaming.StateStores.RocksDB))
+      .collect().map(_.getString(0)).sorted.toSeq
+    val want = graft.ops.Q.withViews(spark, dir, "documents")(
+      s"SELECT DISTINCT md5(${graft.ops.Q.sNorm}) AS fp FROM documents")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(want.nonEmpty && got == want)
+    // the provider conf must not leak out of the scoped pipeline
+    assert(spark.conf.getOption(graft.streaming.StateStores.ProviderKey).isEmpty
+      || !spark.conf.get(graft.streaming.StateStores.ProviderKey).contains("RocksDB"))
+  }
+
+  test("RocksDB provider is genuinely engaged (progress metrics prove it)") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Long]
+    graft.streaming.StateStores.withProvider(
+      spark, Some(graft.streaming.StateStores.RocksDB)) {
+      val q = mem.toDF().toDF("event_id").dropDuplicates("event_id")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("rocks_dedup").start()
+      try {
+        mem.addData(1L, 2L, 2L, 3L)
+        q.processAllAvailable()
+        // state operator metrics carry rocksdb* keys only under RocksDB
+        val metrics = q.lastProgress.stateOperators.flatMap(
+          _.customMetrics.keySet.toArray.map(_.toString))
+        assert(metrics.exists(_.toLowerCase.contains("rocksdb")),
+          s"no rocksdb metrics in ${metrics.toSeq}")
+      } finally q.stop()
+    }
+  }
+
   test("ForeachWriter lifecycle mirrors Worker bootstrap/execute/teardown (framework.rs:90-135)") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[Long]
