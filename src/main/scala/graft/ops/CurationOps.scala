@@ -325,7 +325,7 @@ object CurationOps {
       val fps = withViews(s, d, "documents")(s"""
         SELECT doc_id, md5($sNorm) AS fp FROM documents""")
       fps.createOrReplaceTempView("d15_fps")
-      DedupOps.d02.run(s, d).createOrReplaceTempView("d15_pairs")
+      DedupOps.d02Pairs(s, d).createOrReplaceTempView("d15_pairs")
       s.sql("""
         WITH mx AS (SELECT max(doc_id) AS mxid FROM d15_fps),
         t AS (SELECT f.doc_id, f.fp, (f.doc_id * 5 >= mx.mxid * 4) AS is_new

@@ -18,10 +18,25 @@ import Q._
   */
 object DedupOps {
 
-  /** MinHash signature (k=16 via 2-hash affine family) + LSH (8 bands × 2
-    * rows), then exact shingle-Jaccard verification of candidates.
-    * Planted near-dups in the driver data sit at jaccard ≥ 0.8; banding
-    * with r=2 gives ≥ 0.999 recall at that threshold. */
+  /** MinHash banding dials — bands (b) × rows-per-band (r) = signature
+    * size k, JVM-level (`-Dgraft.minhash.bands/-Dgraft.minhash.rows`,
+    * read once at load so engine SQL, oracle SQL, and the staged caches
+    * can never disagree within a run). The S-curve
+    * P(candidate | jaccard = j) = 1 − (1 − j^r)^b is THE dedup
+    * recall/cost dial: more bands (OR-terms) raise recall, more rows per
+    * band (AND-terms) suppress random-pair collisions. The default
+    * b=8 × r=2 catches j ≥ 0.8 near-dups with P ≥ 0.999 while a
+    * j = 0.2 random pair collides with P ≈ 0.3% — candidate load grows
+    * with b·(collision rate), so the committed SCALE.md row records the
+    * measured candidates at the default dial. */
+  private[graft] val minhashBands = sys.props.getOrElse("graft.minhash.bands", "8").toInt
+  private[graft] val minhashRows = sys.props.getOrElse("graft.minhash.rows", "2").toInt
+  private[graft] val minhashK = minhashBands * minhashRows
+
+  /** MinHash signature (k = bands·rows via 2-hash affine family) + LSH
+    * banding (see [[minhashBands]]), then exact shingle-Jaccard
+    * verification of candidates. Planted near-dups in the driver data sit
+    * at jaccard ≥ 0.8; the default banding gives ≥ 0.999 recall there. */
   val d02 = QueryDef(
     "d02_minhash_lsh",
     (s, d) => {
@@ -37,13 +52,21 @@ object DedupOps {
           WHERE size(sset) >= 1""")
       }
       sh.createOrReplaceTempView("d02_sh")
+      // band key spelled as unrolled element_at's (r is a load-time
+      // constant), NOT a transform(...) lambda: this frame self-joins in
+      // the candidate step, and Spark's DeduplicateRelations trips an
+      // analyzer bug (UnresolvedException on exprId) when a duplicated
+      // relation's plan carries lambda functions — same landmine s04
+      // dodges with localCheckpoint. Unrolled scalar exprs also stay
+      // inside whole-stage codegen.
+      val rowRefs = (1 to minhashRows)
+        .map(i => s"CAST(element_at(sg, bj*$minhashRows + $i) AS STRING)")
+        .mkString(", ")
       val bands = staged("d02_bands", d) {
-        s.sql("""
-          WITH sig AS (SELECT doc_id, minhash_sig(sset, 16) AS sg FROM d02_sh)
-          SELECT doc_id, bj,
-                 concat_ws(',', CAST(element_at(sg, bj*2+1) AS STRING),
-                                CAST(element_at(sg, bj*2+2) AS STRING)) AS bkey
-          FROM sig LATERAL VIEW explode(sequence(0, 7)) x AS bj""")
+        s.sql(s"""
+          WITH sig AS (SELECT doc_id, minhash_sig(sset, $minhashK) AS sg FROM d02_sh)
+          SELECT doc_id, bj, concat_ws(',', $rowRefs) AS bkey
+          FROM sig LATERAL VIEW explode(sequence(0, ${minhashBands - 1})) x AS bj""")
       }
       bands.createOrReplaceTempView("d02_bands")
       s.sql("""
@@ -64,13 +87,15 @@ object DedupOps {
                list_transform(sset, x -> ${oCharFold("x", 7)}) AS h1,
                list_transform(sset, x -> ${oCharFold("x", 13)}) AS h2
              FROM sh),
-      sig AS (SELECT doc_id, list_transform(range(0, 16), i ->
+      sig AS (SELECT doc_id, list_transform(range(0, $minhashK), i ->
                 list_aggregate(list_transform(list_zip(h1, h2),
                   s -> (s[1] * (2*i+1) + s[2] * (2*i+3)) % 4294967311), 'min')) AS sg
               FROM hh),
       bands AS (SELECT doc_id, bj,
-                  CAST(sg[bj*2+1] AS VARCHAR) || ',' || CAST(sg[bj*2+2] AS VARCHAR) AS bkey
-                FROM sig, (SELECT unnest(range(0, 8)) AS bj) bx),
+                  array_to_string(list_transform(
+                    sg[bj*$minhashRows + 1 : bj*$minhashRows + $minhashRows],
+                    x -> CAST(x AS VARCHAR)), ',') AS bkey
+                FROM sig, (SELECT unnest(range(0, $minhashBands)) AS bj) bx),
       cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
                FROM bands a JOIN bands b
                  ON a.bj = b.bj AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
@@ -82,6 +107,26 @@ object DedupOps {
                         JOIN sh sb ON cand.idb = sb.doc_id)
       SELECT ida AS doc_a, idb AS doc_b, jaccard FROM ver WHERE jaccard >= 0.8"""),
     headline = true)
+
+  /** d02's verified near-dup pair list with TRUNCATED lineage (one
+    * [[Q.roundCheckpoint]]), shared by every composite consumer (d06
+    * propagation, d07 decontam, d15 incremental). Two reasons, both
+    * structural:
+    *  - the consumers self-join or multi-reference the pairs, and with
+    *    the full MinHash plan (staged lambda-bearing subtrees) on both
+    *    sides Spark's DeduplicateRelations intermittently fails analysis
+    *    (UnresolvedException: invalid call to exprId — dependent on prior
+    *    exprId allocation in the session, so it surfaces as
+    *    order-sensitive flakiness). A materialized pair list gives the
+    *    analyzer a leaf relation instead of two copies of the plan.
+    *  - the pair list is the dedup GRAPH — ≪ corpus, the thing d06's
+    *    per-round checkpoints already materialize — so truncating round 0
+    *    the same way is the scale-consistent shape, not a workaround. */
+  private[graft] def d02Pairs(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    staged("d02_pairs", d) {
+      roundCheckpoint(d02.run(s, d).select("doc_a", "doc_b"))
+    }
 
   /** SimHash: 32-bit majority-vote fingerprint over token hashes.
     * Row-wise (no shuffle); hamming-ball grouping composes downstream. */
@@ -257,7 +302,7 @@ object DedupOps {
       import s.implicits._
       import org.apache.spark.sql.functions.{min, when, lit}
       val labels = staged("d06_labels", d) { withAdvisoryCoalesce(s) {
-        val pairs = d02.run(s, d).select($"doc_a", $"doc_b")
+        val pairs = d02Pairs(s, d)
         val edges = staged("d06_edges", d) {
           pairs.unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
         }
@@ -331,7 +376,7 @@ object DedupOps {
         SELECT doc_id, source, md5($sNorm) AS fp FROM documents""")
       val evalFps = docs.where($"source" === "src0")
         .select($"fp".as("eval_fp")).distinct()
-      val pairs = d02.run(s, d).select($"doc_a", $"doc_b")
+      val pairs = d02Pairs(s, d)
       val evalIds = docs.where($"source" === "src0").select($"doc_id".as("eid"))
       val nearDupIds = pairs.join(evalIds, $"doc_a" === $"eid")
         .select($"doc_b".as("cid"))
