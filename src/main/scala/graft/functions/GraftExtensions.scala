@@ -37,5 +37,7 @@ object GraftExtensions {
     entry("dot_product", classOf[DotProduct])(
       es => DotProduct(es.head, es(1))),
     entry("text_features", classOf[TextFeatures])(
-      es => TextFeatures(es.head)))
+      es => TextFeatures(es.head)),
+    entry("corpus_features", classOf[CorpusFeatures])(
+      es => CorpusFeatures(es.head)))
 }

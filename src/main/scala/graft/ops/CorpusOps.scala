@@ -205,23 +205,14 @@ object CorpusOps {
   val q46 = QueryDef(
     "q46_corpus_report",
     (s, d) => withViews(s, d, "documents")(s"""
-      WITH t AS (SELECT doc_id, lang, source, $sNorm AS nt,
-                   split($sNorm, ' ') AS w FROM documents),
-      b AS (SELECT doc_id, lang, source, nt, w,
-              CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1),
-                     i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))
-                   ELSE CAST(array() AS ARRAY<STRING>) END AS bg
-            FROM t),
-      f AS (SELECT doc_id, lang, source, md5(nt) AS fp,
-              CAST(size(w) AS BIGINT) AS n_tokens,
-              aggregate(w, CAST(0 AS BIGINT), (a, x) -> a + length(x)) AS total_chars,
-              CAST(size(filter(w, x -> x IN ${TextOps.allStop})) AS BIGINT) AS n_stop,
-              CAST(length(nt) AS BIGINT) AS n_chars,
-              CAST(size(regexp_extract_all(nt, '[^a-z0-9 ]', 0)) AS BIGINT) AS n_sym,
-              CAST(size(regexp_extract_all(nt, '[0-9]', 0)) AS BIGINT) AS n_digit,
-              CAST(size(bg) AS BIGINT) AS n_bigrams,
-              CAST(size(array_distinct(bg)) AS BIGINT) AS n_uniq_bigrams
-            FROM b),
+      WITH c AS (SELECT doc_id, lang, source, corpus_features(text) AS cf
+                 FROM documents),
+      f AS (SELECT doc_id, lang, source, cf.fp AS fp,
+              cf.n_tokens AS n_tokens, cf.total_chars AS total_chars,
+              cf.n_stop AS n_stop, cf.n_chars AS n_chars,
+              cf.n_sym AS n_sym, cf.n_digit AS n_digit,
+              cf.n_bigrams AS n_bigrams, cf.n_uniq_bigrams AS n_uniq_bigrams
+            FROM c),
       k AS (SELECT doc_id, lang, source, fp, n_tokens,
               (n_tokens BETWEEN 5 AND 1000)
                 AND (3 * n_tokens <= total_chars AND total_chars <= 10 * n_tokens)
@@ -373,43 +364,60 @@ object CorpusOps {
   val q50 = QueryDef(
     "q50_sequence_pipeline",
     (s, d) => {
-      val ch = staged("q50_ch", d) {
+      // The per-doc feature frame is staged SEPARATELY from the chunk
+      // frame, and the keep-filter runs AGAINST THE CACHE, not inside the
+      // scan. Filtering on `keep` directly looks cleaner but is a
+      // measured 30× landmine: PushDownPredicates substitutes each
+      // feature alias's DEFINITION into the pushed predicate, so the
+      // normalize/split/fold chain is re-evaluated once per reference
+      // (~8× per row) — and with lambda-bearing expressions outside
+      // whole-stage codegen there is no subexpression elimination to
+      // collapse them (33 s vs 0.14 s at 64× for the identical result;
+      // t07/t08 never hit this because they EMIT keep as a column).
+      // The cache is metadata-width (ids, counts, one digest — no text)
+      // and doubles as the proof the corpus is scanned exactly once.
+      // The analysis itself is the native one-pass corpus_features
+      // expression (CorpusFeaturesSpec pins it equal to the SQL lambda
+      // chain the oracle runs): the interpreted lambda/regex spelling
+      // re-walked each doc ~10× at ~1 ms/doc and was the single dominant
+      // q50 stage at 64× (10.6 s of 11.6 s).
+      val feats = staged("q50_f", d) {
         withViews(s, d, "documents")(s"""
-          WITH t AS (SELECT doc_id, lang, $sNorm AS nt,
-                       split($sNorm, ' ') AS w FROM documents),
-          b AS (SELECT doc_id, lang, nt, w,
-                  CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1),
-                         i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))
-                       ELSE CAST(array() AS ARRAY<STRING>) END AS bg
-                FROM t),
-          f AS (SELECT doc_id, lang, md5(nt) AS fp,
-                  CAST(size(w) AS BIGINT) AS n_tokens,
-                  aggregate(w, CAST(0 AS BIGINT), (a, x) -> a + length(x)) AS total_chars,
-                  CAST(size(filter(w, x -> x IN ${TextOps.allStop})) AS BIGINT) AS n_stop,
-                  CAST(length(nt) AS BIGINT) AS n_chars,
-                  CAST(size(regexp_extract_all(nt, '[^a-z0-9 ]', 0)) AS BIGINT) AS n_sym,
-                  CAST(size(regexp_extract_all(nt, '[0-9]', 0)) AS BIGINT) AS n_digit,
-                  CAST(size(bg) AS BIGINT) AS n_bigrams,
-                  CAST(size(array_distinct(bg)) AS BIGINT) AS n_uniq_bigrams
-                FROM b),
-          k AS (SELECT doc_id, lang, fp, n_tokens,
-                  (n_tokens BETWEEN 5 AND 1000)
-                    AND (3 * n_tokens <= total_chars AND total_chars <= 10 * n_tokens)
-                    AND n_stop >= 2
-                    AND n_sym * 10 < n_chars
-                    AND n_digit * 5 < n_chars
-                    AND (n_bigrams - n_uniq_bigrams) * 5 <= n_bigrams AS keep
-                FROM f),
-          u AS (SELECT doc_id, lang, n_tokens, keep,
-                  doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_dup
-                FROM k),
-          kept AS (SELECT doc_id, lang, n_tokens FROM u WHERE keep AND NOT is_dup)
-          SELECT doc_id, lang, st,
-                 least(CAST($chunkTokens AS BIGINT), n_tokens - st + 1) AS n_chunk_tokens,
-                 CAST(doc_id DIV $packBlockDocs AS BIGINT) AS blk
-          FROM kept
-          LATERAL VIEW explode(sequence(CAST(1 AS BIGINT), n_tokens,
-            CAST($hopTokens AS BIGINT))) x AS st""")
+          WITH c AS (SELECT doc_id, lang, corpus_features(text) AS cf
+                     FROM documents),
+          f AS (SELECT doc_id, lang, cf.fp AS fp, cf.n_tokens AS n_tokens,
+                  cf.total_chars AS total_chars, cf.n_stop AS n_stop,
+                  cf.n_chars AS n_chars, cf.n_sym AS n_sym,
+                  cf.n_digit AS n_digit, cf.n_bigrams AS n_bigrams,
+                  cf.n_uniq_bigrams AS n_uniq_bigrams
+                FROM c)
+          SELECT doc_id, lang, fp, n_tokens,
+                 (n_tokens BETWEEN 5 AND 1000)
+                   AND (3 * n_tokens <= total_chars AND total_chars <= 10 * n_tokens)
+                   AND n_stop >= 2
+                   AND n_sym * 10 < n_chars
+                   AND n_digit * 5 < n_chars
+                   AND (n_bigrams - n_uniq_bigrams) * 5 <= n_bigrams AS keep
+          FROM f""")
+      }
+      // Dataset API (frame object, no temp view) for the dedup + chunk
+      // step: embedding the feats view — whose analyzed plan carries its
+      // own CTE definitions — inside another WITH trips a second
+      // optimizer bug (PushdownPredicatesAndPruneColumnsForCTEDef:
+      // key not found on the nested CTE id). Same plan, no CTEs.
+      val ch = staged("q50_ch", d) {
+        import s.implicits._
+        import org.apache.spark.sql.functions.{min => fmin}
+        import org.apache.spark.sql.expressions.Window
+        feats
+          .withColumn("is_dup",
+            $"doc_id" =!= fmin($"doc_id").over(Window.partitionBy($"fp")))
+          .where($"keep" && !$"is_dup")
+          .selectExpr("doc_id", "lang", "n_tokens",
+            s"explode(sequence(CAST(1 AS BIGINT), n_tokens, CAST($hopTokens AS BIGINT))) AS st")
+          .selectExpr("doc_id", "lang", "st",
+            s"least(CAST($chunkTokens AS BIGINT), n_tokens - st + 1) AS n_chunk_tokens",
+            s"CAST(doc_id DIV $packBlockDocs AS BIGINT) AS blk")
       }
       // phase 2 references the staged frame OBJECT (not a temp view): the
       // cached subtree is reused by construction in both consumers, so the

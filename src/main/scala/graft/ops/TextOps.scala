@@ -171,11 +171,16 @@ object TextOps {
       FROM c"""))
 
   // Union of the four stopword sets — the language-agnostic "contains
-  // common function words" signal for the quality-filter battery (shared
-  // with the fused corpus report q46).
-  private[ops] val allStop =
-    "('the','a','of','and','to','in','is','el','la','de','y','que','en'," +
-      "'der','die','und','das','ist','le','les','et','des','un')"
+  // common function words" signal for the quality-filter battery. Single
+  // source of truth: the SQL IN-list literal (t08/q46 oracle spelling) and
+  // the native [[graft.functions.CorpusFeatures]] expression both derive
+  // from this sequence, so the sets cannot drift apart.
+  private[graft] val allStopWords: Array[String] = Array(
+    "the", "a", "of", "and", "to", "in", "is", "el", "la", "de", "y",
+    "que", "en", "der", "die", "und", "das", "ist", "le", "les", "et",
+    "des", "un")
+  private[graft] val allStop =
+    allStopWords.map(w => s"'$w'").mkString("(", ",", ")")
 
   /** Repetition / boilerplate detection (the Gopher-style repeated-n-gram
     * rules): per document, the duplicate-bigram fraction and the most
