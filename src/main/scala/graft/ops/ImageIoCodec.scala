@@ -38,13 +38,17 @@ import javax.imageio.ImageIO
 object ImageIoCodec extends MediaCodec {
   def open(): MediaCodec.Session = new MediaCodec.Session {
     private val md = java.security.MessageDigest.getInstance("MD5")
-    // last-payload decode cache: (payload identity, decoded RGB plane)
+    // last-payload decode cache: (payload identity, decoded RGB plane + dims)
     private var lastPayload: Array[Byte] = _
     private var lastPlane: Array[Byte] = _
+    private var lastW: Int = 0
+    private var lastH: Int = 0
 
     private def decodePlane(payload: Array[Byte]): Array[Byte] = {
       if (payload eq lastPayload) return lastPlane
       val img = ImageIO.read(new ByteArrayInputStream(payload))
+      lastW = if (img == null) 0 else img.getWidth
+      lastH = if (img == null) 0 else img.getHeight
       val plane =
         if (img == null) Array.emptyByteArray
         else {
@@ -111,6 +115,32 @@ object ImageIoCodec extends MediaCodec {
         i += 3
       }
       e
+    }
+
+    // REAL thumbnail: nearest-neighbor over the decoded pixel grid (srcW
+    // is the stub's synthetic-stripe dial and is ignored here); intensity
+    // is the exact per-pixel integer luma (ITU-R 601 per-mille weights,
+    // floor division), so the output is deterministic across platforms.
+    def resize(payload: Array[Byte], srcW: Int, dstW: Int, dstH: Int): Array[Int] = {
+      val plane = decodePlane(payload)
+      val (w, h) = (lastW, lastH)
+      val out = new Array[Int](dstW * dstH)
+      if (plane.isEmpty) return out
+      var y = 0
+      while (y < dstH) {
+        val sy = y * h / dstH
+        var x = 0
+        while (x < dstW) {
+          val sx = x * w / dstW
+          val i = (sy * w + sx) * 3
+          out(y * dstW + x) =
+            ((299 * (plane(i) & 0xff) + 587 * (plane(i + 1) & 0xff) +
+              114 * (plane(i + 2) & 0xff)) / 1000)
+          x += 1
+        }
+        y += 1
+      }
+      out
     }
   }
 }

@@ -44,6 +44,14 @@ object MediaCodec {
       * real DSP/vision codec emits per analysis frame (spectral energy,
       * luma mean, …). Must be exact/deterministic for the oracle gate. */
     def feature(bytes: Array[Byte]): Long
+
+    /** Nearest-neighbor resample to a dstW × dstH thumbnail, returned as
+      * row-major pixel intensities in [0, 255]. The stub interprets the
+      * payload as a srcW-wide row-major byte image (ragged last row, out
+      * of range → 0); a real codec decodes the payload and ignores srcW,
+      * sampling its true pixel grid (intensity = exact integer luma).
+      * Must be exact/deterministic for the oracle gate. */
+    def resize(payload: Array[Byte], srcW: Int, dstW: Int, dstH: Int): Array[Int]
   }
 
   /** Default deterministic stub (see class doc). */
@@ -76,6 +84,25 @@ object MediaCodec {
         var i = 0
         while (i < bytes.length) { e += (bytes(i) & 0xff); i += 1 }
         e
+      }
+
+      def resize(payload: Array[Byte], srcW: Int, dstW: Int, dstH: Int): Array[Int] = {
+        val len = payload.length
+        val srcH = (len + srcW - 1) / srcW
+        val out = new Array[Int](dstW * dstH)
+        var y = 0
+        while (y < dstH) {
+          val sy = y * srcH / dstH
+          var x = 0
+          while (x < dstW) {
+            val sx = x * srcW / dstW
+            val idx = sy * srcW + sx
+            out(y * dstW + x) = if (idx < len) payload(idx) & 0xff else 0
+            x += 1
+          }
+          y += 1
+        }
+        out
       }
     }
   }

@@ -159,5 +159,65 @@ object MultimodalOps {
              md5(win) AS win_md5
       FROM sub"""))
 
-  val all: Seq[QueryDef] = Seq(m01, m02, m03)
+  final case class ThumbMeta(doc_id: Long, thumb_w: Long, thumb_h: Long,
+      thumb_energy: Long, thumb_md5: String)
+
+  /** Thumbnail resize — the "shrink every image to a fixed grid" stage a
+    * vision-data pipeline runs before embedding/featurizing. Nearest-
+    * neighbor through the codec seam ([[MediaCodec.Session.resize]]): the
+    * stub samples the payload as a srcW-wide byte stripe; a real codec
+    * (ImageIoCodec) decodes and samples its true pixel grid — the
+    * operator is identical either way. Output is metadata-width (energy +
+    * a digest over the sampled intensities, spelled as the '-'-joined
+    * decimal string so the oracle can reproduce it without binary
+    * round-trips). Row-wise map: no shuffle, linear at any scale. */
+  def thumbnail(spark: SparkSession, media: DataFrame,
+      srcW: Int = 32, dstW: Int = 8, dstH: Int = 8,
+      codec: MediaCodec = MediaCodec.Stub): DataFrame = {
+    import spark.implicits._
+    media.as[MediaIn].mapPartitions { it =>
+      val sess = codec.open()
+      it.map { m =>
+        val px = sess.resize(m.payload, srcW, dstW, dstH)
+        var e = 0L
+        var i = 0
+        while (i < px.length) { e += px(i); i += 1 }
+        val digest = org.apache.commons.codec.digest.DigestUtils
+          .md5Hex(px.mkString("-"))
+        ThumbMeta(m.doc_id, dstW.toLong, dstH.toLong, e, digest)
+      }
+    }.toDF()
+  }
+
+  /** Oracle: the stub's stripe-gather is integer index arithmetic over
+    * ASCII text (chars == bytes), so DuckDB reproduces each sampled
+    * intensity with ascii(substring(...)) and the digest via string_agg
+    * in pixel order. */
+  val m04 = QueryDef(
+    "m04_thumbnail",
+    (s, d) => {
+      import s.implicits._
+      val media = table(s, d, "documents")
+        .select($"doc_id", $"text".cast("binary").as("payload"), $"source")
+      thumbnail(s, media)
+    },
+    Some("""
+      WITH b AS (SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS len
+                 FROM documents),
+      g AS (SELECT doc_id, text, len, (len + 31) // 32 AS src_h FROM b),
+      p AS (SELECT doc_id, text, len, src_h, unnest(range(0, 64)) AS pi FROM g),
+      px AS (SELECT doc_id, pi,
+               CASE WHEN (((pi // 8) * src_h) // 8) * 32 + (pi % 8) * 4 + 1 <= len
+                    THEN ascii(substring(text,
+                      CAST((((pi // 8) * src_h) // 8) * 32 + (pi % 8) * 4 + 1 AS INT), 1))
+                    ELSE 0 END AS v
+             FROM p)
+      SELECT doc_id,
+             CAST(8 AS BIGINT) AS thumb_w,
+             CAST(8 AS BIGINT) AS thumb_h,
+             CAST(sum(v) AS BIGINT) AS thumb_energy,
+             md5(string_agg(CAST(v AS VARCHAR), '-' ORDER BY pi)) AS thumb_md5
+      FROM px GROUP BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(m01, m02, m03, m04)
 }

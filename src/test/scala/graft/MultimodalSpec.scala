@@ -28,6 +28,8 @@ class ReversingCodec extends MediaCodec {
       }
       def feature(bytes: Array[Byte]): Long =
         if (bytes.isEmpty) -1L else (bytes(0) & 0xff).toLong
+      def resize(payload: Array[Byte], srcW: Int, dstW: Int, dstH: Int): Array[Int] =
+        Array.fill(dstW * dstH)(7) // recognizably-not-the-stub constant
     }
   }
 }
@@ -154,6 +156,21 @@ class MultimodalSpec extends AnyFunSuite {
         114L * (band(3 * px + 2) & 0xff)
     assert(wins((0L, 1L)).getAs[Long]("energy") == luma)
     assert(wins((0L, 1L)).getAs[String]("win_md5") == md5hex(band))
+
+    // m04 path: REAL resize — nearest-neighbor over the decoded 8×4 grid
+    // down to 4×2, intensities = exact integer luma from getRGB directly
+    val thumbs = MultimodalOps.thumbnail(spark, df, dstW = 4, dstH = 2,
+        codec = graft.ops.ImageIoCodec)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val im0 = imgs(0)
+    val expectPx = for (y <- 0 until 2; x <- 0 until 4) yield {
+      val rgb = im0.getRGB(x * im0.getWidth / 4, y * im0.getHeight / 2)
+      (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+        114 * (rgb & 0xff)) / 1000
+    }
+    assert(thumbs(0L).getAs[Long]("thumb_energy") == expectPx.map(_.toLong).sum)
+    assert(thumbs(0L).getAs[String]("thumb_md5") ==
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(expectPx.mkString("-")))
 
     // undecodable payload → honest unknown, no task failure
     val junk = Seq((99L, Array.tabulate[Byte](40)(_.toByte), "junk"))
