@@ -229,16 +229,22 @@ object DedupOps {
     * 3-probe IVF at ~1/3 of the all-pairs candidates). The oracle runs
     * the identical quantizer, so both engines produce the same
     * candidates; dots fold left-to-right → bit-identical doubles. */
+  /** Normalized double-precision embeddings + L2 norms, staged once and
+    * shared by d05 and d16 (one copy of the corpus in memory even when a
+    * capstone composes both). */
+  private def normEmbeddings(s: org.apache.spark.sql.SparkSession, d: String) =
+    staged("d05_n", d) {
+      withViews(s, d, "embeddings")("""
+        WITH e AS (SELECT vec_id, label,
+                     transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings)
+        SELECT vec_id, label, v, sqrt(dot_product(v, v)) AS nrm FROM e""")
+    }
+
   val d05 = QueryDef(
     "d05_embedding_neardup",
     (s, d) => {
-      val n = staged("d05_n", d) {
-        withViews(s, d, "embeddings")("""
-          WITH e AS (SELECT vec_id, label,
-                       transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                     FROM embeddings)
-          SELECT vec_id, label, v, sqrt(dot_product(v, v)) AS nrm FROM e""")
-      }
+      val n = normEmbeddings(s, d)
       n.createOrReplaceTempView("d05_n")
       s.sql("""
         WITH c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM d05_n
@@ -286,6 +292,76 @@ object DedupOps {
             FROM cand JOIN n na ON cand.ida = na.vec_id
                       JOIN n nb ON cand.idb = nb.vec_id)
       SELECT ida AS vec_a, idb AS vec_b, cos FROM p WHERE cos >= 0.4"""))
+
+  /** Semantic deduplication — the embedding-space analogue of d01's
+    * keep-first: k-means-style coarse clusters bound the pairwise work,
+    * and within each (label, cluster) cell a vector is PRUNED when a
+    * smaller-id vector sits at cosine ≥ 0.3 (the deterministic spelling
+    * of "keep one representative per group of semantically near-identical
+    * examples" — the curation step that removes paraphrase-level
+    * redundancy exact/MinHash dedup cannot see). Output is the full
+    * corpus with the keep/prune decision, i.e. what a trainer consumes.
+    *
+    * 100 TB shape: |C| is CAPPED (same `vec_id % 50 = 7 AND vec_id <
+    * 3200` rule as d05/s03/s05 — never a function of N), so assignment
+    * is one broadcast pass; the only quadratic term is per-cluster and
+    * the cluster count is the dial that bounds it (more centroids =
+    * smaller cells — at real scale refreshed by the s06 Lloyd loop).
+    * The prune join ships only (vec_id) pairs — metadata-width. */
+  val d16 = QueryDef(
+    "d16_semantic_dedup",
+    (s, d) => {
+      normEmbeddings(s, d).createOrReplaceTempView("d16_n")
+      s.sql("""
+        WITH c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM d16_n
+                   WHERE vec_id % 50 = 7 AND vec_id < 3200),
+        sc AS (SELECT /*+ BROADCAST(c) */ t.vec_id, t.label, cid,
+                 row_number() OVER (PARTITION BY t.vec_id
+                                    ORDER BY dot_product(t.v, cv) / (t.nrm * cn) DESC,
+                                             cid) AS rn
+               FROM d16_n t CROSS JOIN c),
+        assign AS (SELECT vec_id, label, cid FROM sc WHERE rn = 1),
+        pruned AS (SELECT DISTINCT b.vec_id
+                   FROM assign a JOIN assign b
+                     ON a.label = b.label AND a.cid = b.cid
+                    AND a.vec_id < b.vec_id
+                   JOIN d16_n na ON a.vec_id = na.vec_id
+                   JOIN d16_n nb ON b.vec_id = nb.vec_id
+                   WHERE dot_product(na.v, nb.v) / (na.nrm * nb.nrm) >= 0.3)
+        SELECT s.vec_id, s.label, CAST(s.cid AS BIGINT) AS cluster,
+               p.vec_id IS NULL AS is_kept
+        FROM assign s LEFT JOIN pruned p ON s.vec_id = p.vec_id""")
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      n AS (SELECT vec_id, label, v,
+              sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+            FROM e),
+      c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
+            WHERE vec_id % 50 = 7 AND vec_id < 3200),
+      sc AS (SELECT t.vec_id, t.label, cid,
+               row_number() OVER (PARTITION BY t.vec_id
+                                  ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                    list_transform(list_zip(t.v, cv), s -> s[1] * s[2])),
+                                    (acc, z) -> acc + z) / (t.nrm * cn) DESC,
+                                           cid) AS rn
+             FROM n t CROSS JOIN c),
+      assign AS (SELECT vec_id, label, cid FROM sc WHERE rn = 1),
+      pruned AS (SELECT DISTINCT b.vec_id
+                 FROM assign a JOIN assign b
+                   ON a.label = b.label AND a.cid = b.cid
+                  AND a.vec_id < b.vec_id
+                 JOIN n na ON a.vec_id = na.vec_id
+                 JOIN n nb ON b.vec_id = nb.vec_id
+                 WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(list_zip(na.v, nb.v), s -> s[1] * s[2])),
+                   (acc, z) -> acc + z) / (na.nrm * nb.nrm) >= 0.3)
+      SELECT s.vec_id, s.label, CAST(s.cid AS BIGINT) AS cluster,
+             p.vec_id IS NULL AS is_kept
+      FROM assign s LEFT JOIN pruned p ON s.vec_id = p.vec_id"""))
 
   /** Dedup clustering: connected components over the MinHash near-dup
     * pair graph — each document labeled with the smallest doc_id reachable
@@ -404,5 +480,5 @@ object DedupOps {
              EXISTS (SELECT 1 FROM near n WHERE n.cid = f.doc_id) AS neardup_contaminated
       FROM fps f WHERE f.source <> 'src0'"""))
 
-  val all: Seq[QueryDef] = Seq(d02, d03, d04, d05, d06, d07)
+  val all: Seq[QueryDef] = Seq(d02, d03, d04, d05, d06, d07, d16)
 }
