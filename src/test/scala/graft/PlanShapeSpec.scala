@@ -61,6 +61,43 @@ class PlanShapeSpec extends AnyFunSuite {
   private def countCacheReads(name: String): Int =
     nodes(name).count(_.isInstanceOf[InMemoryTableScanExec])
 
+  /** Plan nodes INCLUDING staged-cache build plans (InMemoryRelation
+    * subtrees), recursively — where the corpus-scan work actually lives
+    * for the staged pipelines. */
+  private def deepNodes(name: String): Seq[SparkPlan] = {
+    // each distinct cache's BUILD plan counts once, however many scans
+    // read it (cache reuse is the point, not re-evaluation)
+    val seen = new java.util.IdentityHashMap[SparkPlan, Unit]()
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case i: InMemoryTableScanExec =>
+        val build =
+          if (seen.containsKey(i.relation.cachedPlan)) Nil
+          else {
+            seen.put(i.relation.cachedPlan, ())
+            walk(i.relation.cachedPlan)
+          }
+        i +: (build ++ i.children.flatMap(walk))
+      case _ => p +: p.children.flatMap(walk)
+    }
+    walk(SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan)
+  }
+
+  test("q46/q50 evaluate corpus_features exactly once per row") {
+    // the one-pass analysis expression must stay single-evaluation: if
+    // CollapseProject (or a pushed predicate) ever starts substituting it
+    // into its ~9 GetStructField consumers, the corpus scan re-walks the
+    // text per reference — the 10× landmine the expression was built to
+    // remove (SCALE.md, q50 at 64×)
+    for (n <- Seq("q46_corpus_report", "q50_sequence_pipeline")) {
+      val evals = deepNodes(n)
+        .flatMap(_.expressions)
+        .map(_.collect { case c: graft.functions.CorpusFeatures => c }.size)
+        .sum
+      assert(evals == 1, s"$n evaluates corpus_features $evals times")
+    }
+  }
+
   test("d09 ranks with WindowGroupLimit partials below AND above the exchange") {
     val p = plan("d09_fixed_size_sample")
     // two occurrences: partial (pre-shuffle, caps what the exchange
