@@ -27,6 +27,19 @@ object Bench {
     val picked =
       if (args.isEmpty) SparkEntry.headline
       else SparkEntry.registry.filter(q => args.contains(q.name))
+    // Execute the query's OWN physical plan to completion (toRdd.count
+    // consumes every output row in place, nothing ships to the driver).
+    // Timing `df.count()` instead is a measurement bug, not a protocol
+    // choice: Catalyst prunes columns a count doesn't need, so row-wise
+    // projection queries lose their entire payload (t08's quality battery
+    // read 0.43 s at 64× while the real work is 10.2 s; q08's window was
+    // optimized out completely) — while the DuckDB side of every
+    // comparison fetches full rows. This is the same count()-pruning trap
+    // ExprProbe documents; rounds ≤ 5 bench numbers for projection-shaped
+    // queries are under-measured (aggregate-shaped headliners were
+    // unaffected: grouping forces their upstream pipelines).
+    def exec(q: graft.ops.QueryDef): Unit =
+      q.run(spark, sfDir).queryExecution.toRdd.count()
     def once(q: graft.ops.QueryDef): Double = {
       // sweep staged caches AND checkpoint blocks (d06 rounds) with
       // blocking unpersist, then settle the heap — an async drain racing
@@ -34,7 +47,7 @@ object Bench {
       graft.ops.Q.releaseAllPersisted(spark)
       System.gc()
       val t0 = System.nanoTime()
-      val t = try { q.run(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      val t = try { exec(q); (System.nanoTime() - t0) / 1e9 }
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
@@ -48,7 +61,7 @@ object Bench {
       // adjacent warmup: JIT-compile THIS query's generated code and take
       // the C2 storm now, right before its timed runs
       graft.ops.Q.releaseAllPersisted(spark)
-      try q.run(spark, sfDir).count()
+      try exec(q)
       catch { case _: Throwable => () } // failures surface in the timed runs
       q.name -> Seq.fill(nRuns)(once(q))
     }

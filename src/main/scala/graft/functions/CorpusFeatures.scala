@@ -22,7 +22,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *   total_chars=aggregate(w, 0, (a,x) -> a+length(x)),
   *   n_stop=size(filter(w, x -> x IN allStop)), n_chars=length(nt),
   *   n_sym=#[^a-z0-9 ], n_digit=#[0-9],
-  *   n_bigrams=size(bg), n_uniq_bigrams=size(array_distinct(bg))
+  *   n_bigrams=size(bg), n_uniq_bigrams=size(array_distinct(bg)),
+  *   n_uniq_tokens=size(array_distinct(w)),
+  *   n_top_word=array_max(transform(array_distinct(w),
+  *     x -> size(filter(w, y -> y = x))))
   * }}}
   *
   * (equivalence pinned per-document against the literal SQL chain by
@@ -56,7 +59,9 @@ case class CorpusFeatures(child: Expression)
     StructField("n_sym", LongType, nullable = false),
     StructField("n_digit", LongType, nullable = false),
     StructField("n_bigrams", LongType, nullable = false),
-    StructField("n_uniq_bigrams", LongType, nullable = false)))
+    StructField("n_uniq_bigrams", LongType, nullable = false),
+    StructField("n_uniq_tokens", LongType, nullable = false),
+    StructField("n_top_word", LongType, nullable = false)))
 
   override def prettyName: String = "corpus_features"
 
@@ -95,17 +100,25 @@ case class CorpusFeatures(child: Expression)
       i += Character.charCount(cp)
     }
 
-    // split(nt, ' ') with Spark's limit -1 semantics
+    // split(nt, ' ') with Spark's limit -1 semantics; token frequencies in
+    // the same pass give distinct-token and top-word counts (the SQL
+    // spelling of top_word_cnt — a filter per distinct token — is
+    // O(n·distinct) per document)
     val words = norm.split(" ", -1)
     var totalChars = 0L
     var nStop = 0L
+    var nTopWord = 0L
+    val freq = new java.util.HashMap[String, Long](words.length * 2)
     var w = 0
     while (w < words.length) {
       val t = words(w)
       totalChars += t.codePointCount(0, t.length)
       if (Stop.contains(t)) nStop += 1
+      val c = freq.merge(t, 1L, (a, b) => a + b)
+      if (c > nTopWord) nTopWord = c
       w += 1
     }
+    val nUniqTokens = freq.size().toLong
 
     // adjacent-pair bigrams; tokens contain no spaces, so "a b" is an
     // injective encoding of the pair and HashSet size = array_distinct size
@@ -123,7 +136,8 @@ case class CorpusFeatures(child: Expression)
 
     val fp = DigestUtils.md5Hex(norm.getBytes(StandardCharsets.UTF_8))
     InternalRow(UTF8String.fromString(fp), words.length.toLong, totalChars,
-      nStop, nChars, nSym, nDigit, nBigrams, nUniqBigrams)
+      nStop, nChars, nSym, nDigit, nBigrams, nUniqBigrams, nUniqTokens,
+      nTopWord)
   }
 
   override protected def withNewChildInternal(newChild: Expression): CorpusFeatures =

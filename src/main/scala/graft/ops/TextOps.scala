@@ -23,14 +23,14 @@ object TextOps {
   val t01 = QueryDef(
     "t01_token_stats",
     (s, d) => withViews(s, d, "documents")(s"""
-      WITH t AS (SELECT doc_id, text, split($sNorm, ' ') AS w FROM documents)
+      WITH t AS (SELECT doc_id, text, corpus_features(text) AS cf FROM documents)
       SELECT doc_id,
-             CAST(size(w) AS BIGINT) AS n_tokens,
-             CAST(size(array_distinct(w)) AS BIGINT) AS n_uniq,
-             aggregate(w, CAST(0 AS BIGINT), (a, x) -> a + length(x)) AS total_chars,
-             CAST(aggregate(w, CAST(0 AS BIGINT), (a, x) -> a + length(x)) AS DOUBLE)
-               / CAST(size(w) AS DOUBLE) AS avg_token_len,
-             CAST(size(array_distinct(w)) AS DOUBLE) / CAST(size(w) AS DOUBLE) AS ttr,
+             cf.n_tokens AS n_tokens,
+             cf.n_uniq_tokens AS n_uniq,
+             cf.total_chars AS total_chars,
+             CAST(cf.total_chars AS DOUBLE)
+               / CAST(cf.n_tokens AS DOUBLE) AS avg_token_len,
+             CAST(cf.n_uniq_tokens AS DOUBLE) / CAST(cf.n_tokens AS DOUBLE) AS ttr,
              CAST(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)) AS BIGINT)
                AS n_subtokens
       FROM t"""),
@@ -192,20 +192,14 @@ object TextOps {
   val t07 = QueryDef(
     "t07_repetition_stats",
     (s, d) => withViews(s, d, "documents")(s"""
-      WITH t AS (SELECT doc_id, split($sNorm, ' ') AS w FROM documents),
-      b AS (SELECT doc_id, w,
-              CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1),
-                     i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))
-                   ELSE CAST(array() AS ARRAY<STRING>) END AS bg
-            FROM t),
+      WITH t AS (SELECT doc_id, corpus_features(text) AS cf FROM documents),
       f AS (SELECT doc_id,
-              CAST(size(w) AS BIGINT) AS n_tokens,
-              CAST(size(array_distinct(w)) AS BIGINT) AS n_uniq,
-              CAST(size(bg) AS BIGINT) AS n_bigrams,
-              CAST(size(array_distinct(bg)) AS BIGINT) AS n_uniq_bigrams,
-              CAST(array_max(transform(array_distinct(w),
-                x -> size(filter(w, y -> y = x)))) AS BIGINT) AS top_word_cnt
-            FROM b)
+              cf.n_tokens AS n_tokens,
+              cf.n_uniq_tokens AS n_uniq,
+              cf.n_bigrams AS n_bigrams,
+              cf.n_uniq_bigrams AS n_uniq_bigrams,
+              cf.n_top_word AS top_word_cnt
+            FROM t)
       SELECT doc_id, n_tokens, n_uniq, n_bigrams, n_uniq_bigrams, top_word_cnt,
              CASE WHEN n_bigrams > 0
                   THEN CAST(n_bigrams - n_uniq_bigrams AS DOUBLE)
@@ -249,23 +243,14 @@ object TextOps {
   val t08 = QueryDef(
     "t08_quality_filter",
     (s, d) => withViews(s, d, "documents")(s"""
-      WITH t AS (SELECT doc_id, lang, $sNorm AS nt,
-                   split($sNorm, ' ') AS w FROM documents),
-      b AS (SELECT doc_id, lang, nt, w,
-              CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1),
-                     i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))
-                   ELSE CAST(array() AS ARRAY<STRING>) END AS bg
-            FROM t),
-      f AS (SELECT doc_id, lang,
-              CAST(size(w) AS BIGINT) AS n_tokens,
-              aggregate(w, CAST(0 AS BIGINT), (a, x) -> a + length(x)) AS total_chars,
-              CAST(size(filter(w, x -> x IN $allStop)) AS BIGINT) AS n_stop,
-              CAST(length(nt) AS BIGINT) AS n_chars,
-              CAST(size(regexp_extract_all(nt, '[^a-z0-9 ]', 0)) AS BIGINT) AS n_sym,
-              CAST(size(regexp_extract_all(nt, '[0-9]', 0)) AS BIGINT) AS n_digit,
-              CAST(size(bg) AS BIGINT) AS n_bigrams,
-              CAST(size(array_distinct(bg)) AS BIGINT) AS n_uniq_bigrams
-            FROM b),
+      WITH c AS (SELECT doc_id, lang, corpus_features(text) AS cf
+                 FROM documents),
+      f AS (SELECT doc_id, lang, cf.n_tokens AS n_tokens,
+              cf.total_chars AS total_chars, cf.n_stop AS n_stop,
+              cf.n_chars AS n_chars, cf.n_sym AS n_sym,
+              cf.n_digit AS n_digit, cf.n_bigrams AS n_bigrams,
+              cf.n_uniq_bigrams AS n_uniq_bigrams
+            FROM c),
       r AS (SELECT doc_id, lang,
               n_tokens BETWEEN 5 AND 1000 AS r_len,
               3 * n_tokens <= total_chars AND total_chars <= 10 * n_tokens AS r_wordlen,

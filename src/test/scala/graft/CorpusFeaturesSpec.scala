@@ -30,14 +30,18 @@ class CorpusFeaturesSpec extends AnyFunSuite {
            CAST(size(regexp_extract_all(nt, '[^a-z0-9 ]', 0)) AS BIGINT) AS n_sym,
            CAST(size(regexp_extract_all(nt, '[0-9]', 0)) AS BIGINT) AS n_digit,
            CAST(size(bg) AS BIGINT) AS n_bigrams,
-           CAST(size(array_distinct(bg)) AS BIGINT) AS n_uniq_bigrams
+           CAST(size(array_distinct(bg)) AS BIGINT) AS n_uniq_bigrams,
+           CAST(size(array_distinct(w)) AS BIGINT) AS n_uniq_tokens,
+           CAST(array_max(transform(array_distinct(w),
+             x -> size(filter(w, y -> y = x)))) AS BIGINT) AS n_top_word
     FROM b"""
 
   private def nativeChain = """
     SELECT id, cf.fp AS fp, cf.n_tokens AS n_tokens,
            cf.total_chars AS total_chars, cf.n_stop AS n_stop,
            cf.n_chars AS n_chars, cf.n_sym AS n_sym, cf.n_digit AS n_digit,
-           cf.n_bigrams AS n_bigrams, cf.n_uniq_bigrams AS n_uniq_bigrams
+           cf.n_bigrams AS n_bigrams, cf.n_uniq_bigrams AS n_uniq_bigrams,
+           cf.n_uniq_tokens AS n_uniq_tokens, cf.n_top_word AS n_top_word
     FROM (SELECT id, corpus_features(text) AS cf FROM docs)"""
 
   private def compare(): Unit = {
