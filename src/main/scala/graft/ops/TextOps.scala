@@ -31,7 +31,7 @@ object TextOps {
              CAST(cf.total_chars AS DOUBLE)
                / CAST(cf.n_tokens AS DOUBLE) AS avg_token_len,
              CAST(cf.n_uniq_tokens AS DOUBLE) / CAST(cf.n_tokens AS DOUBLE) AS ttr,
-             CAST(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)) AS BIGINT)
+             CAST(regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]') AS BIGINT)
                AS n_subtokens
       FROM t"""),
     Some(s"""
