@@ -39,5 +39,7 @@ object GraftExtensions {
     entry("text_features", classOf[TextFeatures])(
       es => TextFeatures(es.head)),
     entry("corpus_features", classOf[CorpusFeatures])(
-      es => CorpusFeatures(es.head)))
+      es => CorpusFeatures(es.head)),
+    entry("simhash32", classOf[SimHash32])(
+      es => SimHash32(es.head)))
 }

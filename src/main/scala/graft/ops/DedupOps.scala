@@ -132,15 +132,12 @@ object DedupOps {
     * Row-wise (no shuffle); hamming-ball grouping composes downstream. */
   val d03 = QueryDef(
     "d03_simhash",
-    (s, d) => withViews(s, d, "documents")(s"""
-      WITH t AS (SELECT doc_id, split($sNorm, ' ') AS w FROM documents),
-      h AS (SELECT doc_id, transform(w, x -> char_fold(x, 7)) AS hs FROM t)
-      SELECT doc_id,
-             aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, j) ->
-               acc + CASE WHEN aggregate(hs, CAST(0 AS BIGINT),
-                 (a, h) -> a + CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0
-               THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END) AS simhash
-      FROM h"""),
+    (s, d) => withViews(s, d, "documents")(
+      // native one-pass expression (CorpusFeaturesSpec pins it equal to
+      // the lambda chain the oracle runs): the SQL spelling nests a
+      // 32-step fold around a per-token fold — 32·n_tokens interpreted
+      // closures per doc, measured 7.5 s at 64× vs one JVM pass
+      "SELECT doc_id, simhash32(text) AS simhash FROM documents"),
     Some(s"""
       WITH t AS (SELECT doc_id, string_split($oNorm, ' ') AS w FROM documents),
       h AS (SELECT doc_id, list_transform(w, x -> ${oCharFold("x", 7)}) AS hs FROM t)

@@ -51,12 +51,31 @@ class CorpusFeaturesSpec extends AnyFunSuite {
     for ((id, w) <- want) assert(got(id) == w, s"doc $id: ${got(id)} != $w")
   }
 
+  private def simhashSql = s"""
+    WITH t AS (SELECT id, split($sNorm, ' ') AS w FROM docs),
+    h AS (SELECT id, transform(w, x -> char_fold(x, 7)) AS hs FROM t)
+    SELECT id,
+           aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, j) ->
+             acc + CASE WHEN aggregate(hs, CAST(0 AS BIGINT),
+               (a, h) -> a + CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0
+             THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END) AS simhash
+    FROM h"""
+
+  private def assertSimhashParity(): Unit = {
+    val want = spark.sql(simhashSql).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = spark.sql("SELECT id, simhash32(text) AS simhash FROM docs")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("corpus_features equals the SQL chain on the sf0.001 corpus") {
     graft.functions.GraftFunctions.register(spark)
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .selectExpr("doc_id AS id", "text")
       .createOrReplaceTempView("docs")
     compare()
+    assertSimhashParity()
   }
 
   test("corpus_features equals the SQL chain on edge-case rows") {
@@ -80,5 +99,6 @@ class CorpusFeaturesSpec extends AnyFunSuite {
     edge.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("id", "text").createOrReplaceTempView("docs")
     compare()
+    assertSimhashParity()
   }
 }

@@ -34,12 +34,15 @@ object StageProfile {
     })
     for (name <- names) {
       val q = SparkEntry.queries(name)
+      // full execution of the query's own plan (count() would let the
+      // optimizer prune the payload — see Bench.exec)
+      def exec(): Unit = q(spark, dir).queryExecution.toRdd.count()
       // warm once (JIT), then profile a cold-cache run
-      graft.ops.Q.releaseAllPersisted(spark); q(spark, dir).count()
+      graft.ops.Q.releaseAllPersisted(spark); exec()
       graft.ops.Q.releaseAllPersisted(spark); System.gc()
       stages.clear()
       val t0 = System.nanoTime()
-      q(spark, dir).count()
+      exec()
       val total = (System.nanoTime() - t0) / 1e9
       println(f"==== $name: $total%.2f s total ====")
       println(f"${"stage"}%-62s ${"ms"}%7s ${"tasks"}%5s ${"shW-MB"}%8s ${"shR-MB"}%8s ${"shW-rec"}%9s")
