@@ -62,11 +62,23 @@ object ScaleData {
       "lineitem" -> replicate(read("lineitem"), "l_orderkey"),
       "documents" -> replicateDocs(read("documents")),
       "embeddings" -> replicateVecs(read("embeddings")),
-      // pass events through Q.events' ns→µs normalization: a raw copy
-      // would re-write the TIMESTAMP(NANOS) column as BIGINT (this
-      // session reads nanos as long), breaking every oracle that does
-      // `cast(ts as timestamp)` on the scaled dir
-      "events" -> graft.ops.Q.events(spark, baseDir)) ++
+      // events replicate with shifted user_id AND event_id: each replica
+      // is a disjoint population of users with identical per-user
+      // timelines, so the sessionization / as-of / range-join structure
+      // (all keyed or blocked by user_id) grows linearly — new users,
+      // not denser histories. Read through Q.events' ns→µs normalization
+      // (a raw copy would re-write the TIMESTAMP(NANOS) column as BIGINT
+      // — this session reads nanos as long — breaking every oracle that
+      // does `cast(ts as timestamp)` on the scaled dir).
+      "events" -> {
+        val ev = graft.ops.Q.events(spark, baseDir)
+        val userStride = ev.agg(max(col("user_id"))).head().getLong(0) + 1L
+        val evStride = ev.agg(max(col("event_id"))).head().getLong(0) + 1L
+        (0 until factor).map { i =>
+          ev.withColumn("user_id", col("user_id") + lit(i * userStride))
+            .withColumn("event_id", col("event_id") + lit(i * evStride))
+        }.reduce(_ unionByName _)
+      }) ++
       Seq("region", "nation", "customer", "supplier", "part")
         .map(t => t -> read(t))
 
