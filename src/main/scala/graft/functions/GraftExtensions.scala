@@ -41,5 +41,7 @@ object GraftExtensions {
     entry("corpus_features", classOf[CorpusFeatures])(
       es => CorpusFeatures(es.head)),
     entry("simhash32", classOf[SimHash32])(
-      es => SimHash32(es.head)))
+      es => SimHash32(es.head)),
+    entry("nearest_centroid", classOf[NearestCentroid])(
+      es => NearestCentroid(es.head, es(1), es(2))))
 }

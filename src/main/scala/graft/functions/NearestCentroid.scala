@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Per-row nearest-centroid assignment: given a vector, its L2 norm, and
+  * the centroid table as ONE array value (`collect_list(named_struct(
+  * 'cid', …, 'cv', …, 'cn', …))` over the seed set, cross-joined as a
+  * single broadcast row), returns `struct(cid, cos)` of the
+  * highest-cosine centroid, ties to the smallest cid — exactly the row
+  * `row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) = 1`
+  * selects.
+  *
+  * WHY: the window spelling EXPLODES each vector into k scored rows and
+  * shuffles all N·k of them so one task can sort each vector's
+  * candidates — the exchange grows with the centroid count, which is
+  * exactly the dial that must grow with corpus size (cells stay O(100)
+  * only if k ∝ N). This expression keeps assignment row-wise: one pass
+  * over the scan, no row explosion, no shuffle — N·k work, O(N) rows.
+  * Dots fold left-to-right like [[DotProduct]], so the selected cosine
+  * is bit-identical to the SQL chain's. */
+case class NearestCentroid(vec: Expression, nrm: Expression, cents: Expression)
+    extends TernaryExpression with CodegenFallback {
+
+  override def first: Expression = vec
+  override def second: Expression = nrm
+  override def third: Expression = cents
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cid", LongType, nullable = false),
+    StructField("cos", DoubleType, nullable = false)))
+
+  override def prettyName: String = "nearest_centroid"
+
+  override protected def nullSafeEval(v: Any, n: Any, cs: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val vn = n.asInstanceOf[Double]
+    val arr = cs.asInstanceOf[ArrayData]
+    val dims = vec.numElements()
+    var bestCid = Long.MinValue
+    var bestCos = Double.NegativeInfinity
+    var first = true
+    var c = 0
+    val k = arr.numElements()
+    while (c < k) {
+      val row = arr.getStruct(c, 3)
+      val cid = row.getLong(0)
+      val cv = row.getArray(1)
+      val cn = row.getDouble(2)
+      var acc = 0.0
+      var i = 0
+      while (i < dims) {
+        acc += vec.getDouble(i) * cv.getDouble(i)
+        i += 1
+      }
+      val cos = acc / (vn * cn)
+      // ORDER BY cos DESC, cid semantics (NaN sorts greatest, like Spark)
+      val cmp =
+        if (cos.isNaN && bestCos.isNaN) 0
+        else if (cos.isNaN) 1
+        else if (bestCos.isNaN) -1
+        else java.lang.Double.compare(cos, bestCos)
+      if (first || cmp > 0 || (cmp == 0 && cid < bestCid)) {
+        bestCid = cid; bestCos = cos; first = false
+      }
+      c += 1
+    }
+    if (first) null else InternalRow(bestCid, bestCos)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): NearestCentroid =
+    copy(vec = newFirst, nrm = newSecond, cents = newThird)
+}

@@ -290,6 +290,22 @@ object DedupOps {
                       JOIN n nb ON cand.idb = nb.vec_id)
       SELECT ida AS vec_a, idb AS vec_b, cos FROM p WHERE cos >= 0.4"""))
 
+  /** Semantic-dedup centroid count (`-Dgraft.semdedup.centroids`, JVM
+    * load-time like [[minhashBands]] so engine SQL and oracle SQL can
+    * never disagree within a run). Work per corpus is N·k (assignment,
+    * row-wise — see the nearest_centroid note below) + N²/k (within-cell
+    * pairs): k is THE dial — it must grow with N to keep cells O(100).
+    * Honest caveat from the 64× experiment (128 k vectors, 21.8 s at
+    * k=64): ScaleData replicates vectors VERBATIM, so raising the dial
+    * adds duplicate centroid VALUES (ties resolve to the first replica)
+    * and cells cannot shrink on that synthetic corpus — the dial's
+    * effect needs distinct centroids, i.e. the s06 Lloyd refresh, which
+    * is where production k comes from. */
+  private[graft] val semCentroids =
+    sys.props.getOrElse("graft.semdedup.centroids", "64").toInt
+  private[graft] val semSeedPred =
+    s"vec_id % 50 = 7 AND vec_id < ${50L * semCentroids}"
+
   /** Semantic deduplication — the embedding-space analogue of d01's
     * keep-first: k-means-style coarse clusters bound the pairwise work,
     * and within each (label, cluster) cell a vector is PRUNED when a
@@ -299,25 +315,31 @@ object DedupOps {
     * redundancy exact/MinHash dedup cannot see). Output is the full
     * corpus with the keep/prune decision, i.e. what a trainer consumes.
     *
-    * 100 TB shape: |C| is CAPPED (same `vec_id % 50 = 7 AND vec_id <
-    * 3200` rule as d05/s03/s05 — never a function of N), so assignment
-    * is one broadcast pass; the only quadratic term is per-cluster and
-    * the cluster count is the dial that bounds it (more centroids =
-    * smaller cells — at real scale refreshed by the s06 Lloyd loop).
+    * 100 TB shape: |C| is a CONFIG ([[semCentroids]] — never a function
+    * of N), so assignment is one broadcast pass; the only quadratic term
+    * is per-cluster and the centroid count is the dial that bounds it.
     * The prune join ships only (vec_id) pairs — metadata-width. */
   val d16 = QueryDef(
     "d16_semantic_dedup",
     (s, d) => {
       normEmbeddings(s, d).createOrReplaceTempView("d16_n")
-      s.sql("""
+      // Assignment is ROW-WISE through the native nearest_centroid
+      // expression over the collected centroid array (one broadcast row):
+      // the window spelling explodes each vector into k scored rows and
+      // shuffles all N·k of them to sort per vector — an exchange that
+      // grows with the centroid dial, which is exactly the quantity that
+      // must grow with N. One pass, no row explosion, no shuffle;
+      // struct-max aggregation was also tried and rejected (a StructType
+      // buffer kicks HashAggregate over to SortAggregate — measured
+      // SLOWER than the window at 64×).
+      s.sql(s"""
         WITH c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM d16_n
-                   WHERE vec_id % 50 = 7 AND vec_id < 3200),
-        sc AS (SELECT /*+ BROADCAST(c) */ t.vec_id, t.label, cid,
-                 row_number() OVER (PARTITION BY t.vec_id
-                                    ORDER BY dot_product(t.v, cv) / (t.nrm * cn) DESC,
-                                             cid) AS rn
-               FROM d16_n t CROSS JOIN c),
-        assign AS (SELECT vec_id, label, cid FROM sc WHERE rn = 1),
+                   WHERE $semSeedPred),
+        cs AS (SELECT collect_list(named_struct('cid', cid, 'cv', cv,
+                        'cn', cn)) AS cents FROM c),
+        assign AS (SELECT /*+ BROADCAST(cs) */ t.vec_id, t.label,
+                     nearest_centroid(t.v, t.nrm, cents).cid AS cid
+                   FROM d16_n t CROSS JOIN cs),
         pruned AS (SELECT DISTINCT b.vec_id
                    FROM assign a JOIN assign b
                      ON a.label = b.label AND a.cid = b.cid
@@ -329,7 +351,7 @@ object DedupOps {
                p.vec_id IS NULL AS is_kept
         FROM assign s LEFT JOIN pruned p ON s.vec_id = p.vec_id""")
     },
-    Some("""
+    Some(s"""
       WITH e AS (SELECT vec_id, label,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                  FROM embeddings),
@@ -338,7 +360,7 @@ object DedupOps {
                 list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
             FROM e),
       c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
-            WHERE vec_id % 50 = 7 AND vec_id < 3200),
+            WHERE $semSeedPred),
       sc AS (SELECT t.vec_id, t.label, cid,
                row_number() OVER (PARTITION BY t.vec_id
                                   ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),

@@ -365,17 +365,21 @@ object SimilarityOps {
     "s05_kmeans_update",
     (s, d) => {
       normalized(s, d).createOrReplaceTempView("s05_n")
+      // assignment through the native row-wise arg-max (nearest_centroid
+      // over the collected-centroid broadcast row): the previous
+      // cross-join + row_number window shipped every VECTOR k times
+      // through the per-vec_id exchange — this keeps "vectors never
+      // shuffle" true by construction (they stay in their scan
+      // partitions; only (cluster, dim) integer partials move)
       s.sql("""
         WITH c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM s05_n
                    WHERE vec_id % 125 = 0 AND vec_id < 8000),
-        sc AS (SELECT /*+ BROADCAST(c) */ t.vec_id, t.v, c.cid,
-                 dot_product(c.cv, t.v) / (c.cn * t.nrm) AS cos
-               FROM s05_n t CROSS JOIN c),
-        a AS (SELECT vec_id, v, cid, cos,
-                row_number() OVER (PARTITION BY vec_id
-                  ORDER BY cos DESC, cid) AS rk
-              FROM sc),
-        asg AS (SELECT vec_id, v, cid, cos FROM a WHERE rk = 1),
+        cs AS (SELECT collect_list(named_struct('cid', cid, 'cv', cv,
+                        'cn', cn)) AS cents FROM c),
+        a AS (SELECT /*+ BROADCAST(cs) */ t.vec_id, t.v,
+                nearest_centroid(t.v, t.nrm, cents) AS nc
+              FROM s05_n t CROSS JOIN cs),
+        asg AS (SELECT vec_id, v, nc.cid AS cid, nc.cos AS cos FROM a),
         g AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
                 CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
                   / CAST(count(*) AS DOUBLE) AS mean_cos
@@ -461,11 +465,11 @@ object SimilarityOps {
   private def sRound(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
     s.sql("""
       WITH c AS (SELECT cid, cv, sqrt(dot_product(cv, cv)) AS cn FROM s06_c),
-      sc AS (SELECT /*+ BROADCAST(c) */ t.vec_id, t.v, c.cid,
-               row_number() OVER (PARTITION BY t.vec_id
-                 ORDER BY dot_product(c.cv, t.v) / (c.cn * t.nrm) DESC, c.cid) AS rk
-             FROM s06_n t CROSS JOIN c),
-      asg AS (SELECT vec_id, v, cid FROM sc WHERE rk = 1),
+      cs AS (SELECT collect_list(named_struct('cid', cid, 'cv', cv,
+                      'cn', cn)) AS cents FROM c),
+      asg AS (SELECT /*+ BROADCAST(cs) */ t.vec_id, t.v,
+                nearest_centroid(t.v, t.nrm, cents).cid AS cid
+              FROM s06_n t CROSS JOIN cs),
       e AS (SELECT cid, CAST(dim AS BIGINT) AS dim,
               CAST(floor(xv * CAST(1000000000000 AS DOUBLE)) AS BIGINT) AS xi
             FROM asg LATERAL VIEW posexplode(v) t AS dim, xv),
@@ -512,16 +516,16 @@ object SimilarityOps {
       }
       cents.createOrReplaceTempView("s06_c")
       // final report: s05's update query against the converged centroids
+      // (same row-wise nearest_centroid assignment — vectors never
+      // shuffle in the report either)
       s.sql("""
         WITH c AS (SELECT cid, cv, sqrt(dot_product(cv, cv)) AS cn FROM s06_c),
-        sc AS (SELECT /*+ BROADCAST(c) */ t.vec_id, t.v, c.cid,
-                 dot_product(c.cv, t.v) / (c.cn * t.nrm) AS cos
-               FROM s06_n t CROSS JOIN c),
-        a AS (SELECT vec_id, v, cid, cos,
-                row_number() OVER (PARTITION BY vec_id
-                  ORDER BY cos DESC, cid) AS rk
-              FROM sc),
-        asg AS (SELECT vec_id, v, cid, cos FROM a WHERE rk = 1),
+        cs AS (SELECT collect_list(named_struct('cid', cid, 'cv', cv,
+                        'cn', cn)) AS cents FROM c),
+        a AS (SELECT /*+ BROADCAST(cs) */ t.vec_id, t.v,
+                nearest_centroid(t.v, t.nrm, cents) AS nc
+              FROM s06_n t CROSS JOIN cs),
+        asg AS (SELECT vec_id, v, nc.cid AS cid, nc.cos AS cos FROM a),
         g AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
                 CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
                   / CAST(count(*) AS DOUBLE) AS mean_cos
