@@ -331,25 +331,41 @@ object DedupOps {
       // must grow with N. One pass, no row explosion, no shuffle;
       // struct-max aggregation was also tried and rejected (a StructType
       // buffer kicks HashAggregate over to SortAggregate — measured
-      // SLOWER than the window at 64×).
-      s.sql(s"""
-        WITH c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM d16_n
-                   WHERE $semSeedPred),
-        cs AS (SELECT collect_list(named_struct('cid', cid, 'cv', cv,
-                        'cn', cn)) AS cents FROM c),
-        assign AS (SELECT /*+ BROADCAST(cs) */ t.vec_id, t.label,
-                     nearest_centroid(t.v, t.nrm, cents).cid AS cid
-                   FROM d16_n t CROSS JOIN cs),
-        pruned AS (SELECT DISTINCT b.vec_id
-                   FROM assign a JOIN assign b
-                     ON a.label = b.label AND a.cid = b.cid
-                    AND a.vec_id < b.vec_id
-                   JOIN d16_n na ON a.vec_id = na.vec_id
-                   JOIN d16_n nb ON b.vec_id = nb.vec_id
-                   WHERE dot_product(na.v, nb.v) / (na.nrm * nb.nrm) >= 0.3)
+      // SLOWER than the window at 64×). The assignment frame is STAGED:
+      // it has three consumers (both pair-join sides + the final output),
+      // and as a CTE Spark would inline and re-run the corpus-wide
+      // arg-max pass per reference (PlanShapeSpec pins exactly one
+      // evaluation); the cache is metadata-width (id, label, cid).
+      // (spelled without WITH: a staged view whose analyzed plan carries
+      // CTE defs breaks InlineCTE / CTE pushdown when referenced three
+      // times downstream — the q50 landmine family)
+      val assign = staged("d16_assign", d) {
+        s.sql(s"""
+          SELECT /*+ BROADCAST(cs) */ t.vec_id, t.label,
+                 nearest_centroid(t.v, t.nrm, cs.cents).cid AS cid
+          FROM d16_n t CROSS JOIN (
+            SELECT collect_list(named_struct('cid', cid, 'cv', cv,
+                     'cn', cn)) AS cents
+            FROM (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM d16_n
+                  WHERE $semSeedPred)
+          ) cs""")
+      }
+      assign.createOrReplaceTempView("d16_assign")
+      // no outer WITH: wrapping a view whose analyzed plan carries its own
+      // CTE defs (the staged assign build) in another CTE trips the same
+      // PushdownPredicatesAndPruneColumnsForCTEDef key-not-found bug q50
+      // dodges — an inline subquery plans cleanly
+      s.sql("""
         SELECT s.vec_id, s.label, CAST(s.cid AS BIGINT) AS cluster,
                p.vec_id IS NULL AS is_kept
-        FROM assign s LEFT JOIN pruned p ON s.vec_id = p.vec_id""")
+        FROM d16_assign s LEFT JOIN (
+          SELECT DISTINCT b.vec_id
+          FROM d16_assign a JOIN d16_assign b
+            ON a.label = b.label AND a.cid = b.cid AND a.vec_id < b.vec_id
+          JOIN d16_n na ON a.vec_id = na.vec_id
+          JOIN d16_n nb ON b.vec_id = nb.vec_id
+          WHERE dot_product(na.v, nb.v) / (na.nrm * nb.nrm) >= 0.3
+        ) p ON s.vec_id = p.vec_id""")
     },
     Some(s"""
       WITH e AS (SELECT vec_id, label,

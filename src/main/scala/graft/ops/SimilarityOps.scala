@@ -370,30 +370,34 @@ object SimilarityOps {
       // cross-join + row_number window shipped every VECTOR k times
       // through the per-vec_id exchange — this keeps "vectors never
       // shuffle" true by construction (they stay in their scan
-      // partitions; only (cluster, dim) integer partials move)
+      // partitions; only (cluster, dim) integer partials move).
+      // ONE corpus pass: the per-cid stats (n_members, mean_cos) are
+      // derived from the SAME (cid, dim) aggregation that computes the
+      // means — carrying cos through the explode and reading each
+      // per-dim group's count — because a separate per-cid aggregate
+      // would re-reference the assignment CTE, and Spark inlines CTEs
+      // per reference (the whole scan + arg-max would run twice;
+      // PlanShapeSpec pins exactly one evaluation).
       s.sql("""
-        WITH c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM s05_n
-                   WHERE vec_id % 125 = 0 AND vec_id < 8000),
-        cs AS (SELECT collect_list(named_struct('cid', cid, 'cv', cv,
-                        'cn', cn)) AS cents FROM c),
+        WITH cs AS (SELECT collect_list(named_struct('cid', cid, 'cv', cv,
+                        'cn', cn)) AS cents
+                    FROM (SELECT vec_id AS cid, v AS cv, nrm AS cn
+                          FROM s05_n
+                          WHERE vec_id % 125 = 0 AND vec_id < 8000)),
         a AS (SELECT /*+ BROADCAST(cs) */ t.vec_id, t.v,
                 nearest_centroid(t.v, t.nrm, cents) AS nc
               FROM s05_n t CROSS JOIN cs),
-        asg AS (SELECT vec_id, v, nc.cid AS cid, nc.cos AS cos FROM a),
-        g AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
-                CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
-                  / CAST(count(*) AS DOUBLE) AS mean_cos
-              FROM asg GROUP BY cid),
-        e AS (SELECT cid, dim,
+        e AS (SELECT nc.cid AS cid, dim,
+                CAST(floor(nc.cos * CAST(1000000 AS DOUBLE)) AS BIGINT) AS ci,
                 CAST(floor(xv * CAST(1000000000000 AS DOUBLE)) AS BIGINT) AS xi
-              FROM asg LATERAL VIEW posexplode(v) t AS dim, xv),
-        m AS (SELECT cid, CAST(dim AS BIGINT) AS dim,
-                CAST(sum(xi) AS DOUBLE)
-                  / CAST(count(*) * 1000000000000 AS DOUBLE) AS mean_component
-              FROM e GROUP BY cid, dim)
-        SELECT m.cid AS cluster_id, m.dim, m.mean_component,
-               g.n_members, g.mean_cos
-        FROM m JOIN g ON m.cid = g.cid""")
+              FROM a LATERAL VIEW posexplode(v) t AS dim, xv)
+        SELECT cid AS cluster_id, CAST(dim AS BIGINT) AS dim,
+               CAST(sum(xi) AS DOUBLE)
+                 / CAST(count(*) * 1000000000000 AS DOUBLE) AS mean_component,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(sum(ci) AS DOUBLE)
+                 / CAST(count(*) * 1000000 AS DOUBLE) AS mean_cos
+        FROM e GROUP BY cid, dim""")
     },
     Some(s"""
       WITH e0 AS (SELECT vec_id,
@@ -416,8 +420,9 @@ object SimilarityOps {
             FROM sc),
       asg AS (SELECT vec_id, v, cid, cos FROM a WHERE rk = 1),
       g AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
-              CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
-                / CAST(count(*) AS DOUBLE) AS mean_cos
+              CAST(sum(CAST(floor(cos * CAST(1000000 AS DOUBLE)) AS BIGINT))
+                     AS DOUBLE)
+                / CAST(count(*) * 1000000 AS DOUBLE) AS mean_cos
             FROM asg GROUP BY cid),
       ix AS (SELECT cid, v, unnest(range(len(v))) AS dim FROM asg),
       e AS (SELECT cid, dim,
@@ -519,27 +524,24 @@ object SimilarityOps {
       // (same row-wise nearest_centroid assignment — vectors never
       // shuffle in the report either)
       s.sql("""
-        WITH c AS (SELECT cid, cv, sqrt(dot_product(cv, cv)) AS cn FROM s06_c),
-        cs AS (SELECT collect_list(named_struct('cid', cid, 'cv', cv,
-                        'cn', cn)) AS cents FROM c),
+        WITH cs AS (SELECT collect_list(named_struct('cid', cid, 'cv', cv,
+                        'cn', cn)) AS cents
+                    FROM (SELECT cid, cv, sqrt(dot_product(cv, cv)) AS cn
+                          FROM s06_c)),
         a AS (SELECT /*+ BROADCAST(cs) */ t.vec_id, t.v,
                 nearest_centroid(t.v, t.nrm, cents) AS nc
               FROM s06_n t CROSS JOIN cs),
-        asg AS (SELECT vec_id, v, nc.cid AS cid, nc.cos AS cos FROM a),
-        g AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
-                CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
-                  / CAST(count(*) AS DOUBLE) AS mean_cos
-              FROM asg GROUP BY cid),
-        e AS (SELECT cid, dim,
+        e AS (SELECT nc.cid AS cid, dim,
+                CAST(floor(nc.cos * CAST(1000000 AS DOUBLE)) AS BIGINT) AS ci,
                 CAST(floor(xv * CAST(1000000000000 AS DOUBLE)) AS BIGINT) AS xi
-              FROM asg LATERAL VIEW posexplode(v) t AS dim, xv),
-        m AS (SELECT cid, CAST(dim AS BIGINT) AS dim,
-                CAST(sum(xi) AS DOUBLE)
-                  / CAST(count(*) * 1000000000000 AS DOUBLE) AS mean_component
-              FROM e GROUP BY cid, dim)
-        SELECT m.cid AS cluster_id, m.dim, m.mean_component,
-               g.n_members, g.mean_cos
-        FROM m JOIN g ON m.cid = g.cid""")
+              FROM a LATERAL VIEW posexplode(v) t AS dim, xv)
+        SELECT cid AS cluster_id, CAST(dim AS BIGINT) AS dim,
+               CAST(sum(xi) AS DOUBLE)
+                 / CAST(count(*) * 1000000000000 AS DOUBLE) AS mean_component,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(sum(ci) AS DOUBLE)
+                 / CAST(count(*) * 1000000 AS DOUBLE) AS mean_cos
+        FROM e GROUP BY cid, dim""")
     },
     Some(s"""
       WITH e0 AS (SELECT vec_id,
@@ -567,8 +569,9 @@ object SimilarityOps {
              FROM scF),
       asgF AS (SELECT vec_id, v, cid, cos FROM aF WHERE rk = 1),
       gF AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
-               CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
-                 / CAST(count(*) AS DOUBLE) AS mean_cos
+               CAST(sum(CAST(floor(cos * CAST(1000000 AS DOUBLE)) AS BIGINT))
+                      AS DOUBLE)
+                 / CAST(count(*) * 1000000 AS DOUBLE) AS mean_cos
              FROM asgF GROUP BY cid),
       ixF AS (SELECT cid, v, unnest(range(len(v))) AS dim FROM asgF),
       eF AS (SELECT cid, dim,

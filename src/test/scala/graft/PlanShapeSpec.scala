@@ -83,6 +83,23 @@ class PlanShapeSpec extends AnyFunSuite {
     walk(SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan)
   }
 
+  test("k-means assignment is window-free (vectors never shuffle)") {
+    // d16/s05 assign vectors to centroids through the row-wise native
+    // nearest_centroid arg-max; if a refactor reintroduces the cross-join
+    // + row_number spelling, every vector ships k times through a
+    // per-vec_id exchange — the N·k explosion this family was built to
+    // avoid — and a WindowExec reappears here
+    for (n <- Seq("d16_semantic_dedup", "s05_kmeans_update")) {
+      val ws = deepNodes(n).collect { case w: WindowExec => w }
+      assert(ws.isEmpty, s"$n grew a window: ${ws.map(_.simpleStringWithNodeId())}")
+      val evals = deepNodes(n)
+        .flatMap(_.expressions)
+        .map(_.collect { case c: graft.functions.NearestCentroid => c }.size)
+        .sum
+      assert(evals == 1, s"$n evaluates nearest_centroid $evals times")
+    }
+  }
+
   test("q46/q50 evaluate corpus_features exactly once per row") {
     // the one-pass analysis expression must stay single-evaluation: if
     // CollapseProject (or a pushed predicate) ever starts substituting it
