@@ -13,7 +13,8 @@ object SparkEntry {
       graft.ops.SimilarityOps.all ++ graft.ops.MultimodalOps.all ++
       graft.ops.Extended.all ++ graft.ops.PipelineQueries.all ++
       graft.ops.TrainingPipeline.all ++ graft.ops.StreamingGate.all ++
-      graft.ops.CorpusOps.all ++ graft.ops.CurationOps.all
+      graft.ops.CorpusOps.all ++ graft.ops.CurationOps.all ++
+      graft.ops.ExportOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the end-to-end training-data pipeline (quality → dedup → stats). */

@@ -83,6 +83,18 @@ class PlanShapeSpec extends AnyFunSuite {
     walk(SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan)
   }
 
+  test("q56 manifest: one metadata-width exchange, text never shuffles") {
+    // the shard export's gate query must shuffle only (doc_id, shard,
+    // skey) — if a refactor drags the text column through the exchange,
+    // the export shuffles the whole corpus twice (once here, once in the
+    // write pass)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val ex = nodes("q56_shard_export").collect { case e: ShuffleExchangeExec => e }
+    assert(ex.size == 1, s"expected 1 shuffle, got ${ex.size}")
+    val shuffled = ex.head.child.output.map(_.name)
+    assert(!shuffled.contains("text"), s"text in shuffle: $shuffled")
+  }
+
   test("k-means assignment is window-free (vectors never shuffle)") {
     // d16/s05 assign vectors to centroids through the row-wise native
     // nearest_centroid arg-max; if a refactor reintroduces the cross-join
