@@ -585,5 +585,84 @@ object SimilarityOps {
              gF.n_members, gF.mean_cos
       FROM mF JOIN gF ON mF.cid = gF.cid"""))
 
-  val all: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06)
+  /** s07: per-vector symmetric int8 quantization — the storage half of a
+    * 100 TB embedding pipeline (4× smaller than float32, 8× smaller than
+    * the double working form; IVF/PQ stacks start exactly here). Each
+    * vector gets `scale = max|x|/127`, codes `q_i = clamp(round(x_i /
+    * scale))`, and the output audits the codes: reconstruction error
+    * (max + mean of |x_i − q_i·scale|) and an order-weighted integer
+    * checksum of the codes themselves, so the oracle verifies the actual
+    * quantization, not just summary stats.
+    *
+    * Scale shape: perfectly row-wise — higher-order array functions only
+    * (transform/zip_with/aggregate), no explode, no aggregation, ZERO
+    * shuffles (pinned in PlanShapeSpec). Bit-exact: scale is one IEEE
+    * division; codes are floor(x/scale + 0.5) — identical IEEE ops in
+    * both engines; error sums ride long-scaled integers with one final
+    * division, the house numeric discipline. */
+  val s07 = QueryDef(
+    "s07_embedding_quantize",
+    (s, d) => withViews(s, d, "embeddings")("""
+      WITH e0 AS (SELECT vec_id,
+                    transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                  FROM embeddings),
+      m AS (SELECT vec_id, v,
+              array_max(transform(v, x -> abs(x))) / CAST(127 AS DOUBLE)
+                AS scale
+            FROM e0),
+      q AS (SELECT vec_id, v, scale,
+              CASE WHEN scale > CAST(0 AS DOUBLE) THEN
+                transform(v, x -> greatest(CAST(-127 AS BIGINT),
+                  least(CAST(127 AS BIGINT),
+                    CAST(floor(x / scale + CAST(0.5 AS DOUBLE)) AS BIGINT))))
+              ELSE transform(v, x -> CAST(0 AS BIGINT)) END AS qv
+            FROM m),
+      e AS (SELECT vec_id, scale, qv,
+              zip_with(v, qv,
+                (x, c) -> abs(x - CAST(c AS DOUBLE) * scale)) AS err
+            FROM q)
+      SELECT vec_id, scale,
+             array_max(err) AS max_abs_err,
+             CAST(aggregate(transform(err, x ->
+                    CAST(floor(x * CAST(1000000000000 AS DOUBLE)) AS BIGINT)),
+                  CAST(0 AS BIGINT), (a, b) -> a + b) AS DOUBLE)
+               / CAST(size(err) * 1000000000000L AS DOUBLE) AS mean_abs_err,
+             aggregate(zip_with(qv,
+                 sequence(CAST(1 AS BIGINT), CAST(size(qv) AS BIGINT)),
+                 (c, i) -> c * i),
+               CAST(0 AS BIGINT), (a, b) -> a + b) AS q_checksum
+      FROM e"""),
+    Some("""
+      WITH e0 AS (SELECT vec_id,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                  FROM embeddings),
+      m AS (SELECT vec_id, v,
+              list_max(list_transform(v, x -> abs(x))) / CAST(127 AS DOUBLE)
+                AS scale
+            FROM e0),
+      q AS (SELECT vec_id, v, scale,
+              CASE WHEN scale > CAST(0 AS DOUBLE) THEN
+                list_transform(v, x -> greatest(CAST(-127 AS BIGINT),
+                  least(CAST(127 AS BIGINT),
+                    CAST(floor(x / scale + 0.5) AS BIGINT))))
+              ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qv
+            FROM m),
+      e AS (SELECT vec_id, scale, qv,
+              list_transform(list_zip(v, qv),
+                s -> abs(s[1] - CAST(s[2] AS DOUBLE) * scale)) AS err
+            FROM q)
+      SELECT vec_id, scale,
+             list_max(err) AS max_abs_err,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(err, x ->
+                      CAST(floor(x * CAST(1000000000000 AS DOUBLE)) AS BIGINT))),
+                  (a, b) -> a + b) AS DOUBLE)
+               / CAST(len(err) * 1000000000000 AS DOUBLE) AS mean_abs_err,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, len(qv) + 1),
+                 i -> qv[i] * CAST(i AS BIGINT))),
+               (a, b) -> a + b) AS q_checksum
+      FROM e"""))
+
+  val all: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07)
 }

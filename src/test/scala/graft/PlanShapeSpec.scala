@@ -154,6 +154,14 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("s07 quantization is shuffle-free (higher-order funcs, no explode)") {
+    // int8 quantization is one projection per vector; an explode +
+    // re-aggregate spelling would shuffle every vector's 64 rows
+    val p = plan("s07_embedding_quantize")
+    assert(!p.contains("Exchange"), s"s07 shuffles:\n$p")
+    assert(!p.contains("Generate"), s"s07 explodes:\n$p")
+  }
+
   test("q46 datasheet is single-scan: one text scan, two shuffles") {
     val p = plan("q46_corpus_report")
     assert("Scan parquet".r.findAllIn(p).size == 1, s"re-scans the corpus:\n$p")
