@@ -43,5 +43,9 @@ object GraftExtensions {
     entry("simhash32", classOf[SimHash32])(
       es => SimHash32(es.head)),
     entry("nearest_centroid", classOf[NearestCentroid])(
-      es => NearestCentroid(es.head, es(1), es(2))))
+      es => NearestCentroid(es.head, es(1), es(2))),
+    entry("int8_quantize", classOf[Int8Quantize])(
+      es => Int8Quantize(es.head)),
+    entry("int8_dot", classOf[Int8Dot])(
+      es => Int8Dot(es.head, es(1))))
 }

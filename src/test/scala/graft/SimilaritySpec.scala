@@ -29,6 +29,17 @@ class SimilaritySpec extends AnyFunSuite {
       s"(per query: ${rows.map(r => s"${r.getLong(0)}=${r.getDouble(1)}").mkString(", ")})")
   }
 
+  test("s08: int8-code search keeps recall@5 >= 0.9 vs float ground truth") {
+    // quantized retrieval must be NEAR-exact (it searches the same space
+    // at 1/8 the memory bandwidth, it is not an approximate index);
+    // measured 1.0 at sf0.01 and 0.98 at sf0.1 — 0.9 is the alarm line
+    val rows = SparkEntry.queries("s08_knn_quantized")(spark, dir)
+      .select(col("in_exact_top5")).collect()
+    assert(rows.length >= 25, "result set must not silently shrink")
+    val recall = rows.count(_.getBoolean(0)).toDouble / rows.length
+    assert(recall >= 0.9, f"quantized recall@5 $recall%.2f fell below 0.9")
+  }
+
   test("s02: candidate budget and index shape stay pinned") {
     // run s02 once so the s02_n / s02_idx views + staged caches exist
     graft.ops.SimilarityOps.s02.run(spark, dir).count()
