@@ -40,6 +40,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, f"quantized recall@5 $recall%.2f fell below 0.9")
   }
 
+  test("s03: IVF recall@5 and candidate budget stay on the measured frontier") {
+    // the probe-sweep table in the ivfProbes scaladoc is the evidence;
+    // this pins the shipped point (p=4: mean 0.68 @ 40% of corpus at
+    // sf0.01) with alarm lines at 0.55 recall / 0.50 budget, so a dial or
+    // quantizer change that silently regresses either fails the build
+    val gt = SparkEntry.queries("s01_knn_bruteforce")(spark, dir)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val got = SparkEntry.queries("s03_knn_ivf")(spark, dir)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = gt.map { case (q, nbs) =>
+      (nbs & got.getOrElse(q, Set.empty)).size.toDouble / nbs.size }
+    val mean = recalls.sum / recalls.size
+    assert(recalls.size >= 5, "query set must not silently shrink")
+    assert(mean >= 0.55, f"IVF recall@5 mean $mean%.2f fell below 0.55")
+    // budget: candidates per query from the staged assignment frame the
+    // query itself used (members join probes) — same frame, cannot drift
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val cand = spark.sql(s"""
+      WITH members AS (SELECT vec_id, cluster FROM s03_assign WHERE rn = 1),
+      probes AS (SELECT vec_id AS query_id, cluster FROM s03_assign
+                 WHERE ${graft.ops.SimilarityOps.qSet}),
+      cand AS (SELECT DISTINCT p.query_id, m.vec_id
+               FROM probes p JOIN members m ON m.cluster = p.cluster
+               WHERE m.vec_id <> p.query_id)
+      SELECT query_id, count(*) AS n_cand FROM cand GROUP BY query_id""").collect()
+    val meanFrac = cand.map(_.getLong(1)).sum.toDouble / cand.length / n
+    assert(meanFrac <= 0.5,
+      f"mean candidates/query = $meanFrac%.2f of corpus — budget regressed")
+  }
+
   test("s02: candidate budget and index shape stay pinned") {
     // run s02 once so the s02_n / s02_idx views + staged caches exist
     graft.ops.SimilarityOps.s02.run(spark, dir).count()
