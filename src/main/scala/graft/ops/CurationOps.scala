@@ -413,5 +413,123 @@ object CurationOps {
                   ELSE 'test' END AS split
       FROM b"""))
 
-  val all: Seq[QueryDef] = Seq(d10, d11, d12, q51, t09, d13, q52, d15, q54)
+  /** Intra-document repetition removal (d11's cross-document twin — the
+    * C4/trafilatura "drop repeated lines WITHIN a page" stage): inside
+    * each document, every span keeps only its FIRST occurrence; later
+    * repeats are stripped and the document reassembled in order. Span
+    * width 2 here — the synthetic corpus has no newlines and its 8-token
+    * windows never repeat intra-doc (measured: 0 dups at W=8, 250
+    * removed spans across 181 docs at W=2), so 2-token spans stand in
+    * for the repeated-line unit the way [[sChunks]]' 8-token spans stand
+    * in for paragraphs.
+    *
+    * Scale shape: the best in the dedup family — ZERO shuffles. The
+    * whole operator is higher-order array functions over one row
+    * (first-occurrence = `array_position(sp, x) == i+1`, O(spans²) per
+    * doc against a document-bounded span count): a pure map pass that
+    * needs no exchange at any corpus size, the 100 TB ideal. The oracle
+    * replicates the same walk with list_position over range. */
+  val d14 = QueryDef(
+    "d14_intradoc_dedup",
+    (s, d) => withViews(s, d, "documents")(s"""
+      WITH toks AS (SELECT doc_id, split($sNorm, ' ') AS t FROM documents
+                    WHERE length(text) >= 1),
+      n AS (SELECT doc_id, t,
+              CAST((size(t) + 1) div 2 AS INT) AS nch FROM toks),
+      sp AS (SELECT doc_id,
+               transform(sequence(0, nch - 1),
+                 i -> array_join(slice(t, i * 2 + 1, 2), ' ')) AS sp
+             FROM n),
+      k AS (SELECT doc_id, sp,
+              filter(sp, (x, i) ->
+                array_position(sp, x) = CAST(i + 1 AS BIGINT)) AS kept
+            FROM sp)
+      SELECT doc_id, array_join(kept, ' ') AS kept_text,
+             CAST(size(sp) AS BIGINT) AS n_spans,
+             CAST(size(sp) - size(kept) AS BIGINT) AS n_removed
+      FROM k"""),
+    Some(s"""
+      WITH toks AS (SELECT doc_id, string_split($oNorm, ' ') AS t
+                    FROM documents WHERE length(text) >= 1),
+      n AS (SELECT doc_id, t, (len(t) + 1) // 2 AS nch FROM toks),
+      sp AS (SELECT doc_id,
+               list_transform(range(nch),
+                 i -> array_to_string(list_slice(t, i * 2 + 1, (i + 1) * 2),
+                                      ' ')) AS sp
+             FROM n),
+      k AS (SELECT doc_id, sp,
+              list_transform(
+                list_filter(range(len(sp)),
+                  i -> list_position(sp, sp[i + 1]) = i + 1),
+                i -> sp[i + 1]) AS kept
+            FROM sp)
+      SELECT doc_id, array_to_string(kept, ' ') AS kept_text,
+             CAST(len(sp) AS BIGINT) AS n_spans,
+             CAST(len(sp) - len(kept) AS BIGINT) AS n_removed
+      FROM k"""))
+
+  /** Incremental corpus merge — the CDC/upsert stage a continuously
+    * crawled corpus needs: a delta batch of re-crawled pages (upserts),
+    * removed pages (tombstones) and brand-new pages (inserts) merges
+    * into the base snapshot with latest-wins semantics. The delta is
+    * DERIVED deterministically from the base here (doc_id % 11 = 3 →
+    * tombstone; % 7 = 0 → re-crawl with revised text; % 13 = 5 → new
+    * page at a shifted id) so the gate stays self-contained; swap the
+    * three CTEs for a real change feed and nothing else moves.
+    *
+    * Scale shape: the merge is ONE broadcast anti-join — a delta batch
+    * is tiny relative to a 100 TB base snapshot (a day's crawl vs the
+    * corpus), so the delta key set broadcasts and the base NEVER
+    * shuffles; survivors and upserts union without an exchange. A
+    * same-order-of-magnitude merge would flip to a shuffle join on
+    * doc_id — AQE makes that call at runtime if the hint is dropped. */
+  val q57 = QueryDef(
+    "q57_incremental_merge",
+    (s, d) => withViews(s, d, "documents")("""
+      WITH del AS (SELECT doc_id FROM documents WHERE doc_id % 11 = 3),
+      up AS (SELECT doc_id, concat(text, ' [rev2]') AS text, lang, source
+             FROM documents WHERE doc_id % 7 = 0 AND doc_id % 11 <> 3),
+      ins AS (SELECT doc_id + 10000000 AS doc_id,
+                     concat('new ', text) AS text, lang, source
+              FROM documents WHERE doc_id % 13 = 5),
+      dkeys AS (SELECT doc_id FROM del
+                UNION ALL SELECT doc_id FROM up
+                UNION ALL SELECT doc_id FROM ins),
+      kept AS (SELECT /*+ BROADCAST(k) */ b.doc_id, b.text, b.lang,
+                      b.source, 'base' AS op
+               FROM documents b LEFT ANTI JOIN dkeys k
+                 ON b.doc_id = k.doc_id),
+      merged AS (SELECT * FROM kept
+                 UNION ALL SELECT doc_id, text, lang, source, 'upsert' AS op
+                           FROM up
+                 UNION ALL SELECT doc_id, text, lang, source, 'insert' AS op
+                           FROM ins)
+      SELECT doc_id, lang, source,
+             CAST(length(text) AS BIGINT) AS n_chars_final, op
+      FROM merged"""),
+    Some("""
+      WITH del AS (SELECT doc_id FROM documents WHERE doc_id % 11 = 3),
+      up AS (SELECT doc_id, concat(text, ' [rev2]') AS text, lang, source
+             FROM documents WHERE doc_id % 7 = 0 AND doc_id % 11 <> 3),
+      ins AS (SELECT doc_id + 10000000 AS doc_id,
+                     concat('new ', text) AS text, lang, source
+              FROM documents WHERE doc_id % 13 = 5),
+      dkeys AS (SELECT doc_id FROM del
+                UNION ALL SELECT doc_id FROM up
+                UNION ALL SELECT doc_id FROM ins),
+      kept AS (SELECT b.doc_id, b.text, b.lang, b.source, 'base' AS op
+               FROM documents b
+               WHERE NOT EXISTS (SELECT 1 FROM dkeys k
+                                 WHERE b.doc_id = k.doc_id)),
+      merged AS (SELECT * FROM kept
+                 UNION ALL SELECT doc_id, text, lang, source, 'upsert' AS op
+                           FROM up
+                 UNION ALL SELECT doc_id, text, lang, source, 'insert' AS op
+                           FROM ins)
+      SELECT doc_id, lang, source,
+             CAST(length(text) AS BIGINT) AS n_chars_final, op
+      FROM merged"""))
+
+  val all: Seq[QueryDef] =
+    Seq(d10, d11, d12, q51, t09, d13, q52, d15, q54, d14, q57)
 }

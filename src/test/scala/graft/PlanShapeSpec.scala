@@ -162,6 +162,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Generate"), s"s07 explodes:\n$p")
   }
 
+  test("d14 intra-doc dedup is shuffle-free (pure map pass, no explode)") {
+    // first-occurrence filtering is higher-order array funcs over one
+    // row; an explode + window spelling would shuffle every span
+    val p = plan("d14_intradoc_dedup")
+    assert(!p.contains("Exchange"), s"d14 shuffles:\n$p")
+    assert(!p.contains("Generate"), s"d14 explodes:\n$p")
+  }
+
+  test("q57 merge: delta keys broadcast, base snapshot never shuffles") {
+    // the anti join against the delta key set must be broadcast — a
+    // shuffle anti join would exchange the 100 TB base for a day's delta
+    val p = plan("q57_incremental_merge")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"delta anti-join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"base snapshot shuffles:\n$p")
+  }
+
   test("q46 datasheet is single-scan: one text scan, two shuffles") {
     val p = plan("q46_corpus_report")
     assert("Scan parquet".r.findAllIn(p).size == 1, s"re-scans the corpus:\n$p")
