@@ -776,5 +776,102 @@ object SimilarityOps {
         ON b.query_id = r.query_id AND b.neighbor_id = r.neighbor_id
       WHERE r.rn <= 5"""))
 
-  val all: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08)
+  /** s09: Johnson–Lindenstrauss random projection 64 → 16 dims — the
+    * dimensionality-reduction half of the embedding toolbox (s07/s08
+    * shrink bytes-per-component; s09 shrinks components-per-vector; a
+    * production retrieval tier composes both). The projection matrix is
+    * Rademacher (entries ±1), derived from a deterministic integer hash
+    * (see [[rpSign]] for why it must be quadratic) — no rand(), both
+    * engines regenerate the identical matrix, so the reduced vectors are
+    * exact-checkable.
+    *
+    * Arithmetic is the house long-scaled discipline end-to-end: inputs
+    * quantize once to 1e-6 grid (`floor(x * 1e6)` — |x| ≤ 0.53 so
+    * |x6| ≤ 5.3e5), every projection component is an exact BIGINT sum
+    * (|y_p| ≤ 64·5.3e5 ≈ 3.4e7), the norm audit sums y² exactly
+    * (≤ 16·1.2e15 ≈ 2e16 < 2^63), and the only doubles in the output are
+    * single IEEE divisions of exact longs. The output audits the actual
+    * projection (order-weighted checksum of the 16 components, s07's
+    * pattern) plus the JL guarantee itself: `norm_ratio` = ‖y‖²/(r·‖x‖²)
+    * has E = 1 and Var = 2/r per the distributional JL lemma —
+    * SimilaritySpec pins the measured concentration, so a broken matrix
+    * or a dropped term is a build failure, not a silent quality loss.
+    *
+    * Scale shape: perfectly row-wise — higher-order array functions, no
+    * explode, no join, no aggregation, ZERO shuffles (pinned). At 100 TB
+    * this is the ideal map pass; if the nested-lambda fold ever shows up
+    * hot (d03's lesson), the drop-in fix is a native expression like
+    * `int8_quantize` — the SQL spelling here is the semantics contract. */
+  private[graft] val rpDims = 16
+  /** Rademacher entry for global cell (p·64 + j): top bit of a QUADRATIC
+    * integer hash. Two rejected spellings, both caught by the norm_ratio
+    * audit before they shipped: the LOW bit of `c·K mod 2^32` is just
+    * c's own parity (K odd ⇒ multiplication preserves bit 0), which
+    * makes all 16 rows identical; and the TOP bit of the same LINEAR
+    * hash is a Weyl word whose rows are phase shifts of one underlying
+    * sequence (measured norm_ratio max 7.4 vs χ²₁₆/16's ≈ 2). The
+    * quadratic term breaks the arithmetic-progression structure:
+    * measured min 0.32 / max 2.00 / mean 0.98 at sf0.01 —
+    * indistinguishable from a true ±1 matrix (0.16/2.19/1.00). Exact:
+    * c ≤ 1023 ⇒ c²·K₁ ≈ 2.8e15 ≪ 2^63. */
+  private def rpSign(cell: String) =
+    s"CASE WHEN (($cell) * ($cell) * 2654435761 + ($cell) * 2246822519) " +
+      "% 4294967296 < 2147483648 THEN 1 ELSE -1 END"
+
+  val s09 = QueryDef(
+    "s09_random_projection",
+    (s, d) => withViews(s, d, "embeddings")(s"""
+      WITH e AS (SELECT vec_id,
+                   transform(embedding, x ->
+                     CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS x6
+                 FROM embeddings),
+      p AS (SELECT vec_id, x6,
+              transform(sequence(0, ${rpDims - 1}), pp ->
+                aggregate(zip_with(x6,
+                    sequence(CAST(0 AS BIGINT), CAST(size(x6) - 1 AS BIGINT)),
+                    (x, j) -> x * ${rpSign("CAST(pp AS BIGINT) * 64 + j")}),
+                  CAST(0 AS BIGINT), (a, b) -> a + b)) AS y
+            FROM e)
+      SELECT vec_id,
+             aggregate(zip_with(y,
+                 sequence(CAST(1 AS BIGINT), CAST(${rpDims} AS BIGINT)),
+                 (c, i) -> c * i),
+               CAST(0 AS BIGINT), (a, b) -> a + b) AS y_checksum,
+             CASE WHEN aggregate(transform(x6, x -> x * x),
+                    CAST(0 AS BIGINT), (a, b) -> a + b) = 0
+               THEN CAST(0 AS DOUBLE)
+               ELSE CAST(aggregate(transform(y, c -> c * c),
+                      CAST(0 AS BIGINT), (a, b) -> a + b) AS DOUBLE)
+                 / CAST(${rpDims} * aggregate(transform(x6, x -> x * x),
+                      CAST(0 AS BIGINT), (a, b) -> a + b) AS DOUBLE)
+             END AS norm_ratio
+      FROM p"""),
+    Some(s"""
+      WITH e AS (SELECT vec_id,
+                   list_transform(embedding, x ->
+                     CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS x6
+                 FROM embeddings),
+      p AS (SELECT vec_id, x6,
+              list_transform(range(0, ${rpDims}), pp ->
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(list_zip(x6, range(0, 64)),
+                    s2 -> s2[1] * ${rpSign("CAST(pp AS BIGINT) * 64 + CAST(s2[2] AS BIGINT)")})),
+                  (a, b) -> a + b)) AS y
+            FROM e)
+      SELECT vec_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_zip(y, range(1, ${rpDims + 1})),
+                 s2 -> s2[1] * CAST(s2[2] AS BIGINT))),
+               (a, b) -> a + b) AS y_checksum,
+             CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(x6, x -> x * x)), (a, b) -> a + b) = 0
+               THEN CAST(0 AS DOUBLE)
+               ELSE CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(y, c -> c * c)), (a, b) -> a + b) AS DOUBLE)
+                 / CAST(${rpDims} * list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(x6, x -> x * x)), (a, b) -> a + b) AS DOUBLE)
+             END AS norm_ratio
+      FROM p"""))
+
+  val all: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09)
 }

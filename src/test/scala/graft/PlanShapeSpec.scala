@@ -162,6 +162,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Generate"), s"s07 explodes:\n$p")
   }
 
+  test("s09 random projection is shuffle-free (higher-order funcs, no explode)") {
+    // 64→16 JL projection is one map pass per vector; an explode over
+    // (dim × plane) pairs would shuffle 1024 rows per vector
+    val p = plan("s09_random_projection")
+    assert(!p.contains("Exchange"), s"s09 shuffles:\n$p")
+    assert(!p.contains("Generate"), s"s09 explodes:\n$p")
+  }
+
   test("d14 intra-doc dedup is shuffle-free (pure map pass, no explode)") {
     // first-occurrence filtering is higher-order array funcs over one
     // row; an explode + window spelling would shuffle every span

@@ -40,6 +40,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, f"quantized recall@5 $recall%.2f fell below 0.9")
   }
 
+  test("s09: JL norm-ratio concentrates like a true random matrix") {
+    // the distributional JL lemma: ‖y‖²/(r·‖x‖²) has E = 1, Var = 2/r.
+    // A structured sign matrix fails this audibly — the first spelling
+    // (hash low bit = j's parity, all 16 rows identical) measured
+    // max 8.7 here; a true ±1 matrix measures 0.16–2.19. Bounds are the
+    // alarm lines, wide enough for data drift, far inside either bug.
+    val rows = SparkEntry.queries("s09_random_projection")(spark, dir)
+      .select(col("norm_ratio")).collect().map(_.getDouble(0))
+    assert(rows.length >= 100, "corpus must not silently shrink")
+    val mean = rows.sum / rows.length
+    assert(mean > 0.9 && mean < 1.1, f"norm_ratio mean $mean%.3f off 1.0")
+    assert(rows.max < 3.0, f"norm_ratio max ${rows.max}%.2f — matrix rows correlated")
+    assert(rows.min > 0.1, f"norm_ratio min ${rows.min}%.4f — projection losing mass")
+  }
+
   test("s03: IVF recall@5 and candidate budget stay on the measured frontier") {
     // the probe-sweep table in the ivfProbes scaladoc is the evidence;
     // this pins the shipped point (p=4: mean 0.68 @ 40% of corpus at
