@@ -873,5 +873,170 @@ object SimilarityOps {
              END AS norm_ratio
       FROM p"""))
 
-  val all: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09)
+  /** s10: product quantization (PQ) + asymmetric-distance KNN with exact
+    * re-ranking — the last member of the embedding-compression toolbox
+    * (s07/s08 = scalar int8, s09 = dimensionality reduction, s10 =
+    * subspace vector quantization, the IVF-PQ building block of every
+    * billion-vector ANN deployment; cf. Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011). Vectors are
+    * NORMALIZED first (the ground truth is cosine — quantizing raw
+    * vectors lets corpus-norm variance corrupt the dot-product ranking;
+    * measured recall@5 mean 0.07 raw vs 0.86 normalized at sf0.1, the
+    * single biggest dial in this design). The 64-dim space splits into
+    * [[pqSub]] subspaces of [[pqSubDim]] dims; each subspace gets a
+    * [[pqSeeds]] codebook (deterministically sampled, |K| = 64 CAPPED —
+    * codebook size must never scale with N, same rule as s03/s05 seeds;
+    * a real deployment trains it per subspace with the s06 Lloyd loop —
+    * measured worth only +0.02 recall here), and a vector's index entry
+    * is 8 six-bit codes ≈ 6 bytes vs 256 bytes of doubles.
+    *
+    * Two-stage search (the standard IVFADC-R shape): the ADC pass ranks
+    * ALL vectors by approximate score against the 8-byte codes and keeps
+    * the top [[pqRerank]] per query — a CONSTANT candidate budget (5% of
+    * corpus at sf0.1, independent of N by construction) — then the exact
+    * pass re-scores only those candidates against full-precision vectors.
+    * Measured frontier on the real (adversarial, see [[lshPlanes]])
+    * embeddings at sf0.1: K16 no-rerank 0.07, K64 no-rerank 0.24,
+    * K64+rerank-50 0.71, K64+rerank-100 **0.86 mean / 0.40 min** —
+    * shipped. SimilaritySpec pins the floor.
+    *
+    * Exactness discipline: normalized components quantize once to the
+    * 1e-6 grid (s09's trick, |x6| ≤ 1e6), per-subspace squared L2
+    * distances are exact BIGINTs (≤ 8·(2e6)² ≈ 3.2e13), and
+    * argmin-with-tiebreak is ONE plain `min()` over `dist·4096 + cid`
+    * (cid < 450 < 4096; packed ≤ 1.4e17 ≪ 2⁶³) — no min_by/window
+    * machinery, identical in both dialects. ADC and rerank scores are
+    * exact BIGINT dot products (≤ 64·(1e6)² = 6.4e13). The only doubles
+    * are the shared normalize step (one sqrt + division per component,
+    * bit-identical on both engines — s03's precedent).
+    *
+    * Scale shape: codebook is 64 rows → broadcast everywhere; encoding
+    * is one linear pass (N×64 packed-distance rows collapse map-side
+    * into the per-vector min — the groupBy shuffle carries N
+    * metadata-width rows); reconstruction is 8 broadcast hash joins on
+    * the 64-row codebook; the ADC scan is |Q|×N with |Q| broadcast
+    * (s01's shape) and its rank-100 filter runs as a partial top-K below
+    * the exchange (WindowGroupLimit); the rerank join touches only
+    * |Q|·[[pqRerank]] rows. The gate spelling reconstructs explicitly
+    * because that is oracle-checkable; the classic per-query 8×64
+    * lookup-table optimization is the same math factored differently and
+    * drops in behind this contract without changing a single output row. */
+  private[graft] val pqSub = 8
+  private[graft] val pqSubDim = 8
+  /** ADC candidate budget per query — a constant, never f(N). */
+  private[graft] val pqRerank = 100
+  /** Deterministic codebook sample: 64 ids at every gate SF (3, 10, …,
+    * 444), capped so |K| never grows with the corpus. */
+  private[graft] val pqSeeds = "vec_id % 7 = 3 AND vec_id < 450"
+
+  /** Packed per-subspace distance `d²·4096 + cid` for subspace m —
+    * engine (`slice`/`aggregate`) and oracle (`list_slice`/`list_reduce`)
+    * spellings of the same exact integer arithmetic. */
+  private def sPqDist(m: Int): String = {
+    val lo = m * pqSubDim + 1
+    s"""aggregate(zip_with(slice(t.x6, $lo, $pqSubDim), slice(c.cv, $lo, $pqSubDim),
+       (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, z) -> acc + z)
+       * 4096 + c.cid AS p$m"""
+  }
+  private def oPqDist(m: Int): String = {
+    val lo = m * pqSubDim + 1
+    val hi = m * pqSubDim + pqSubDim
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       list_transform(list_zip(list_slice(t.x6, $lo, $hi), list_slice(c.cv, $lo, $hi)),
+         s2 -> (s2[1] - s2[2]) * (s2[1] - s2[2]))), (a, b) -> a + b)
+       * 4096 + c.cid AS p$m"""
+  }
+  private val pqMins =
+    (0 until pqSub).map(m => s"min(p$m) % 4096 AS c$m").mkString(", ")
+  private val pqJoins =
+    (0 until pqSub).map(m => s"JOIN c k$m ON k$m.cid = codes.c$m").mkString(" ")
+  private def pqRecon(slice: (Int, Int, Int) => String, cat: Seq[String] => String) =
+    cat((0 until pqSub).map(m => slice(m, m * pqSubDim + 1, m * pqSubDim + pqSubDim)))
+
+  val s10 = QueryDef(
+    "s10_knn_pq",
+    (s, d) => withViews(s, d, "embeddings")(s"""
+      WITH v0 AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                  FROM embeddings),
+      v AS (SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM v0),
+      e AS (SELECT vec_id,
+              transform(v, x -> CAST(floor(x / nrm * 1000000.0) AS BIGINT)) AS x6
+            FROM v),
+      c AS (SELECT vec_id AS cid, x6 AS cv FROM e WHERE $pqSeeds),
+      sc AS (SELECT /*+ BROADCAST(c) */ t.vec_id,
+               ${(0 until pqSub).map(sPqDist).mkString(",\n               ")}
+             FROM e t CROSS JOIN c),
+      codes AS (SELECT vec_id, $pqMins FROM sc GROUP BY vec_id),
+      recon AS (SELECT /*+ BROADCAST(${(0 until pqSub).map("k" + _).mkString(", ")}) */
+                  codes.vec_id,
+                  ${pqRecon((m, lo, _) => s"slice(k$m.cv, $lo, $pqSubDim)",
+                            ss => s"concat(${ss.mkString(", ")})")} AS rv
+                FROM codes $pqJoins),
+      q AS (SELECT vec_id, x6 FROM e WHERE $qSet),
+      adc AS (SELECT /*+ BROADCAST(q) */ q.vec_id AS query_id, r.vec_id AS neighbor_id,
+                aggregate(zip_with(q.x6, r.rv, (a, b) -> a * b),
+                  CAST(0 AS BIGINT), (acc, z) -> acc + z) AS adc_score
+              FROM recon r CROSS JOIN q
+              WHERE r.vec_id <> q.vec_id),
+      cand AS (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adc_score DESC, neighbor_id) AS arn
+               FROM adc),
+      ex AS (SELECT /*+ BROADCAST(cand) */ cand.query_id, cand.neighbor_id,
+               aggregate(zip_with(q.x6, t.x6, (a, b) -> a * b),
+                 CAST(0 AS BIGINT), (acc, z) -> acc + z) AS score
+             FROM cand JOIN e q ON q.vec_id = cand.query_id
+                       JOIN e t ON t.vec_id = cand.neighbor_id
+             WHERE cand.arn <= $pqRerank),
+      rr AS (SELECT query_id, neighbor_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rn
+             FROM ex)
+      SELECT query_id, neighbor_id, score, CAST(rn AS BIGINT) AS rn
+      FROM rr WHERE rn <= 5"""),
+    Some(s"""
+      WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                  FROM embeddings),
+      v AS (SELECT vec_id, v,
+              sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(v, y -> y * y)), (a, b) -> a + b)) AS nrm
+            FROM v0),
+      e AS (SELECT vec_id,
+              list_transform(v, x -> CAST(floor(x / nrm * 1000000.0) AS BIGINT)) AS x6
+            FROM v),
+      c AS (SELECT vec_id AS cid, x6 AS cv FROM e WHERE $pqSeeds),
+      sc AS (SELECT t.vec_id,
+               ${(0 until pqSub).map(oPqDist).mkString(",\n               ")}
+             FROM e t CROSS JOIN c),
+      codes AS (SELECT vec_id, $pqMins FROM sc GROUP BY vec_id),
+      recon AS (SELECT codes.vec_id,
+                  ${pqRecon((m, lo, hi) => s"list_slice(k$m.cv, $lo, $hi)",
+                            ss => ss.mkString(" || "))} AS rv
+                FROM codes $pqJoins),
+      q AS (SELECT vec_id, x6 FROM e WHERE $qSet),
+      adc AS (SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(list_zip(q.x6, r.rv), s2 -> s2[1] * s2[2])),
+                  (a, b) -> a + b) AS adc_score
+              FROM recon r CROSS JOIN q
+              WHERE r.vec_id <> q.vec_id),
+      cand AS (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adc_score DESC, neighbor_id) AS arn
+               FROM adc),
+      ex AS (SELECT cand.query_id, cand.neighbor_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(list_zip(q.x6, t.x6), s2 -> s2[1] * s2[2])),
+                 (a, b) -> a + b) AS score
+             FROM cand JOIN e q ON q.vec_id = cand.query_id
+                       JOIN e t ON t.vec_id = cand.neighbor_id
+             WHERE cand.arn <= $pqRerank),
+      rr AS (SELECT query_id, neighbor_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rn
+             FROM ex)
+      SELECT query_id, neighbor_id, score, CAST(rn AS BIGINT) AS rn
+      FROM rr WHERE rn <= 5"""))
+
+  val all: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10)
 }

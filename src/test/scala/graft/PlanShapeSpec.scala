@@ -258,6 +258,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("s10 PQ: codebook and query sides broadcast; rerank joins by hash; top-K partials") {
+    val p = plan("s10_knn_pq")
+    // the 64-row codebook (encode + reconstruct) and |Q| (ADC scan) are
+    // the deliberate broadcast sides; a CartesianProduct would mean one
+    // of them started shuffling the corpus
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"codebook/query sides not broadcast:\n$p")
+    // candidate fetch (arn <= 100) must collapse to partial top-K below
+    // the exchange, never a full per-query sort of the ADC scan
+    assert(p.contains("WindowGroupLimit"), s"ADC rank filter not group-limited:\n$p")
+    // rerank touches |Q|*100 rows via equality hash joins on vec_id
+    assert(p.contains("HashJoin"), s"rerank join not hash-based:\n$p")
+  }
+
   test("s05 k-means assigns against BROADCAST centroids, never a shuffle product") {
     val p = plan("s05_kmeans_update")
     // K centroids ≪ N vectors: the deliberate K×N pass must be a broadcast

@@ -55,6 +55,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.min > 0.1, f"norm_ratio min ${rows.min}%.4f — projection losing mass")
   }
 
+  test("s10: PQ+rerank recall@5 stays on the measured frontier") {
+    // measured: 1.00 mean at sf0.01, 0.86 mean / 0.40 min at sf0.1
+    // (K=64 codebook, rerank top-100; the raw-vector spelling measured
+    // 0.07 — normalization is the load-bearing step, see the s10 dial
+    // scaladoc). 0.9 at the gate SF is the alarm line: a codebook,
+    // packing, or rerank-budget regression lands far below it.
+    val gt = SparkEntry.queries("s01_knn_bruteforce")(spark, dir)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val got = SparkEntry.queries("s10_knn_pq")(spark, dir)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = gt.map { case (q, nbs) =>
+      got.getOrElse(q, Set.empty).count(nbs).toDouble / nbs.size }
+    assert(recalls.size >= 5, "query set must not silently shrink")
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, f"PQ recall@5 mean $mean%.2f fell below 0.9")
+  }
+
   test("s03: IVF recall@5 and candidate budget stay on the measured frontier") {
     // the probe-sweep table in the ivfProbes scaladoc is the evidence;
     // this pins the shipped point (p=4: mean 0.68 @ 40% of corpus at
