@@ -511,5 +511,129 @@ object CorpusOps {
              CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens_packed
       FROM p GROUP BY lang"""))
 
-  val all: Seq[QueryDef] = Seq(d08, d09, q44, t06, q46, q47, q48, q50)
+  // ---- tokenizer vocab induction --------------------------------------
+
+  /** BPE geometry — shared by the engine loop and the unrolled oracle so
+    * retuning cannot break engine↔oracle equivalence (same rule as the
+    * chunk/pack constants above). `bpeMergePasses` is the fixed number of
+    * `replace` applications per merge round: one left-to-right
+    * non-overlapping pass misses every other occurrence in an adjacent
+    * run (`|a|b|a|b|` shares the middle delimiter), and k passes reach
+    * the greedy-BPE fixpoint for any run of ≤ 2^k occurrences — 5 covers
+    * words of 64+ characters. A fixed count (not a loop-until-stable) is
+    * what keeps the oracle an identical finite composition. */
+  private[graft] val bpeRounds = 12
+  private[graft] val bpeVocab = 1000
+  private[graft] val bpeMergePasses = 5
+
+  private def repeatReplace(e: String, search: String, repl: String): String =
+    (1 to bpeMergePasses).foldLeft(e)((acc, _) => s"replace($acc, $search, $repl)")
+
+  /** Highest-frequency adjacent symbol pair of the current vocab frame
+    * (view `t10_w`): explode positions, partial-agg the (lhs, rhs)
+    * counts, TakeOrdered(1). Deterministic tiebreak freq DESC, lhs, rhs. */
+  private def bpeBest(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
+    s.sql("""
+      WITH a AS (SELECT freq, filter(split(seq, '[|]'), x -> x <> '') AS syms
+                 FROM t10_w),
+      p AS (SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS freq
+            FROM (SELECT freq, pr.lhs AS lhs, pr.rhs AS rhs
+                  FROM (SELECT freq, explode(transform(sequence(0, size(syms) - 2),
+                          i -> named_struct('lhs', syms[i], 'rhs', syms[i + 1]))) AS pr
+                        FROM a WHERE size(syms) >= 2))
+            GROUP BY lhs, rhs)
+      SELECT lhs, rhs, freq FROM p ORDER BY freq DESC, lhs, rhs LIMIT 1""")
+
+  /** Apply the broadcast 1-row best pair (view `t10_b`) to every word's
+    * symbol sequence: `bpeMergePasses` compositions of the delimited
+    * non-overlapping replace (see constant doc). */
+  private def bpeMerge(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
+    s.sql(s"""
+      SELECT /*+ BROADCAST(b) */ w.word, w.freq,
+             ${repeatReplace("w.seq",
+                "concat('|', b.lhs, '|', b.rhs, '|')",
+                "concat('|', b.lhs, b.rhs, '|')")} AS seq
+      FROM t10_w w CROSS JOIN t10_b b""")
+
+  /** Distributed BPE-style tokenizer vocab induction: the merge-rule
+    * table a subword tokenizer is trained from. ONE corpus-scale shuffle
+    * (lowercased `[a-z]+` word counts → top-`bpeVocab` via
+    * TakeOrdered — the only stage that touches N documents), then
+    * `bpeRounds` merge rounds over the CAPPED vocab frame: count adjacent
+    * symbol pairs weighted by word frequency, pick the arg-max pair
+    * (freq DESC, lhs, rhs tiebreak), broadcast it back, and fuse every
+    * occurrence via delimiter-encoded `replace` (identical left-to-right
+    * non-overlapping semantics in the JVM and DuckDB). Symbol sequences
+    * ride `|`-delimited strings (`|p|a|r|`), safe because words are
+    * `[a-z]+` only.
+    *
+    * Same iterative mechanics as s06's Lloyd loop and d06's label
+    * propagation: per-round [[Q.roundCheckpoint]] lineage truncation +
+    * eager release of the previous round's blocks; a FIXED round count so
+    * the DuckDB oracle is the identical unrolled computation
+    * (materialized CTEs — DuckDB inlines CTEs referenced twice, which
+    * re-evaluates each round's frame exponentially without the hint).
+    * Scale: vocab work is O(`bpeVocab`) per round regardless of N —
+    * corpus size only ever affects the one word-count shuffle.
+    * Reference analogue: iterative refinement over a bounded state frame,
+    * the same shape as the reference's staged worker loops
+    * (`gasket/src/runtime.rs:244-289` drives repeated bounded work units
+    * through a fixed stage graph). */
+  val t10 = QueryDef(
+    "t10_bpe_vocab",
+    (s, d) => {
+      val w1 = withViews(s, d, "documents")(s"""
+        WITH wc AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+                    FROM (SELECT explode(regexp_extract_all(lower(text), '[a-z]+', 0)) AS w
+                          FROM documents)
+                    GROUP BY w ORDER BY freq DESC, word LIMIT $bpeVocab)
+        SELECT word, freq, concat('|', regexp_replace(word, '(.)', '$$1|')) AS seq
+        FROM wc""")
+      var w = roundCheckpoint(w1)
+      val merges = Vector.newBuilder[org.apache.spark.sql.DataFrame]
+      for (r <- 1 to bpeRounds) {
+        w.createOrReplaceTempView("t10_w")
+        val best = roundCheckpoint(bpeBest(s))
+        best.createOrReplaceTempView("t10_b")
+        val next = roundCheckpoint(bpeMerge(s))
+        org.apache.spark.sql.GraftSqlBridge.releaseCheckpointBlocks(w)
+        merges += best.selectExpr(s"CAST($r AS BIGINT) AS rank", "lhs", "rhs", "freq")
+        w = next
+      }
+      org.apache.spark.sql.GraftSqlBridge.releaseCheckpointBlocks(w)
+      merges.result().reduce(_ union _).orderBy("rank")
+    },
+    Some {
+      def rep(e: String) = repeatReplace(e,
+        "'|' || b.lhs || '|' || b.rhs || '|'",
+        "'|' || b.lhs || b.rhs || '|'")
+      def oround(r: Int) = s"""
+        a$r AS MATERIALIZED (SELECT word, freq, seq,
+                   list_filter(string_split(seq, '|'), x -> x <> '') AS syms
+                 FROM w$r),
+        p$r AS (SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS freq
+                FROM (SELECT freq, syms[i] AS lhs, syms[i + 1] AS rhs
+                      FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i
+                            FROM a$r WHERE len(syms) >= 2))
+                GROUP BY lhs, rhs),
+        b$r AS MATERIALIZED (SELECT lhs, rhs, freq FROM p$r
+                ORDER BY freq DESC, lhs, rhs LIMIT 1),
+        w${r + 1} AS (SELECT w.word, w.freq, ${rep("w.seq")} AS seq
+                   FROM a$r w CROSS JOIN b$r b)"""
+      s"""
+      WITH wc AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+                  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+                        FROM documents)
+                  GROUP BY w ORDER BY freq DESC, word LIMIT $bpeVocab),
+      w1 AS (SELECT word, freq,
+               '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS seq
+             FROM wc),
+      ${(1 to bpeRounds).map(oround).mkString(",")}
+      ${(1 to bpeRounds)
+        .map(r => s"SELECT CAST($r AS BIGINT) AS rank, lhs, rhs, freq FROM b$r")
+        .mkString(" UNION ALL ")}
+      ORDER BY rank"""
+    })
+
+  val all: Seq[QueryDef] = Seq(d08, d09, q44, t06, q46, q47, q48, q50, t10)
 }

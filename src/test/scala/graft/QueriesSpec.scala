@@ -40,6 +40,22 @@ class QueriesSpec extends AnyFunSuite {
       s"flag ${r.getString(0)}: HLL estimate beyond 5% of exact (rsd=0.01 configured)"))
   }
 
+  test("t10 BPE merge table at sf0.001 matches the oracle-verified pins") {
+    // Pinned from the DuckDB oracle (round-6 session): proves the engine
+    // loop end to end, including that multi-char symbols from earlier
+    // rounds win later rounds (rank 8 merges p+ar, rank 12 merges c+an).
+    val got = SparkEntry.queries("t10_bpe_vocab")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val want = Seq(
+      (1L, "e", "r", 4650L), (2L, "o", "r", 2880L), (3L, "i", "n", 2858L),
+      (4L, "o", "w", 2763L), (5L, "s", "t", 2721L), (6L, "l", "u", 1928L),
+      (7L, "a", "r", 1873L), (8L, "p", "ar", 1873L), (9L, "m", "er", 1824L),
+      (10L, "a", "t", 1806L), (11L, "a", "n", 984L), (12L, "c", "an", 984L))
+    assert(got == want)
+    assert(want.exists(m => m._2.length > 1 || m._3.length > 1),
+      "iteration must matter: some merge consumes a multi-char symbol")
+  }
+
   test("scala UDF registration works (native expressions preferred on hot paths)") {
     import org.apache.spark.sql.functions.udf
     val clip = udf((x: Double, lo: Double, hi: Double) => math.max(lo, math.min(hi, x)))
