@@ -530,6 +530,91 @@ object CurationOps {
              CAST(length(text) AS BIGINT) AS n_chars_final, op
       FROM merged"""))
 
+  /** Bigram-LM geometry, shared engine↔oracle (same rule as the corpus
+    * chunk/pack constants): vocab cap, the add-1 smoothing denominator's
+    * vocab term (cap + 1 for `<unk>`), and the 10^6 probability scale. */
+  private[graft] val lmVocab = 1000
+  private[graft] val lmScale = 1000000L
+
+  /** Bigram-LM document scoring — the CCNet/KenLM-style perplexity
+    * filter of a curation pipeline, in t09's exact-rational spelling
+    * (no log/exp: transcendental libm calls are not bit-identical across
+    * engines, so the score is the SCALED CONDITIONAL PROBABILITY
+    * `p6 = ((c12 + 1) · 10^6) div (c1 + |V| + 1)` — exact BIGINT integer
+    * division on both engines; monotone in per-token likelihood, which
+    * is all a rank-and-threshold filter consumes). Add-1 smoothing over
+    * a top-`lmVocab` vocabulary with `<unk>` out-of-vocab mapping keeps
+    * the model bounded: the LM is ≤ (|V|+1)² rows in principle and only
+    * observed bigrams in practice, so it BROADCASTS at any corpus size.
+    *
+    * Scale shape: the bigram stream is a shuffle-free explode over the
+    * document scan (vocab mapping commutes with bigram formation, so
+    * w1/w2 map through two broadcast joins on the exploded stream — the
+    * per-doc token sequence is never re-collected); training is ONE
+    * metadata-width (w1, w2) shuffle; scoring re-broadcasts the counts
+    * back onto the stream and aggregates per doc_id. Self-scoring makes
+    * the left joins total, but the operator keeps the left-join shape so
+    * a held-out scoring corpus (the real deployment) needs no change. */
+  val t11 = QueryDef(
+    "t11_bigram_lm_score",
+    (s, d) => withViews(s, d, "documents")(s"""
+      WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+', 0) AS ws
+                 FROM documents),
+      v AS (SELECT word FROM (
+              SELECT wd AS word, count(*) AS freq
+              FROM (SELECT explode(ws) AS wd FROM w) GROUP BY wd
+              ORDER BY freq DESC, word LIMIT $lmVocab)),
+      bg AS (SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2
+             FROM (SELECT doc_id, explode(transform(sequence(0, size(ws) - 2),
+                     i -> named_struct('w1', ws[i], 'w2', ws[i + 1]))) AS pr
+                   FROM w WHERE size(ws) >= 2)),
+      mb AS (SELECT /*+ BROADCAST(v1, v2) */ bg.doc_id,
+               CASE WHEN v1.word IS NULL THEN '<unk>' ELSE bg.w1 END AS w1,
+               CASE WHEN v2.word IS NULL THEN '<unk>' ELSE bg.w2 END AS w2
+             FROM bg LEFT JOIN v v1 ON bg.w1 = v1.word
+                     LEFT JOIN v v2 ON bg.w2 = v2.word),
+      lm AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+             FROM mb GROUP BY w1, w2),
+      ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM lm GROUP BY w1),
+      sc AS (SELECT /*+ BROADCAST(lm, ctx) */ mb.doc_id,
+               ((coalesce(lm.c12, CAST(0 AS BIGINT)) + 1) * $lmScale)
+                 div (coalesce(ctx.c1, CAST(0 AS BIGINT)) + ${lmVocab + 1}) AS p6
+             FROM mb LEFT JOIN lm ON mb.w1 = lm.w1 AND mb.w2 = lm.w2
+                     LEFT JOIN ctx ON mb.w1 = ctx.w1)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(p6) AS BIGINT) AS p6_sum,
+             CAST(sum(p6) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_p6,
+             CAST(min(p6) AS BIGINT) AS min_p6
+      FROM sc GROUP BY doc_id"""),
+    Some(s"""
+      WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+                 FROM documents),
+      v AS (SELECT word FROM (
+              SELECT wd AS word, count(*) AS freq
+              FROM (SELECT unnest(ws) AS wd FROM w) GROUP BY wd
+              ORDER BY freq DESC, word LIMIT $lmVocab)),
+      bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+             FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+                   FROM w WHERE len(ws) >= 2)),
+      mb AS (SELECT bg.doc_id,
+               CASE WHEN v1.word IS NULL THEN '<unk>' ELSE bg.w1 END AS w1,
+               CASE WHEN v2.word IS NULL THEN '<unk>' ELSE bg.w2 END AS w2
+             FROM bg LEFT JOIN v v1 ON bg.w1 = v1.word
+                     LEFT JOIN v v2 ON bg.w2 = v2.word),
+      lm AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+             FROM mb GROUP BY w1, w2),
+      ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM lm GROUP BY w1),
+      sc AS (SELECT mb.doc_id,
+               ((coalesce(lm.c12, CAST(0 AS BIGINT)) + 1) * $lmScale)
+                 // (coalesce(ctx.c1, CAST(0 AS BIGINT)) + ${lmVocab + 1}) AS p6
+             FROM mb LEFT JOIN lm ON mb.w1 = lm.w1 AND mb.w2 = lm.w2
+                     LEFT JOIN ctx ON mb.w1 = ctx.w1)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(p6) AS BIGINT) AS p6_sum,
+             CAST(sum(p6) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_p6,
+             CAST(min(p6) AS BIGINT) AS min_p6
+      FROM sc GROUP BY doc_id"""))
+
   val all: Seq[QueryDef] =
-    Seq(d10, d11, d12, q51, t09, d13, q52, d15, q54, d14, q57)
+    Seq(d10, d11, d12, q51, t09, d13, q52, d15, q54, d14, q57, t11)
 }

@@ -252,6 +252,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("t11 bigram LM: vocab and LM tables broadcast onto the stream, never SMJ") {
+    // The bigram stream is tokens-width; if any of the four joins (2×
+    // vocab map, LM counts, context counts) degrades to a sort-merge
+    // join, the whole stream shuffles on a string key — the scale-killer
+    // this pin exists to catch. The only exchanges allowed are the
+    // aggregations (vocab top-V, LM counts, per-doc rollup).
+    val p = plan("t11_bigram_lm_score")
+    assert(p.contains("BroadcastHashJoin"), s"LM joins not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"bigram stream shuffled for a join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q52 mixture sampling broadcasts the per-lang budgets, no cartesian") {
     val p = plan("q52_mixture_sample")
     assert(p.contains("BroadcastHashJoin"), s"budget join not broadcast:\n$p")
