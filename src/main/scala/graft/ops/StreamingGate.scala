@@ -271,5 +271,126 @@ object StreamingGate {
       WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts"""))
 
-  val all: Seq[QueryDef] = Seq(q42, q43, q49, q53)
+  /** One LSH band-key group's streaming state: the first-arriving
+    * (min-id within its batch) document owning this bucket. */
+  private[graft] case class BandRow(doc_id: Long, bj: Long, bkey: String)
+  private[graft] case class BucketOwner(owner: Long)
+  private[graft] case class DupHit(bj: Long, owner_doc: Long, dup_doc: Long)
+
+  /** Streaming NEAR-duplicate suppression — the ingest-time twin of d02:
+    * documents arrive in batches, each explodes into its MinHash/LSH band
+    * keys (the identical `shingle_set`/`minhash_sig` native expressions
+    * and banding dial as d02), and `flatMapGroupsWithState` keyed by
+    * (band, band-key) keeps ONE owner per bucket: the first batch's
+    * min-doc_id claimant. A document colliding with a bucket owned by an
+    * EARLIER batch is emitted as a suppression hit (band, owner, dup) —
+    * exactly the candidate edge d02's batch self-join finds, discovered
+    * incrementally with no self-join and no reprocessing of old batches.
+    *
+    * Determinism (what makes this oracle-checkable): the input is split
+    * into two files by doc_id parity with ordered names + mtimes and
+    * `maxFilesPerTrigger=1`, so batch membership is a function of the
+    * DATA (batch = doc_id % 2), and the emitted set is batch-order
+    * invariant — owners are min-per-batch (order-free aggregation), hits
+    * are strictly-cross-batch. The oracle is the equivalent batch SQL
+    * over the same band table. Same-batch collisions are deliberately
+    * NOT emitted (they're batch-internal, d02's job); the streaming
+    * operator's contract is exactly the incremental delta.
+    *
+    * Scale: state is one row per DISTINCT band key (the bucket registry,
+    * ≪ corpus, metadata-width); per batch one band-key shuffle of the
+    * new documents only. Unbounded deployment bounds state with the
+    * RocksDB provider (q49's seam) + state TTL; the gate input is
+    * bounded so the gate run uses NoTimeout. */
+  private[graft] def neardupStream(
+      s: SparkSession, d: String, provider: Option[String]): DataFrame = {
+      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
+      val docs = Q.table(s, d, "documents")
+      val sch = docs.schema
+      val inDir = Files.createTempDirectory("graft-q58-in")
+      def writeBatch(par: Int, name: String, mtPlus: Long): Unit = {
+        val tmp = Files.createTempDirectory("graft-q58-b")
+        docs.where(col("doc_id") % 2 === par).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp)
+          .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        val dest = inDir.resolve(name)
+        Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dest,
+          FileTime.fromMillis(System.currentTimeMillis() + mtPlus))
+      }
+      writeBatch(0, "0_even.parquet", 0)
+      writeBatch(1, "1_odd.parquet", 60000)
+      val k = DedupOps.minhashK
+      val rowRefs = (1 to DedupOps.minhashRows)
+        .map(i => s"CAST(element_at(sg, bj*${DedupOps.minhashRows} + $i) AS STRING)")
+        .mkString(", ")
+      val hits = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+        .selectExpr("doc_id", "shingle_set(text, 3) AS sset")
+        .where("size(sset) >= 1")
+        .selectExpr("doc_id", s"minhash_sig(sset, $k) AS sg")
+        .selectExpr("doc_id", "sg",
+          s"explode(sequence(0, ${DedupOps.minhashBands - 1})) AS bj")
+        .selectExpr("doc_id", "CAST(bj AS BIGINT) AS bj",
+          s"concat_ws(',', $rowRefs) AS bkey")
+        .as[BandRow]
+        .groupByKey(r => (r.bj, r.bkey))
+        .flatMapGroupsWithState(
+          org.apache.spark.sql.streaming.OutputMode.Append,
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+          (key: (Long, String), rows: Iterator[BandRow],
+           st: org.apache.spark.sql.streaming.GroupState[BucketOwner]) =>
+            val ids = rows.map(_.doc_id).toSeq
+            if (st.exists) {
+              val o = st.get.owner
+              ids.sorted.iterator.map(id => DupHit(key._1, o, id))
+            } else {
+              st.update(BucketOwner(ids.min))
+              Iterator.empty
+            }
+        }
+      val outDir = Files.createTempDirectory("graft-q58-out").toString
+      val ckpt = Files.createTempDirectory("graft-q58-ckpt").toString
+      graft.streaming.StateStores.withProvider(s, provider) {
+        val q = hits.toDF()
+          .writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(outDir)
+  }
+
+  val q58 = QueryDef(
+    "q58_streaming_neardup",
+    (s, d) => neardupStream(s, d, None),
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split(${Q.oNorm}, ' ') AS w FROM documents),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+               i -> array_to_string(w[i:i+2], ' '))) AS sset
+             FROM t WHERE len(w) >= 3),
+      hh AS (SELECT doc_id, sset,
+               list_transform(sset, x -> ${Q.oCharFold("x", 7)}) AS h1,
+               list_transform(sset, x -> ${Q.oCharFold("x", 13)}) AS h2
+             FROM sh),
+      sig AS (SELECT doc_id, list_transform(range(0, ${DedupOps.minhashK}), i ->
+                list_aggregate(list_transform(list_zip(h1, h2),
+                  s -> (s[1] * (2*i+1) + s[2] * (2*i+3)) % 4294967311), 'min')) AS sg
+              FROM hh),
+      bands AS (SELECT doc_id, bj,
+                  array_to_string(list_transform(
+                    sg[bj*${DedupOps.minhashRows} + 1 : bj*${DedupOps.minhashRows} + ${DedupOps.minhashRows}],
+                    x -> CAST(x AS VARCHAR)), ',') AS bkey
+                FROM sig, (SELECT unnest(range(0, ${DedupOps.minhashBands})) AS bj) bx),
+      own AS (SELECT bj, bkey, min(doc_id) AS owner_doc
+              FROM bands WHERE doc_id % 2 = 0 GROUP BY bj, bkey)
+      SELECT b.bj AS bj, o.owner_doc AS owner_doc, b.doc_id AS dup_doc
+      FROM bands b JOIN own o ON b.bj = o.bj AND b.bkey = o.bkey
+      WHERE b.doc_id % 2 = 1"""))
+
+  val all: Seq[QueryDef] = Seq(q42, q43, q49, q53, q58)
 }

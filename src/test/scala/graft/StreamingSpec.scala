@@ -213,6 +213,25 @@ class StreamingSpec extends AnyFunSuite {
       || !spark.conf.get(graft.streaming.StateStores.ProviderKey).contains("RocksDB"))
   }
 
+  test("q58 streaming near-dup: hits are strictly cross-batch; RocksDB run agrees") {
+    // Owners must come from batch 0 (even doc_ids), dups from batch 1
+    // (odd) — any same-batch emission means the bucket state leaked
+    // within a trigger instead of across triggers.
+    val dir = "/root/testdata/sf0.001"
+    def runWith(p: Option[String]): Seq[(Long, Long, Long)] =
+      graft.ops.StreamingGate.neardupStream(spark, dir, p)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+    val hits = runWith(None)
+    assert(hits.nonEmpty, "no cross-batch collisions at sf0.001 — gate proves nothing")
+    hits.foreach { case (_, owner, dup) =>
+      assert(owner % 2 == 0, s"owner $owner not from batch 0")
+      assert(dup % 2 == 1, s"dup $dup not from batch 1")
+    }
+    // same pipeline with state in RocksDB: identical hit set
+    assert(runWith(Some(graft.streaming.StateStores.RocksDB)) == hits)
+  }
+
   test("RocksDB provider is genuinely engaged (progress metrics prove it)") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[Long]
