@@ -515,5 +515,68 @@ object DedupOps {
              EXISTS (SELECT 1 FROM near n WHERE n.cid = f.doc_id) AS neardup_contaminated
       FROM fps f WHERE f.source <> 'src0'"""))
 
-  val all: Seq[QueryDef] = Seq(d02, d03, d04, d05, d06, d07, d16)
+  /** d17's eval-set membership + contamination threshold, shared
+    * engine↔oracle. The eval set models a held-out benchmark: tiny
+    * relative to the corpus by construction, which is what makes the
+    * whole operator broadcast-shaped. */
+  private[graft] val evalSetPred = "vec_id % 100 = 7"
+  private[graft] val contamThreshold = "0.3"
+
+  /** SEMANTIC decontamination — the embedding-space complement of d07
+    * (exact text match) and d12 (n-gram overlap): flag every corpus
+    * vector whose cosine against ANY eval/benchmark vector clears the
+    * threshold, reporting the nearest eval item as evidence. Paraphrased
+    * benchmark leakage survives both lexical screens; this is the stage
+    * that catches it.
+    *
+    * Scale shape — simpler than d16's bucketed pairwise pass because the
+    * problem is asymmetric: an eval set is thousands of rows at most, so
+    * it broadcasts WHOLE and the corpus side is ONE row-wise
+    * `nearest_centroid` arg-max pass (same native expression as
+    * d16/s05/s06) with ZERO shuffles — at 100 TB the corpus never moves,
+    * and the eval set is the broadcast. Cosine is emitted floor-scaled
+    * (s06's exact-integer spelling); the threshold compare runs on the
+    * raw double, bit-identical across engines (left-to-right dot fold,
+    * one division). */
+  val d17 = QueryDef(
+    "d17_semantic_decontam",
+    (s, d) => {
+      normEmbeddings(s, d).createOrReplaceTempView("d17_n")
+      s.sql(s"""
+        SELECT vec_id, label, nc.cid AS eval_id,
+               CAST(floor(nc.cos * CAST(1000000 AS DOUBLE)) AS BIGINT) AS cos6,
+               nc.cos >= $contamThreshold AS is_contaminated
+        FROM (SELECT /*+ BROADCAST(cs) */ t.vec_id, t.label,
+                nearest_centroid(t.v, t.nrm, cs.cents) AS nc
+              FROM d17_n t CROSS JOIN (
+                SELECT collect_list(named_struct('cid', vec_id, 'cv', v,
+                         'cn', nrm)) AS cents
+                FROM d17_n WHERE $evalSetPred) cs
+              WHERE NOT ($evalSetPred))""")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      n AS (SELECT vec_id, label, v,
+              sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+            FROM e),
+      ev AS (SELECT vec_id AS eid, v AS evv, nrm AS evn FROM n
+             WHERE $evalSetPred),
+      sc AS (SELECT t.vec_id, t.label, eid,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(list_zip(t.v, evv), s -> s[1] * s[2])),
+                 (acc, z) -> acc + z) / (t.nrm * evn) AS cos,
+               row_number() OVER (PARTITION BY t.vec_id
+                 ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(list_zip(t.v, evv), s -> s[1] * s[2])),
+                   (acc, z) -> acc + z) / (t.nrm * evn) DESC, eid) AS rn
+             FROM n t CROSS JOIN ev WHERE NOT (t.$evalSetPred))
+      SELECT vec_id, label, eid AS eval_id,
+             CAST(floor(cos * 1000000) AS BIGINT) AS cos6,
+             cos >= $contamThreshold AS is_contaminated
+      FROM sc WHERE rn = 1"""))
+
+  val all: Seq[QueryDef] = Seq(d02, d03, d04, d05, d06, d07, d16, d17)
 }

@@ -285,6 +285,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashJoin"), s"rerank join not hash-based:\n$p")
   }
 
+  test("d17 semantic decontam: eval set broadcasts, the corpus never shuffles") {
+    val p = plan("d17_semantic_decontam")
+    // the eval set is the broadcast side; the corpus pass is row-wise —
+    // any shuffle join here means the asymmetry was lost
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"eval set not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the eval join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("s05 k-means assigns against BROADCAST centroids, never a shuffle product") {
     val p = plan("s05_kmeans_update")
     // K centroids ≪ N vectors: the deliberate K×N pass must be a broadcast
