@@ -635,5 +635,78 @@ object CorpusOps {
       ORDER BY rank"""
     })
 
-  val all: Seq[QueryDef] = Seq(d08, d09, q44, t06, q46, q47, q48, q50, t10)
+  /** Count-min geometry, shared engine↔oracle: depth-4 hash rows (the
+    * four `char_fold` seeds) × width-1024 counters. ε = e/w ≈ 0.27%·N
+    * expected overcount per row; 4 independent rows drive the min-tail
+    * down. All integers — nothing to diverge across engines. */
+  private[graft] val cmWidth = 1024
+  private[graft] val cmSeeds = Seq(101, 211, 307, 401)
+
+  /** Count-min sketch heavy hitters — frequency estimation in BOUNDED
+    * memory, the sketch a 100 TB pipeline uses where an exact per-key
+    * count is its own giant shuffle. The sketch IS a plain groupBy over
+    * (row, bucket): Spark's map-side partial aggregation is exactly the
+    * per-partition sketch build, and the exchange is the sketch merge —
+    * at most depth×width counters per partition ever shuffle, regardless
+    * of N or key cardinality. The gate query audits the sketch against
+    * the exact top-25 (TakeOrdered): per word the estimate is
+    * min over rows of counter(row, h_row(word)), and `never_undercounts`
+    * is the count-min hard guarantee (est ≥ exact, always — not
+    * probabilistic), so the oracle checks structure AND accuracy. */
+  val q59 = QueryDef(
+    "q59_heavy_hitters",
+    (s, d) => {
+      val hashes = cmSeeds.zipWithIndex.map { case (seed, j) =>
+        s"named_struct('j', $j, 'h', char_fold(w, $seed) % $cmWidth)"
+      }.mkString(",\n               ")
+      val candHashes = cmSeeds.zipWithIndex.map { case (seed, j) =>
+        s"named_struct('j', $j, 'h', char_fold(word, $seed) % $cmWidth)"
+      }.mkString(",\n               ")
+      withViews(s, d, "documents")(s"""
+        WITH toks AS (SELECT explode(regexp_extract_all(lower(text), '[a-z]+', 0)) AS w
+                      FROM documents),
+        cm AS (SELECT pr.j AS j, pr.h AS h, CAST(count(*) AS BIGINT) AS cnt
+               FROM (SELECT explode(array(
+               $hashes)) AS pr
+                     FROM toks)
+               GROUP BY pr.j, pr.h),
+        top AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS exact_cnt
+                FROM toks GROUP BY w ORDER BY exact_cnt DESC, word LIMIT 25),
+        ch AS (SELECT word, exact_cnt, pr.j AS j, pr.h AS h
+               FROM top LATERAL VIEW explode(array(
+               $candHashes)) x AS pr),
+        est AS (SELECT /*+ BROADCAST(ch) */ ch.word, ch.exact_cnt,
+                  min(cm.cnt) AS est_cnt
+                FROM cm JOIN ch ON cm.j = ch.j AND cm.h = ch.h
+                GROUP BY ch.word, ch.exact_cnt)
+        SELECT word, exact_cnt, est_cnt, est_cnt - exact_cnt AS overcount,
+               est_cnt >= exact_cnt AS never_undercounts
+        FROM est""")
+    },
+    Some {
+      def fold(e: String, seed: Int) = s"(${Q.oCharFold(e, seed)}) % $cmWidth"
+      val unionRows = cmSeeds.zipWithIndex.map { case (seed, j) =>
+        s"SELECT $j AS j, ${fold("w", seed)} AS h FROM toks"
+      }.mkString("\n               UNION ALL ")
+      val candRows = cmSeeds.zipWithIndex.map { case (seed, j) =>
+        s"SELECT word, exact_cnt, $j AS j, ${fold("word", seed)} AS h FROM top"
+      }.mkString("\n               UNION ALL ")
+      s"""
+      WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+                    FROM documents),
+      cm AS (SELECT j, h, CAST(count(*) AS BIGINT) AS cnt
+             FROM ($unionRows)
+             GROUP BY j, h),
+      top AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS exact_cnt
+              FROM toks GROUP BY w ORDER BY exact_cnt DESC, word LIMIT 25),
+      ch AS ($candRows),
+      est AS (SELECT ch.word, ch.exact_cnt, min(cm.cnt) AS est_cnt
+              FROM cm JOIN ch ON cm.j = ch.j AND cm.h = ch.h
+              GROUP BY ch.word, ch.exact_cnt)
+      SELECT word, exact_cnt, est_cnt, est_cnt - exact_cnt AS overcount,
+             est_cnt >= exact_cnt AS never_undercounts
+      FROM est"""
+    })
+
+  val all: Seq[QueryDef] = Seq(d08, d09, q44, t06, q46, q47, q48, q50, t10, q59)
 }
