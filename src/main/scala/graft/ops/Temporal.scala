@@ -138,5 +138,83 @@ object Temporal {
       FROM events e JOIN customer c ON e.user_id = c.c_custkey
       GROUP BY c.c_nationkey"""))
 
-  val all: Seq[QueryDef] = Seq(q22, q23, q27, q28, q55)
+  /** Funnel attribution window (micros), shared engine↔oracle: each
+    * stage must fire within 24 h of the previous one, which is what
+    * creates real drop-off (150 → 60 → 25 users at sf0.01; the unbounded
+    * spelling converts every user over the month-long event span). */
+  private[graft] val funnelWindowUs: Long = 24L * 3600L * 1000000L
+
+  /** Conversion-funnel analysis over the event stream: per user, the
+    * first `view`, the first `click` within the attribution window after
+    * it, and the first `purchase` within the window after that — the
+    * staged-reachability query behind product funnels, reported as
+    * per-stage user counts, exact summed latencies (BIGINT micros), and
+    * the view→purchase rate (one IEEE division of exact counts).
+    *
+    * Shape: ONE shuffle (collect the per-user event set), then the
+    * funnel is a row-wise MIN-CHAIN over the collected array —
+    * `tv = min(view times)`, `tc = min(click times > tv)`,
+    * `tp = min(purchase times > tc)`. Each stage is an order-free min
+    * over a filtered array, so no sort is needed anywhere (collect order
+    * is irrelevant) and the chain is trivially deterministic on both
+    * engines — the same reason the window-free spelling beats a
+    * row_number cascade at scale: per-user work is a lambda over an
+    * in-memory array, not three more shuffles. */
+  val q60 = QueryDef(
+    "q60_conversion_funnel",
+    (s, d) => withViews(s, d, "events")(s"""
+      WITH e AS (SELECT user_id, unix_micros(ts) AS t, event_type AS et
+                 FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      u AS (SELECT user_id, collect_list(struct(t, et)) AS seq
+            FROM e GROUP BY user_id),
+      f1 AS (SELECT user_id, seq,
+               array_min(transform(filter(seq, x -> x.et = 'view'),
+                 x -> x.t)) AS tv
+             FROM u),
+      f2 AS (SELECT user_id, seq, tv,
+               array_min(transform(filter(seq,
+                 x -> x.et = 'click' AND x.t > tv
+                   AND x.t <= tv + $funnelWindowUs), x -> x.t)) AS tc
+             FROM f1),
+      f3 AS (SELECT user_id, tv, tc,
+               array_min(transform(filter(seq,
+                 x -> x.et = 'purchase' AND x.t > tc
+                   AND x.t <= tc + $funnelWindowUs), x -> x.t)) AS tp
+             FROM f2)
+      SELECT CAST(count(tv) AS BIGINT) AS n_view,
+             CAST(count(tc) AS BIGINT) AS n_click,
+             CAST(count(tp) AS BIGINT) AS n_purchase,
+             CAST(sum(tc - tv) AS BIGINT) AS sum_click_us,
+             CAST(sum(tp - tv) AS BIGINT) AS sum_purchase_us,
+             CAST(count(tp) AS DOUBLE) / CAST(count(tv) AS DOUBLE) AS conversion
+      FROM f3"""),
+    Some(s"""
+      WITH e AS (SELECT user_id, epoch_us(cast(ts AS timestamp)) AS t,
+                        event_type AS et
+                 FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      u AS (SELECT user_id, list(struct_pack(t := t, et := et)) AS seq
+            FROM e GROUP BY user_id),
+      f1 AS (SELECT user_id, seq,
+               list_min(list_transform(list_filter(seq, x -> x.et = 'view'),
+                 x -> x.t)) AS tv
+             FROM u),
+      f2 AS (SELECT user_id, seq, tv,
+               list_min(list_transform(list_filter(seq,
+                 x -> x.et = 'click' AND x.t > tv
+                   AND x.t <= tv + $funnelWindowUs), x -> x.t)) AS tc
+             FROM f1),
+      f3 AS (SELECT user_id, tv, tc,
+               list_min(list_transform(list_filter(seq,
+                 x -> x.et = 'purchase' AND x.t > tc
+                   AND x.t <= tc + $funnelWindowUs), x -> x.t)) AS tp
+             FROM f2)
+      SELECT CAST(count(tv) AS BIGINT) AS n_view,
+             CAST(count(tc) AS BIGINT) AS n_click,
+             CAST(count(tp) AS BIGINT) AS n_purchase,
+             CAST(sum(tc - tv) AS BIGINT) AS sum_click_us,
+             CAST(sum(tp - tv) AS BIGINT) AS sum_purchase_us,
+             CAST(count(tp) AS DOUBLE) / CAST(count(tv) AS DOUBLE) AS conversion
+      FROM f3"""))
+
+  val all: Seq[QueryDef] = Seq(q22, q23, q27, q28, q55, q60)
 }
