@@ -706,7 +706,8 @@ object CorpusOps {
       SELECT word, exact_cnt, est_cnt, est_cnt - exact_cnt AS overcount,
              est_cnt >= exact_cnt AS never_undercounts
       FROM est"""
-    })
+    },
+    headline = true)
 
   val all: Seq[QueryDef] = Seq(d08, d09, q44, t06, q46, q47, q48, q50, t10, q59)
 }
