@@ -216,5 +216,63 @@ object Temporal {
              CAST(count(tp) AS DOUBLE) / CAST(count(tv) AS DOUBLE) AS conversion
       FROM f3"""))
 
-  val all: Seq[QueryDef] = Seq(q22, q23, q27, q28, q55, q60)
+  /** Cohort-retention matrix over the event stream — the classic
+    * retention triangle: users cohorted by signup week, each cohort's
+    * active-user count at week offsets 0, 1, 2… (active = made a PURCHASE
+    * that week — the engagement event; any-event activity measured ~1.0
+    * retention on this data, a meaningless curve), plus the retention
+    * fraction (one IEEE division of exact
+    * counts).
+    *
+    * Shape: one user-keyed aggregate for signup weeks, one distinct
+    * (user, week) activity pass, one user-keyed join, then a
+    * metadata-width (cohort, offset) aggregate. `count(*)` in the cell
+    * aggregate is deliberate: the joined frame is distinct per
+    * (user, week) and offset is a bijection of week given the cohort, so
+    * a `count(DISTINCT)` would add an Expand pass (q50's lesson) for the
+    * same number. Week truncation is Monday-start in both engines;
+    * week offsets are exact integer day arithmetic. */
+  val q61 = QueryDef(
+    "q61_cohort_retention",
+    (s, d) => withViews(s, d, "events")(s"""
+      WITH e AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk,
+                        event_type
+                 FROM events),
+      sg AS (SELECT user_id, min(wk) AS cw FROM e
+             WHERE event_type = 'signup' GROUP BY user_id),
+      a AS (SELECT DISTINCT user_id, wk FROM e WHERE event_type = 'purchase'),
+      j AS (SELECT sg.user_id, sg.cw,
+              CAST(datediff(a.wk, sg.cw) div 7 AS BIGINT) AS wk_offset
+            FROM sg JOIN a ON sg.user_id = a.user_id WHERE a.wk >= sg.cw),
+      cs AS (SELECT cw, CAST(count(*) AS BIGINT) AS cohort_size
+             FROM sg GROUP BY cw),
+      r AS (SELECT cw, wk_offset, CAST(count(*) AS BIGINT) AS n_active
+            FROM j GROUP BY cw, wk_offset)
+      SELECT date_format(r.cw, 'yyyy-MM-dd') AS cohort_week,
+             r.wk_offset, r.n_active, cs.cohort_size,
+             CAST(r.n_active AS DOUBLE) / CAST(cs.cohort_size AS DOUBLE)
+               AS retention
+      FROM r JOIN cs ON r.cw = cs.cw"""),
+    Some(s"""
+      WITH e AS (SELECT user_id,
+                        CAST(date_trunc('week', cast(ts AS timestamp)) AS DATE) AS wk,
+                        event_type
+                 FROM events),
+      sg AS (SELECT user_id, min(wk) AS cw FROM e
+             WHERE event_type = 'signup' GROUP BY user_id),
+      a AS (SELECT DISTINCT user_id, wk FROM e WHERE event_type = 'purchase'),
+      j AS (SELECT sg.user_id, sg.cw,
+              CAST((a.wk - sg.cw) // 7 AS BIGINT) AS wk_offset
+            FROM sg JOIN a ON sg.user_id = a.user_id WHERE a.wk >= sg.cw),
+      cs AS (SELECT cw, CAST(count(*) AS BIGINT) AS cohort_size
+             FROM sg GROUP BY cw),
+      r AS (SELECT cw, wk_offset, CAST(count(*) AS BIGINT) AS n_active
+            FROM j GROUP BY cw, wk_offset)
+      SELECT ${Q.oDateStr("r.cw")} AS cohort_week,
+             r.wk_offset, r.n_active, cs.cohort_size,
+             CAST(r.n_active AS DOUBLE) / CAST(cs.cohort_size AS DOUBLE)
+               AS retention
+      FROM r JOIN cs ON r.cw = cs.cw"""))
+
+  val all: Seq[QueryDef] = Seq(q22, q23, q27, q28, q55, q60, q61)
 }
