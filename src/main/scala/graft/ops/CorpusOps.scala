@@ -635,12 +635,32 @@ object CorpusOps {
       ORDER BY rank"""
     })
 
-  /** Count-min geometry, shared engine↔oracle: depth-4 hash rows (the
-    * four `char_fold` seeds) × width-1024 counters. ε = e/w ≈ 0.27%·N
-    * expected overcount per row; 4 independent rows drive the min-tail
-    * down. All integers — nothing to diverge across engines. */
+  /** Count-min geometry, shared engine↔oracle: depth-4 hash rows ×
+    * width-1024 counters. ε = e/w ≈ 0.27%·N expected overcount per row;
+    * 4 independent rows drive the min-tail down. All integers — nothing
+    * to diverge across engines.
+    *
+    * INDEPENDENCE TRAP (a shipped bug, caught in review): varying only
+    * `char_fold`'s SEED does not give independent rows — the fold is
+    * `seed·31^n + Σ cᵢ·31^(n-i)`, so for two words of equal length the
+    * seed term cancels in the difference and all "independent" rows
+    * collide together ('aaa' vs 'bcb' collided in all four). The fix is
+    * the affine 2-hash family MinHashSig already uses, with the second
+    * base hash folded over the REVERSED word: reversal permutes the
+    * polynomial weights, so the two base-hash differences are no longer
+    * proportional and each row j's collision condition
+    * `Δc1·(2j+1) + Δc2·(2j+3) ≡ 0 (mod p)` is a distinct line — two
+    * distinct words can collide in at most one row by accident. */
   private[graft] val cmWidth = 1024
-  private[graft] val cmSeeds = Seq(101, 211, 307, 401)
+  private[graft] val cmDepth = 4
+  private[graft] val cmPrime = 4294967311L // 2^32 + 15, MinHashSig's prime
+
+  /** Row-j counter index of word expression `e`, in the target dialect:
+    * `((c1·(2j+1) + c2·(2j+3)) mod p) mod width` with c1 = fold(e, 7),
+    * c2 = fold(reverse(e), 13). Multipliers ≤ 11 on 32-bit folds keep
+    * every intermediate far inside BIGINT. */
+  private def cmHash(e: String, j: Int, fold: (String, Int) => String): String =
+    s"((${fold(e, 7)}) * ${2 * j + 1} + (${fold(s"reverse($e)", 13)}) * ${2 * j + 3}) % $cmPrime % $cmWidth"
 
   /** Count-min sketch heavy hitters — frequency estimation in BOUNDED
     * memory, the sketch a 100 TB pipeline uses where an exact per-key
@@ -656,11 +676,12 @@ object CorpusOps {
   val q59 = QueryDef(
     "q59_heavy_hitters",
     (s, d) => {
-      val hashes = cmSeeds.zipWithIndex.map { case (seed, j) =>
-        s"named_struct('j', $j, 'h', char_fold(w, $seed) % $cmWidth)"
+      def sFold(e: String, seed: Int) = s"char_fold($e, $seed)"
+      val hashes = (0 until cmDepth).map { j =>
+        s"named_struct('j', $j, 'h', ${cmHash("w", j, sFold)})"
       }.mkString(",\n               ")
-      val candHashes = cmSeeds.zipWithIndex.map { case (seed, j) =>
-        s"named_struct('j', $j, 'h', char_fold(word, $seed) % $cmWidth)"
+      val candHashes = (0 until cmDepth).map { j =>
+        s"named_struct('j', $j, 'h', ${cmHash("word", j, sFold)})"
       }.mkString(",\n               ")
       withViews(s, d, "documents")(s"""
         WITH toks AS (SELECT explode(regexp_extract_all(lower(text), '[a-z]+', 0)) AS w
@@ -684,12 +705,12 @@ object CorpusOps {
         FROM est""")
     },
     Some {
-      def fold(e: String, seed: Int) = s"(${Q.oCharFold(e, seed)}) % $cmWidth"
-      val unionRows = cmSeeds.zipWithIndex.map { case (seed, j) =>
-        s"SELECT $j AS j, ${fold("w", seed)} AS h FROM toks"
+      def oFold(e: String, seed: Int) = s"(${Q.oCharFold(e, seed)})"
+      val unionRows = (0 until cmDepth).map { j =>
+        s"SELECT $j AS j, ${cmHash("w", j, oFold)} AS h FROM toks"
       }.mkString("\n               UNION ALL ")
-      val candRows = cmSeeds.zipWithIndex.map { case (seed, j) =>
-        s"SELECT word, exact_cnt, $j AS j, ${fold("word", seed)} AS h FROM top"
+      val candRows = (0 until cmDepth).map { j =>
+        s"SELECT word, exact_cnt, $j AS j, ${cmHash("word", j, oFold)} AS h FROM top"
       }.mkString("\n               UNION ALL ")
       s"""
       WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w

@@ -557,35 +557,54 @@ object CurationOps {
     * a held-out scoring corpus (the real deployment) needs no change. */
   val t11 = QueryDef(
     "t11_bigram_lm_score",
-    (s, d) => withViews(s, d, "documents")(s"""
-      WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+', 0) AS ws
-                 FROM documents),
-      v AS (SELECT word FROM (
-              SELECT wd AS word, count(*) AS freq
-              FROM (SELECT explode(ws) AS wd FROM w) GROUP BY wd
-              ORDER BY freq DESC, word LIMIT $lmVocab)),
-      bg AS (SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2
-             FROM (SELECT doc_id, explode(transform(sequence(0, size(ws) - 2),
-                     i -> named_struct('w1', ws[i], 'w2', ws[i + 1]))) AS pr
-                   FROM w WHERE size(ws) >= 2)),
-      mb AS (SELECT /*+ BROADCAST(v1, v2) */ bg.doc_id,
-               CASE WHEN v1.word IS NULL THEN '<unk>' ELSE bg.w1 END AS w1,
-               CASE WHEN v2.word IS NULL THEN '<unk>' ELSE bg.w2 END AS w2
-             FROM bg LEFT JOIN v v1 ON bg.w1 = v1.word
-                     LEFT JOIN v v2 ON bg.w2 = v2.word),
-      lm AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
-             FROM mb GROUP BY w1, w2),
-      ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM lm GROUP BY w1),
-      sc AS (SELECT /*+ BROADCAST(lm, ctx) */ mb.doc_id,
-               ((coalesce(lm.c12, CAST(0 AS BIGINT)) + 1) * $lmScale)
-                 div (coalesce(ctx.c1, CAST(0 AS BIGINT)) + ${lmVocab + 1}) AS p6
-             FROM mb LEFT JOIN lm ON mb.w1 = lm.w1 AND mb.w2 = lm.w2
-                     LEFT JOIN ctx ON mb.w1 = ctx.w1)
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-             CAST(sum(p6) AS BIGINT) AS p6_sum,
-             CAST(sum(p6) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_p6,
-             CAST(min(p6) AS BIGINT) AS min_p6
-      FROM sc GROUP BY doc_id"""),
+    (s, d) => {
+      // Staged: Spark re-executes a CTE per reference (d02's lesson), and
+      // the vocab feeds TWO join sides while the mapped bigram stream
+      // feeds THREE consumers (LM counts, context counts via lm, and the
+      // scoring pass) — without materialization the corpus-wide
+      // tokenize+explode runs up to three times per query. The vocab
+      // cache is 1000 rows; the mb cache is the (doc_id, w1, w2) stream —
+      // the same materialized-boundary pattern as d02's staged shingles
+      // (at cluster scale these are the pipeline's checkpoint/exchange
+      // reuse points; recomputing instead is a config choice, not a plan
+      // change).
+      staged("t11_v", d) {
+        withViews(s, d, "documents")(s"""
+          SELECT word FROM (
+            SELECT wd AS word, count(*) AS freq
+            FROM (SELECT explode(regexp_extract_all(lower(text), '[a-z]+', 0)) AS wd
+                  FROM documents)
+            GROUP BY wd ORDER BY freq DESC, word LIMIT $lmVocab)""")
+      }.createOrReplaceTempView("t11_v")
+      staged("t11_mb", d) {
+        withViews(s, d, "documents")(s"""
+          WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+', 0) AS ws
+                     FROM documents),
+          bg AS (SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2
+                 FROM (SELECT doc_id, explode(transform(sequence(0, size(ws) - 2),
+                         i -> named_struct('w1', ws[i], 'w2', ws[i + 1]))) AS pr
+                       FROM w WHERE size(ws) >= 2))
+          SELECT /*+ BROADCAST(v1, v2) */ bg.doc_id,
+                 CASE WHEN v1.word IS NULL THEN '<unk>' ELSE bg.w1 END AS w1,
+                 CASE WHEN v2.word IS NULL THEN '<unk>' ELSE bg.w2 END AS w2
+          FROM bg LEFT JOIN t11_v v1 ON bg.w1 = v1.word
+                  LEFT JOIN t11_v v2 ON bg.w2 = v2.word""")
+      }.createOrReplaceTempView("t11_mb")
+      s.sql(s"""
+        WITH lm AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+               FROM t11_mb GROUP BY w1, w2),
+        ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM lm GROUP BY w1),
+        sc AS (SELECT /*+ BROADCAST(lm, ctx) */ mb.doc_id,
+                 ((coalesce(lm.c12, CAST(0 AS BIGINT)) + 1) * $lmScale)
+                   div (coalesce(ctx.c1, CAST(0 AS BIGINT)) + ${lmVocab + 1}) AS p6
+               FROM t11_mb mb LEFT JOIN lm ON mb.w1 = lm.w1 AND mb.w2 = lm.w2
+                       LEFT JOIN ctx ON mb.w1 = ctx.w1)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(p6) AS BIGINT) AS p6_sum,
+               CAST(sum(p6) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_p6,
+               CAST(min(p6) AS BIGINT) AS min_p6
+        FROM sc GROUP BY doc_id""")
+    },
     Some(s"""
       WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
                  FROM documents),

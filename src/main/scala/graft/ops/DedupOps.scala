@@ -33,6 +33,31 @@ object DedupOps {
   private[graft] val minhashRows = sys.props.getOrElse("graft.minhash.rows", "2").toInt
   private[graft] val minhashK = minhashBands * minhashRows
 
+  /** The ONE DuckDB spelling of documents → (doc_id, bj, bkey) LSH band
+    * rows (normalize → 3-shingles → 2-hash affine MinHash signature →
+    * banding), shared by every oracle that consumes band keys (d02's
+    * batch near-dup, q58's streaming bucket registry) so the hash
+    * family, seeds, prime, and banding dial cannot drift apart between
+    * hand-written copies. */
+  private[graft] def oracleBandsCte: String = s"""
+      t AS (SELECT doc_id, string_split($oNorm, ' ') AS w FROM documents),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+               i -> array_to_string(w[i:i+2], ' '))) AS sset
+             FROM t WHERE len(w) >= 3),
+      hh AS (SELECT doc_id, sset,
+               list_transform(sset, x -> ${oCharFold("x", 7)}) AS h1,
+               list_transform(sset, x -> ${oCharFold("x", 13)}) AS h2
+             FROM sh),
+      sig AS (SELECT doc_id, list_transform(range(0, $minhashK), i ->
+                list_aggregate(list_transform(list_zip(h1, h2),
+                  s -> (s[1] * (2*i+1) + s[2] * (2*i+3)) % 4294967311), 'min')) AS sg
+              FROM hh),
+      bands AS (SELECT doc_id, bj,
+                  array_to_string(list_transform(
+                    sg[bj*$minhashRows + 1 : bj*$minhashRows + $minhashRows],
+                    x -> CAST(x AS VARCHAR)), ',') AS bkey
+                FROM sig, (SELECT unnest(range(0, $minhashBands)) AS bj) bx)"""
+
   /** MinHash signature (k = bands·rows via 2-hash affine family) + LSH
     * banding (see [[minhashBands]]), then exact shingle-Jaccard
     * verification of candidates. Planted near-dups in the driver data sit
@@ -79,23 +104,7 @@ object DedupOps {
         SELECT ida AS doc_a, idb AS doc_b, jaccard FROM ver WHERE jaccard >= 0.8""")
     },
     Some(s"""
-      WITH t AS (SELECT doc_id, string_split($oNorm, ' ') AS w FROM documents),
-      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
-               i -> array_to_string(w[i:i+2], ' '))) AS sset
-             FROM t WHERE len(w) >= 3),
-      hh AS (SELECT doc_id, sset,
-               list_transform(sset, x -> ${oCharFold("x", 7)}) AS h1,
-               list_transform(sset, x -> ${oCharFold("x", 13)}) AS h2
-             FROM sh),
-      sig AS (SELECT doc_id, list_transform(range(0, $minhashK), i ->
-                list_aggregate(list_transform(list_zip(h1, h2),
-                  s -> (s[1] * (2*i+1) + s[2] * (2*i+3)) % 4294967311), 'min')) AS sg
-              FROM hh),
-      bands AS (SELECT doc_id, bj,
-                  array_to_string(list_transform(
-                    sg[bj*$minhashRows + 1 : bj*$minhashRows + $minhashRows],
-                    x -> CAST(x AS VARCHAR)), ',') AS bkey
-                FROM sig, (SELECT unnest(range(0, $minhashBands)) AS bj) bx),
+      WITH $oracleBandsCte,
       cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
                FROM bands a JOIN bands b
                  ON a.bj = b.bj AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
@@ -516,10 +525,14 @@ object DedupOps {
       FROM fps f WHERE f.source <> 'src0'"""))
 
   /** d17's eval-set membership + contamination threshold, shared
-    * engine↔oracle. The eval set models a held-out benchmark: tiny
-    * relative to the corpus by construction, which is what makes the
-    * whole operator broadcast-shaped. */
-  private[graft] val evalSetPred = "vec_id % 100 = 7"
+    * engine↔oracle. The eval set models a held-out benchmark, and a
+    * benchmark is bounded in SIZE, not a corpus fraction — a `%`-only
+    * predicate would grow linearly with N and silently break the
+    * broadcast shape (review catch); the id cap pins |eval| ≤ 128 at
+    * ANY corpus size (a real deployment substitutes its benchmark
+    * table here — the cap is the stand-in for that boundedness). */
+  private[graft] def evalSetPred(col: String): String =
+    s"($col % 100 = 7 AND $col < 12800)"
   private[graft] val contamThreshold = "0.3"
 
   /** SEMANTIC decontamination — the embedding-space complement of d07
@@ -530,14 +543,18 @@ object DedupOps {
     * that catches it.
     *
     * Scale shape — simpler than d16's bucketed pairwise pass because the
-    * problem is asymmetric: an eval set is thousands of rows at most, so
-    * it broadcasts WHOLE and the corpus side is ONE row-wise
-    * `nearest_centroid` arg-max pass (same native expression as
+    * problem is asymmetric: the eval set is SIZE-bounded (see
+    * [[evalSetPred]]), so it broadcasts WHOLE and the corpus side is ONE
+    * row-wise `nearest_centroid` arg-max pass (same native expression as
     * d16/s05/s06) with ZERO shuffles — at 100 TB the corpus never moves,
     * and the eval set is the broadcast. Cosine is emitted floor-scaled
     * (s06's exact-integer spelling); the threshold compare runs on the
     * raw double, bit-identical across engines (left-to-right dot fold,
-    * one division). */
+    * one division). The `nc IS NOT NULL` filter is the empty-eval-set
+    * contract: with no eval vectors `nearest_centroid` returns NULL for
+    * every row and the oracle's cross join returns nothing — the filter
+    * keeps both engines at zero rows instead of diverging (review
+    * catch). */
   val d17 = QueryDef(
     "d17_semantic_decontam",
     (s, d) => {
@@ -551,8 +568,9 @@ object DedupOps {
               FROM d17_n t CROSS JOIN (
                 SELECT collect_list(named_struct('cid', vec_id, 'cv', v,
                          'cn', nrm)) AS cents
-                FROM d17_n WHERE $evalSetPred) cs
-              WHERE NOT ($evalSetPred))""")
+                FROM d17_n WHERE ${evalSetPred("vec_id")}) cs
+              WHERE NOT ${evalSetPred("t.vec_id")})
+        WHERE nc IS NOT NULL""")
     },
     Some(s"""
       WITH e AS (SELECT vec_id, label,
@@ -563,7 +581,7 @@ object DedupOps {
                 list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
             FROM e),
       ev AS (SELECT vec_id AS eid, v AS evv, nrm AS evn FROM n
-             WHERE $evalSetPred),
+             WHERE ${evalSetPred("vec_id")}),
       sc AS (SELECT t.vec_id, t.label, eid,
                list_reduce(list_prepend(CAST(0 AS DOUBLE),
                  list_transform(list_zip(t.v, evv), s -> s[1] * s[2])),
@@ -572,7 +590,7 @@ object DedupOps {
                  ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
                    list_transform(list_zip(t.v, evv), s -> s[1] * s[2])),
                    (acc, z) -> acc + z) / (t.nrm * evn) DESC, eid) AS rn
-             FROM n t CROSS JOIN ev WHERE NOT (t.$evalSetPred))
+             FROM n t CROSS JOIN ev WHERE NOT ${evalSetPred("t.vec_id")})
       SELECT vec_id, label, eid AS eval_id,
              CAST(floor(cos * 1000000) AS BIGINT) AS cos6,
              cos >= $contamThreshold AS is_contaminated

@@ -369,23 +369,7 @@ object StreamingGate {
     "q58_streaming_neardup",
     (s, d) => neardupStream(s, d, None),
     Some(s"""
-      WITH t AS (SELECT doc_id, string_split(${Q.oNorm}, ' ') AS w FROM documents),
-      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
-               i -> array_to_string(w[i:i+2], ' '))) AS sset
-             FROM t WHERE len(w) >= 3),
-      hh AS (SELECT doc_id, sset,
-               list_transform(sset, x -> ${Q.oCharFold("x", 7)}) AS h1,
-               list_transform(sset, x -> ${Q.oCharFold("x", 13)}) AS h2
-             FROM sh),
-      sig AS (SELECT doc_id, list_transform(range(0, ${DedupOps.minhashK}), i ->
-                list_aggregate(list_transform(list_zip(h1, h2),
-                  s -> (s[1] * (2*i+1) + s[2] * (2*i+3)) % 4294967311), 'min')) AS sg
-              FROM hh),
-      bands AS (SELECT doc_id, bj,
-                  array_to_string(list_transform(
-                    sg[bj*${DedupOps.minhashRows} + 1 : bj*${DedupOps.minhashRows} + ${DedupOps.minhashRows}],
-                    x -> CAST(x AS VARCHAR)), ',') AS bkey
-                FROM sig, (SELECT unnest(range(0, ${DedupOps.minhashBands})) AS bj) bx),
+      WITH ${DedupOps.oracleBandsCte},
       own AS (SELECT bj, bkey, min(doc_id) AS owner_doc
               FROM bands WHERE doc_id % 2 = 0 GROUP BY bj, bkey)
       SELECT b.bj AS bj, o.owner_doc AS owner_doc, b.doc_id AS dup_doc
