@@ -635,6 +635,86 @@ object CorpusOps {
       ORDER BY rank"""
     })
 
+  /** BPE tokenizer APPLICATION — the other half of t10's train step:
+    * encode every document with the learned merge-rule table and report
+    * per-doc subword statistics (token count, char count, chars-per-
+    * subword compression — the number a tokenizer owner actually
+    * monitors). Train → collect the 12-row merge table to the driver as
+    * a MODEL ARTIFACT (the same pattern as d12's driver-built Bloom
+    * filter: tiny trained state, not data) → rebuild it into a literal
+    * nested-replace expression.
+    *
+    * Scale shape: merges apply to DISTINCT words, not the token stream —
+    * one metadata-width word shuffle, the 12×`bpeMergePasses` replace
+    * chain runs once per distinct word (vocabulary-sized, millions at
+    * 100 TB, never corpus-sized), and the encoded lengths broadcast back
+    * onto the shuffle-free per-doc token explode. The oracle cannot
+    * collect, so it re-derives the merge table with t10's own unrolled
+    * CTEs (oracle-verified identical by t10's gate row) and applies the
+    * same 12 rounds over the distinct-word frame. */
+  val t12 = QueryDef(
+    "t12_bpe_encode",
+    (s, d) => {
+      val merges = staged("t10_merges", d) { t10.run(s, d) }
+        .collect().sortBy(_.getLong(0))
+        .map(r => (r.getString(1), r.getString(2)))
+      def lit(x: String) = s"'${x.replace("'", "''")}'"
+      val encSeq = merges.foldLeft(
+        "concat('|', regexp_replace(w, '(.)', '$1|'))") { case (e, (l, r)) =>
+        repeatReplace(e,
+          s"concat('|', ${lit(l)}, '|', ${lit(r)}, '|')",
+          s"concat('|', ${lit(l)}, ${lit(r)}, '|')")
+      }
+      withViews(s, d, "documents")(s"""
+        WITH toks AS (SELECT doc_id, explode(regexp_extract_all(lower(text), '[a-z]+', 0)) AS w
+                      FROM documents),
+        dw AS (SELECT DISTINCT w FROM toks),
+        enc AS (SELECT w,
+                  CAST(size(filter(split($encSeq, '[|]'), x -> x <> '')) AS BIGINT) AS n_sub
+                FROM dw)
+        SELECT /*+ BROADCAST(e) */ t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(e.n_sub) AS BIGINT) AS n_subwords,
+               CAST(sum(length(t.w)) AS BIGINT) AS n_chars,
+               CAST(sum(length(t.w)) AS DOUBLE) / CAST(sum(e.n_sub) AS DOUBLE)
+                 AS chars_per_subword
+        FROM toks t JOIN enc e ON t.w = e.w
+        GROUP BY t.doc_id""")
+    },
+    Some {
+      def rep(e: String) = repeatReplace(e,
+        "'|' || b.lhs || '|' || b.rhs || '|'",
+        "'|' || b.lhs || b.rhs || '|'")
+      // reuse t10's full oracle WITH-chain (wc, w1, rounds a/p/b/w 1..12)
+      // by cutting its final merge-table SELECT — the chain is the
+      // oracle-verified derivation of the same b1..b12 the engine
+      // collected, so both sides apply the IDENTICAL rules
+      val t10Sql = t10.oracle.get
+      val chain = t10Sql.substring(0, t10Sql.indexOf("SELECT CAST(1 AS BIGINT)")).trim
+      val encodeRounds = (1 to bpeRounds).map { r =>
+        s"""e$r AS MATERIALIZED (SELECT w, ${rep("seq")} AS seq
+            FROM e${r - 1} CROSS JOIN b$r b)"""
+      }.mkString(",\n      ")
+      s"""
+      $chain,
+      toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+               FROM documents),
+      dw AS (SELECT DISTINCT w FROM toks),
+      e0 AS (SELECT w, '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS seq FROM dw),
+      $encodeRounds,
+      enc AS (SELECT w, CAST(len(list_filter(string_split(seq, '|'),
+                x -> x <> '')) AS BIGINT) AS n_sub
+              FROM e$bpeRounds)
+      SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(e.n_sub) AS BIGINT) AS n_subwords,
+             CAST(sum(length(t.w)) AS BIGINT) AS n_chars,
+             CAST(sum(length(t.w)) AS DOUBLE) / CAST(sum(e.n_sub) AS DOUBLE)
+               AS chars_per_subword
+      FROM toks t JOIN enc e ON t.w = e.w
+      GROUP BY t.doc_id"""
+    })
+
   /** Count-min geometry, shared engine↔oracle: depth-4 hash rows ×
     * width-1024 counters. ε = e/w ≈ 0.27%·N expected overcount per row;
     * 4 independent rows drive the min-tail down. All integers — nothing
@@ -730,5 +810,5 @@ object CorpusOps {
     },
     headline = true)
 
-  val all: Seq[QueryDef] = Seq(d08, d09, q44, t06, q46, q47, q48, q50, t10, q59)
+  val all: Seq[QueryDef] = Seq(d08, d09, q44, t06, q46, q47, q48, q50, t10, t12, q59)
 }
