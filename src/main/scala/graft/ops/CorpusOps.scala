@@ -515,19 +515,35 @@ object CorpusOps {
 
   /** BPE geometry — shared by the engine loop and the unrolled oracle so
     * retuning cannot break engine↔oracle equivalence (same rule as the
-    * chunk/pack constants above). `bpeMergePasses` is the fixed number of
-    * `replace` applications per merge round: one left-to-right
-    * non-overlapping pass misses every other occurrence in an adjacent
-    * run (`|a|b|a|b|` shares the middle delimiter), and k passes reach
-    * the greedy-BPE fixpoint for any run of ≤ 2^k occurrences — 5 covers
-    * words of 64+ characters. A fixed count (not a loop-until-stable) is
-    * what keeps the oracle an identical finite composition. */
+    * chunk/pack constants above). */
   private[graft] val bpeRounds = 12
   private[graft] val bpeVocab = 1000
-  private[graft] val bpeMergePasses = 5
 
-  private def repeatReplace(e: String, search: String, repl: String): String =
-    (1 to bpeMergePasses).foldLeft(e)((acc, _) => s"replace($acc, $search, $repl)")
+  /** One EXACT leftmost-greedy merge round as a delimited-string fold,
+    * emitted in the target dialect: walk the symbol list left to right
+    * with the accumulator holding the merged prefix as `|s1|s2|…|`; a
+    * step either fuses the tail symbol with the incoming one (tail = lhs
+    * and incoming = rhs — `endswith(acc, '|lhs|')` identifies the tail
+    * EXACTLY because symbols never contain the delimiter) or appends.
+    * This replaced a fixed 5-pass `replace` composition after a
+    * randomized audit showed iterated non-overlapping replace diverges
+    * from greedy BPE on self-overlapping runs (different adjacency on
+    * `aaaaa`+(a,a); even the symbol multiset differed in 18 of 200k
+    * random sequences) — the fold is the textbook single-scan semantics,
+    * still deterministic and engine↔oracle identical, with no magic pass
+    * count. The prepended `'|'` init also satisfies DuckDB's
+    * `list_reduce` same-type constraint. */
+  private def sGreedyMerge(seqE: String, lhsE: String, rhsE: String): String =
+    s"""aggregate(filter(split($seqE, '[|]'), x -> x <> ''), '|',
+       |  (acc, x) -> CASE WHEN endswith(acc, concat('|', $lhsE, '|')) AND x = $rhsE
+       |    THEN concat(left(acc, length(acc) - length($lhsE) - 1), $lhsE, $rhsE, '|')
+       |    ELSE concat(acc, x, '|') END)""".stripMargin
+
+  private def oGreedyMerge(seqE: String, lhsE: String, rhsE: String): String =
+    s"""list_reduce(list_prepend('|', list_filter(string_split($seqE, '|'), x -> x <> '')),
+       |  (acc, x) -> CASE WHEN ends_with(acc, '|' || $lhsE || '|') AND x = $rhsE
+       |    THEN left(acc, length(acc) - length($lhsE) - 1) || $lhsE || $rhsE || '|'
+       |    ELSE acc || x || '|' END)""".stripMargin
 
   /** Highest-frequency adjacent symbol pair of the current vocab frame
     * (view `t10_w`): explode positions, partial-agg the (lhs, rhs)
@@ -545,14 +561,11 @@ object CorpusOps {
       SELECT lhs, rhs, freq FROM p ORDER BY freq DESC, lhs, rhs LIMIT 1""")
 
   /** Apply the broadcast 1-row best pair (view `t10_b`) to every word's
-    * symbol sequence: `bpeMergePasses` compositions of the delimited
-    * non-overlapping replace (see constant doc). */
+    * symbol sequence: one exact greedy-merge fold (see [[sGreedyMerge]]). */
   private def bpeMerge(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
     s.sql(s"""
       SELECT /*+ BROADCAST(b) */ w.word, w.freq,
-             ${repeatReplace("w.seq",
-                "concat('|', b.lhs, '|', b.rhs, '|')",
-                "concat('|', b.lhs, b.rhs, '|')")} AS seq
+             ${sGreedyMerge("w.seq", "b.lhs", "b.rhs")} AS seq
       FROM t10_w w CROSS JOIN t10_b b""")
 
   /** Distributed BPE-style tokenizer vocab induction: the merge-rule
@@ -561,11 +574,11 @@ object CorpusOps {
     * TakeOrdered — the only stage that touches N documents), then
     * `bpeRounds` merge rounds over the CAPPED vocab frame: count adjacent
     * symbol pairs weighted by word frequency, pick the arg-max pair
-    * (freq DESC, lhs, rhs tiebreak), broadcast it back, and fuse every
-    * occurrence via delimiter-encoded `replace` (identical left-to-right
-    * non-overlapping semantics in the JVM and DuckDB). Symbol sequences
-    * ride `|`-delimited strings (`|p|a|r|`), safe because words are
-    * `[a-z]+` only.
+    * (freq DESC, lhs, rhs tiebreak), broadcast it back, and apply it
+    * with the exact leftmost-greedy fold ([[sGreedyMerge]] /
+    * [[oGreedyMerge]] — identical single-scan semantics in both
+    * engines). Symbol sequences ride `|`-delimited strings (`|p|a|r|`),
+    * safe because words are `[a-z]+` only.
     *
     * Same iterative mechanics as s06's Lloyd loop and d06's label
     * propagation: per-round [[Q.roundCheckpoint]] lineage truncation +
@@ -604,9 +617,6 @@ object CorpusOps {
       merges.result().reduce(_ union _).orderBy("rank")
     },
     Some {
-      def rep(e: String) = repeatReplace(e,
-        "'|' || b.lhs || '|' || b.rhs || '|'",
-        "'|' || b.lhs || b.rhs || '|'")
       def oround(r: Int) = s"""
         a$r AS MATERIALIZED (SELECT word, freq, seq,
                    list_filter(string_split(seq, '|'), x -> x <> '') AS syms
@@ -618,7 +628,8 @@ object CorpusOps {
                 GROUP BY lhs, rhs),
         b$r AS MATERIALIZED (SELECT lhs, rhs, freq FROM p$r
                 ORDER BY freq DESC, lhs, rhs LIMIT 1),
-        w${r + 1} AS (SELECT w.word, w.freq, ${rep("w.seq")} AS seq
+        w${r + 1} AS (SELECT w.word, w.freq,
+                   ${oGreedyMerge("w.seq", "b.lhs", "b.rhs")} AS seq
                    FROM a$r w CROSS JOIN b$r b)"""
       s"""
       WITH wc AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
@@ -642,12 +653,12 @@ object CorpusOps {
     * monitors). Train → collect the 12-row merge table to the driver as
     * a MODEL ARTIFACT (the same pattern as d12's driver-built Bloom
     * filter: tiny trained state, not data) → rebuild it into a literal
-    * nested-replace expression.
+    * chain of greedy-merge folds ([[sGreedyMerge]] with literal pairs).
     *
     * Scale shape: merges apply to DISTINCT words, not the token stream —
-    * one metadata-width word shuffle, the 12×`bpeMergePasses` replace
-    * chain runs once per distinct word (vocabulary-sized, millions at
-    * 100 TB, never corpus-sized), and the encoded lengths broadcast back
+    * the 12-round greedy-fold chain runs once per distinct word
+    * (vocabulary-sized, millions at 100 TB, never corpus-sized) after
+    * one metadata-width word shuffle, and the encoded lengths broadcast back
     * onto the shuffle-free per-doc token explode. The oracle cannot
     * collect, so it re-derives the merge table with t10's own unrolled
     * CTEs (oracle-verified identical by t10's gate row) and applies the
@@ -661,9 +672,7 @@ object CorpusOps {
       def lit(x: String) = s"'${x.replace("'", "''")}'"
       val encSeq = merges.foldLeft(
         "concat('|', regexp_replace(w, '(.)', '$1|'))") { case (e, (l, r)) =>
-        repeatReplace(e,
-          s"concat('|', ${lit(l)}, '|', ${lit(r)}, '|')",
-          s"concat('|', ${lit(l)}, ${lit(r)}, '|')")
+        sGreedyMerge(e, lit(l), lit(r))
       }
       withViews(s, d, "documents")(s"""
         WITH toks AS (SELECT doc_id, explode(regexp_extract_all(lower(text), '[a-z]+', 0)) AS w
@@ -682,9 +691,6 @@ object CorpusOps {
         GROUP BY t.doc_id""")
     },
     Some {
-      def rep(e: String) = repeatReplace(e,
-        "'|' || b.lhs || '|' || b.rhs || '|'",
-        "'|' || b.lhs || b.rhs || '|'")
       // reuse t10's full oracle WITH-chain (wc, w1, rounds a/p/b/w 1..12)
       // by cutting its final merge-table SELECT — the chain is the
       // oracle-verified derivation of the same b1..b12 the engine
@@ -692,7 +698,8 @@ object CorpusOps {
       val t10Sql = t10.oracle.get
       val chain = t10Sql.substring(0, t10Sql.indexOf("SELECT CAST(1 AS BIGINT)")).trim
       val encodeRounds = (1 to bpeRounds).map { r =>
-        s"""e$r AS MATERIALIZED (SELECT w, ${rep("seq")} AS seq
+        s"""e$r AS MATERIALIZED (SELECT w,
+            ${oGreedyMerge("seq", "b.lhs", "b.rhs")} AS seq
             FROM e${r - 1} CROSS JOIN b$r b)"""
       }.mkString(",\n      ")
       s"""
