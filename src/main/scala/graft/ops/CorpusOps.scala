@@ -592,6 +592,37 @@ object CorpusOps {
     * the same shape as the reference's staged worker loops
     * (`gasket/src/runtime.rs:244-289` drives repeated bounded work units
     * through a fixed stage graph). */
+  /** The ONE DuckDB spelling of t10's merge-table derivation — the full
+    * WITH-chain body (wc, w1, then per-round a/p/b/w CTEs ending at
+    * `w${bpeRounds+1}`, trailing comma-ready), shared by t10's oracle
+    * (which selects the b1..bN merge rows) and t12's (which composes the
+    * encode rounds on top of the same b1..bN) so the two oracles cannot
+    * drift — the same rule as [[graft.ops.DedupOps.oracleBandsCte]]. */
+  private def t10OracleChain: String = {
+    def oround(r: Int) = s"""
+        a$r AS MATERIALIZED (SELECT word, freq, seq,
+                   list_filter(string_split(seq, '|'), x -> x <> '') AS syms
+                 FROM w$r),
+        p$r AS (SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS freq
+                FROM (SELECT freq, syms[i] AS lhs, syms[i + 1] AS rhs
+                      FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i
+                            FROM a$r WHERE len(syms) >= 2))
+                GROUP BY lhs, rhs),
+        b$r AS MATERIALIZED (SELECT lhs, rhs, freq FROM p$r
+                ORDER BY freq DESC, lhs, rhs LIMIT 1),
+        w${r + 1} AS (SELECT w.word, w.freq,
+                   ${oGreedyMerge("w.seq", "b.lhs", "b.rhs")} AS seq
+                   FROM a$r w CROSS JOIN b$r b)"""
+    s"""wc AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+                  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+                        FROM documents)
+                  GROUP BY w ORDER BY freq DESC, word LIMIT $bpeVocab),
+      w1 AS (SELECT word, freq,
+               '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS seq
+             FROM wc),
+      ${(1 to bpeRounds).map(oround).mkString(",")}"""
+  }
+
   val t10 = QueryDef(
     "t10_bpe_vocab",
     (s, d) => {
@@ -616,35 +647,12 @@ object CorpusOps {
       org.apache.spark.sql.GraftSqlBridge.releaseCheckpointBlocks(w)
       merges.result().reduce(_ union _).orderBy("rank")
     },
-    Some {
-      def oround(r: Int) = s"""
-        a$r AS MATERIALIZED (SELECT word, freq, seq,
-                   list_filter(string_split(seq, '|'), x -> x <> '') AS syms
-                 FROM w$r),
-        p$r AS (SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS freq
-                FROM (SELECT freq, syms[i] AS lhs, syms[i + 1] AS rhs
-                      FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i
-                            FROM a$r WHERE len(syms) >= 2))
-                GROUP BY lhs, rhs),
-        b$r AS MATERIALIZED (SELECT lhs, rhs, freq FROM p$r
-                ORDER BY freq DESC, lhs, rhs LIMIT 1),
-        w${r + 1} AS (SELECT w.word, w.freq,
-                   ${oGreedyMerge("w.seq", "b.lhs", "b.rhs")} AS seq
-                   FROM a$r w CROSS JOIN b$r b)"""
-      s"""
-      WITH wc AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
-                  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
-                        FROM documents)
-                  GROUP BY w ORDER BY freq DESC, word LIMIT $bpeVocab),
-      w1 AS (SELECT word, freq,
-               '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS seq
-             FROM wc),
-      ${(1 to bpeRounds).map(oround).mkString(",")}
+    Some(s"""
+      WITH $t10OracleChain
       ${(1 to bpeRounds)
         .map(r => s"SELECT CAST($r AS BIGINT) AS rank, lhs, rhs, freq FROM b$r")
         .mkString(" UNION ALL ")}
-      ORDER BY rank"""
-    })
+      ORDER BY rank"""))
 
   /** BPE tokenizer APPLICATION — the other half of t10's train step:
     * encode every document with the learned merge-rule table and report
@@ -691,19 +699,16 @@ object CorpusOps {
         GROUP BY t.doc_id""")
     },
     Some {
-      // reuse t10's full oracle WITH-chain (wc, w1, rounds a/p/b/w 1..12)
-      // by cutting its final merge-table SELECT — the chain is the
-      // oracle-verified derivation of the same b1..b12 the engine
-      // collected, so both sides apply the IDENTICAL rules
-      val t10Sql = t10.oracle.get
-      val chain = t10Sql.substring(0, t10Sql.indexOf("SELECT CAST(1 AS BIGINT)")).trim
+      // composes [[t10OracleChain]] — the oracle-verified derivation of
+      // the same b1..b12 the engine collected, so both sides apply the
+      // IDENTICAL rules
       val encodeRounds = (1 to bpeRounds).map { r =>
         s"""e$r AS MATERIALIZED (SELECT w,
             ${oGreedyMerge("seq", "b.lhs", "b.rhs")} AS seq
             FROM e${r - 1} CROSS JOIN b$r b)"""
       }.mkString(",\n      ")
       s"""
-      $chain,
+      WITH $t10OracleChain,
       toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
                FROM documents),
       dw AS (SELECT DISTINCT w FROM toks),

@@ -10,7 +10,7 @@ package graft
   */
 object Q58Time {
   def main(args: Array[String]): Unit = {
-    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val spark = Sessions.local()
     spark.sparkContext.setLogLevel("ERROR")
     for (d <- args) {
       graft.ops.StreamingGate.neardupStream(spark, d, None).count() // warm
