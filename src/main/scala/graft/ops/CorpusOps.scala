@@ -515,8 +515,14 @@ object CorpusOps {
 
   /** BPE geometry — shared by the engine loop and the unrolled oracle so
     * retuning cannot break engine↔oracle equivalence (same rule as the
-    * chunk/pack constants above). */
-  private[graft] val bpeRounds = 12
+    * chunk/pack constants above). `bpeRounds` is a JVM-level dial
+    * (`-Dgraft.bpe.rounds=N`, default 12 to keep the gate's unrolled
+    * DuckDB oracle tractable): the merge loop itself is driver-local
+    * (see [[bpeTrain]]), so raising the dial costs O(N·vocab·len) driver
+    * work and ZERO extra Spark jobs — 32 k-merge tokenizer training is
+    * in reach of the same code path (SCALE.md "t10 rounds dial"). */
+  private[graft] val bpeRounds: Int =
+    sys.props.getOrElse("graft.bpe.rounds", "12").toInt
   private[graft] val bpeVocab = 1000
 
   /** One EXACT leftmost-greedy merge round as a delimited-string fold,
@@ -545,53 +551,75 @@ object CorpusOps {
        |    THEN left(acc, length(acc) - length($lhsE) - 1) || $lhsE || $rhsE || '|'
        |    ELSE acc || x || '|' END)""".stripMargin
 
-  /** Highest-frequency adjacent symbol pair of the current vocab frame
-    * (view `t10_w`): explode positions, partial-agg the (lhs, rhs)
-    * counts, TakeOrdered(1). Deterministic tiebreak freq DESC, lhs, rhs. */
-  private def bpeBest(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
-    s.sql("""
-      WITH a AS (SELECT freq, filter(split(seq, '[|]'), x -> x <> '') AS syms
-                 FROM t10_w),
-      p AS (SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS freq
-            FROM (SELECT freq, pr.lhs AS lhs, pr.rhs AS rhs
-                  FROM (SELECT freq, explode(transform(sequence(0, size(syms) - 2),
-                          i -> named_struct('lhs', syms[i], 'rhs', syms[i + 1]))) AS pr
-                        FROM a WHERE size(syms) >= 2))
-            GROUP BY lhs, rhs)
-      SELECT lhs, rhs, freq FROM p ORDER BY freq DESC, lhs, rhs LIMIT 1""")
+  /** Driver-local leftmost-greedy merge — the EXACT semantics of
+    * [[sGreedyMerge]]/[[oGreedyMerge]] (tail-fuse-or-append single scan),
+    * in plain Scala for the trained-state loop in [[bpeTrain]]. */
+  private[graft] def greedyMergeLocal(
+      syms: Array[String], lhs: String, rhs: String): Array[String] = {
+    val buf = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      val x = syms(i)
+      if (buf.nonEmpty && buf(buf.length - 1) == lhs && x == rhs)
+        buf(buf.length - 1) = lhs + rhs
+      else buf += x
+      i += 1
+    }
+    buf.toArray
+  }
 
-  /** Apply the broadcast 1-row best pair (view `t10_b`) to every word's
-    * symbol sequence: one exact greedy-merge fold (see [[sGreedyMerge]]). */
-  private def bpeMerge(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
-    s.sql(s"""
-      SELECT /*+ BROADCAST(b) */ w.word, w.freq,
-             ${sGreedyMerge("w.seq", "b.lhs", "b.rhs")} AS seq
-      FROM t10_w w CROSS JOIN t10_b b""")
+  /** BPE merge-table training: ONE corpus-scale Spark stage (word counts →
+    * top-`bpeVocab` via TakeOrdered, cached through [[Q.staged]] so t10 and
+    * t12 share it within a run and Bench's cold-run sweep still clears it),
+    * then the whole merge loop on the DRIVER over the collected ≤`bpeVocab`
+    * rows. The capped vocab frame is trained state, not data — the same
+    * model-artifact judgment as t12's collected merge table and d12's
+    * driver-built Bloom filter — so each round is O(vocab·len) local work
+    * (count adjacent pairs weighted by word freq, arg-max with the
+    * deterministic freq DESC, lhs, rhs tiebreak, one greedy-merge scan per
+    * word) instead of two distributed jobs paying per-job constants over
+    * 1000 rows. Corpus size only ever touches the one word-count shuffle;
+    * round count only ever touches driver CPU — 32 k merges ≈ tens of ms.
+    * Stops early if no adjacent pair remains (every word fused to one
+    * symbol); the oracle's CROSS JOIN with the then-empty `b_r` goes empty
+    * the same way. */
+  private[graft] def bpeTrain(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+      rounds: Int = bpeRounds): Vector[(Int, String, String, Long)] = {
+    val wc = staged("t10_wordcounts", d) {
+      withViews(s, d, "documents")(s"""
+        SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT explode(regexp_extract_all(lower(text), '[a-z]+', 0)) AS w
+              FROM documents)
+        GROUP BY w ORDER BY freq DESC, word LIMIT $bpeVocab""")
+    }
+    var words: Array[(Array[String], Long)] =
+      wc.collect().map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+    val out = Vector.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((lhs, rhs), f) = counts.minBy { case ((l, rr), ff) => (-ff, l, rr) }
+        out += ((r, lhs, rhs, f))
+        words = words.map { case (syms, wf) => (greedyMergeLocal(syms, lhs, rhs), wf) }
+        r += 1
+      }
+    }
+    out.result()
+  }
 
-  /** Distributed BPE-style tokenizer vocab induction: the merge-rule
-    * table a subword tokenizer is trained from. ONE corpus-scale shuffle
-    * (lowercased `[a-z]+` word counts → top-`bpeVocab` via
-    * TakeOrdered — the only stage that touches N documents), then
-    * `bpeRounds` merge rounds over the CAPPED vocab frame: count adjacent
-    * symbol pairs weighted by word frequency, pick the arg-max pair
-    * (freq DESC, lhs, rhs tiebreak), broadcast it back, and apply it
-    * with the exact leftmost-greedy fold ([[sGreedyMerge]] /
-    * [[oGreedyMerge]] — identical single-scan semantics in both
-    * engines). Symbol sequences ride `|`-delimited strings (`|p|a|r|`),
-    * safe because words are `[a-z]+` only.
-    *
-    * Same iterative mechanics as s06's Lloyd loop and d06's label
-    * propagation: per-round [[Q.roundCheckpoint]] lineage truncation +
-    * eager release of the previous round's blocks; a FIXED round count so
-    * the DuckDB oracle is the identical unrolled computation
-    * (materialized CTEs — DuckDB inlines CTEs referenced twice, which
-    * re-evaluates each round's frame exponentially without the hint).
-    * Scale: vocab work is O(`bpeVocab`) per round regardless of N —
-    * corpus size only ever affects the one word-count shuffle.
-    * Reference analogue: iterative refinement over a bounded state frame,
-    * the same shape as the reference's staged worker loops
-    * (`gasket/src/runtime.rs:244-289` drives repeated bounded work units
-    * through a fixed stage graph). */
   /** The ONE DuckDB spelling of t10's merge-table derivation — the full
     * WITH-chain body (wc, w1, then per-round a/p/b/w CTEs ending at
     * `w${bpeRounds+1}`, trailing comma-ready), shared by t10's oracle
@@ -623,29 +651,36 @@ object CorpusOps {
       ${(1 to bpeRounds).map(oround).mkString(",")}"""
   }
 
+  /** BPE-style tokenizer vocab induction: the merge-rule table a subword
+    * tokenizer is trained from. ONE corpus-scale shuffle (lowercased
+    * `[a-z]+` word counts → top-`bpeVocab` via TakeOrdered — the only
+    * stage that touches N documents), then the whole greedy merge loop
+    * runs driver-local over the collected capped vocab ([[bpeTrain]] —
+    * trained state, not data), so round count never costs Spark jobs.
+    * Symbol sequences in the oracle ride `|`-delimited strings
+    * (`|p|a|r|`), safe because words are `[a-z]+` only; the driver fold
+    * ([[greedyMergeLocal]]) and the oracle fold ([[oGreedyMerge]]) are
+    * the same exact leftmost-greedy single-scan semantics.
+    *
+    * Scale: merge work is O(`bpeRounds`·`bpeVocab`·len) on the driver
+    * regardless of N — corpus size only ever affects the one word-count
+    * shuffle, and a tokenizer-realistic 32 k merges is the same one
+    * Spark stage (`-Dgraft.bpe.rounds`, SCALE.md "t10 rounds dial").
+    * The oracle is the identical unrolled computation (materialized
+    * CTEs — DuckDB inlines CTEs referenced twice, which re-evaluates
+    * each round's frame exponentially without the hint).
+    * Reference analogue: iterative refinement over a bounded state frame,
+    * the same shape as the reference's staged worker loops
+    * (`gasket/src/runtime.rs:244-289` drives repeated bounded work units
+    * through a fixed stage graph). */
   val t10 = QueryDef(
     "t10_bpe_vocab",
     (s, d) => {
-      val w1 = withViews(s, d, "documents")(s"""
-        WITH wc AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
-                    FROM (SELECT explode(regexp_extract_all(lower(text), '[a-z]+', 0)) AS w
-                          FROM documents)
-                    GROUP BY w ORDER BY freq DESC, word LIMIT $bpeVocab)
-        SELECT word, freq, concat('|', regexp_replace(word, '(.)', '$$1|')) AS seq
-        FROM wc""")
-      var w = roundCheckpoint(w1)
-      val merges = Vector.newBuilder[org.apache.spark.sql.DataFrame]
-      for (r <- 1 to bpeRounds) {
-        w.createOrReplaceTempView("t10_w")
-        val best = roundCheckpoint(bpeBest(s))
-        best.createOrReplaceTempView("t10_b")
-        val next = roundCheckpoint(bpeMerge(s))
-        org.apache.spark.sql.GraftSqlBridge.releaseCheckpointBlocks(w)
-        merges += best.selectExpr(s"CAST($r AS BIGINT) AS rank", "lhs", "rhs", "freq")
-        w = next
-      }
-      org.apache.spark.sql.GraftSqlBridge.releaseCheckpointBlocks(w)
-      merges.result().reduce(_ union _).orderBy("rank")
+      import s.implicits._
+      bpeTrain(s, d)
+        .map { case (r, l, rh, f) => (r.toLong, l, rh, f) }
+        .toDF("rank", "lhs", "rhs", "freq")
+        .orderBy("rank")
     },
     Some(s"""
       WITH $t10OracleChain
@@ -658,8 +693,8 @@ object CorpusOps {
     * encode every document with the learned merge-rule table and report
     * per-doc subword statistics (token count, char count, chars-per-
     * subword compression — the number a tokenizer owner actually
-    * monitors). Train → collect the 12-row merge table to the driver as
-    * a MODEL ARTIFACT (the same pattern as d12's driver-built Bloom
+    * monitors). Train the merge table on the driver ([[bpeTrain]] — a
+    * MODEL ARTIFACT, the same pattern as d12's driver-built Bloom
     * filter: tiny trained state, not data) → rebuild it into a literal
     * chain of greedy-merge folds ([[sGreedyMerge]] with literal pairs).
     *
@@ -674,9 +709,7 @@ object CorpusOps {
   val t12 = QueryDef(
     "t12_bpe_encode",
     (s, d) => {
-      val merges = staged("t10_merges", d) { t10.run(s, d) }
-        .collect().sortBy(_.getLong(0))
-        .map(r => (r.getString(1), r.getString(2)))
+      val merges = bpeTrain(s, d).map { case (_, l, r, _) => (l, r) }
       def lit(x: String) = s"'${x.replace("'", "''")}'"
       val encSeq = merges.foldLeft(
         "concat('|', regexp_replace(w, '(.)', '$1|'))") { case (e, (l, r)) =>

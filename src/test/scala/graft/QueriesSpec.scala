@@ -56,6 +56,46 @@ class QueriesSpec extends AnyFunSuite {
       "iteration must matter: some merge consumes a multi-char symbol")
   }
 
+  test("t10 driver-local greedy fold matches the SQL fold on 2000 random sequences") {
+    // the merge loop moved to the driver in round 7; this randomized audit
+    // pins greedyMergeLocal to the oracle-verified sGreedyMerge SQL fold
+    // (same harness that caught the iterated-replace divergence in round 6)
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val cases = Seq.fill(2000) {
+      val syms = Vector.fill(rnd.nextInt(12) + 1)(
+        Seq("a", "b", "ab", "ba", "c")(rnd.nextInt(5)))
+      val lhs = Seq("a", "b", "ab", "ba")(rnd.nextInt(4))
+      val rhs = Seq("a", "b", "ab", "ba")(rnd.nextInt(4))
+      (syms.mkString("|", "|", "|"), lhs, rhs)
+    }
+    val viaSql = cases.toDF("seq", "lhs", "rhs")
+      .selectExpr(
+        "aggregate(filter(split(seq, '[|]'), x -> x <> ''), '|'," +
+          " (acc, x) -> CASE WHEN endswith(acc, concat('|', lhs, '|')) AND x = rhs" +
+          " THEN concat(left(acc, length(acc) - length(lhs) - 1), lhs, rhs, '|')" +
+          " ELSE concat(acc, x, '|') END) AS m")
+      .collect().map(_.getString(0)).toSeq
+    val viaLocal = cases.map { case (seq, lhs, rhs) =>
+      graft.ops.CorpusOps.greedyMergeLocal(
+        seq.split('|').filter(_.nonEmpty), lhs, rhs).mkString("|", "|", "|")
+    }
+    assert(viaLocal == viaSql)
+  }
+
+  test("t10 rounds dial: 256 merges is the same one Spark stage, prefix-consistent") {
+    // O(rounds) driver work, not O(rounds) jobs: 256 rounds must extend the
+    // 12-round merge table (greedy BPE is prefix-stable in round count) and
+    // the extra 244 rounds must cost only local milliseconds
+    val base = graft.ops.CorpusOps.bpeTrain(spark, dir)
+    val t0 = System.nanoTime()
+    val deep = graft.ops.CorpusOps.bpeTrain(spark, dir, rounds = 256)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(deep.take(base.length) == base)
+    assert(deep.length > base.length, "sf0.001 vocab must support >12 merges")
+    assert(sec < 30.0, f"256-round train took $sec%.1f s — loop is not driver-local")
+  }
+
   test("scala UDF registration works (native expressions preferred on hot paths)") {
     import org.apache.spark.sql.functions.udf
     val clip = udf((x: Double, lo: Double, hi: Double) => math.max(lo, math.min(hi, x)))
