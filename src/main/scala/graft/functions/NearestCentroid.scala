@@ -33,6 +33,34 @@ case class NearestCentroid(vec: Expression, nrm: Expression, cents: Expression)
     StructField("cid", LongType, nullable = false),
     StructField("cos", DoubleType, nullable = false)))
 
+  /** Explicitly nullable regardless of the children: an EMPTY centroid
+    * array evaluates to null (d17's empty-eval-set guard relies on
+    * `IS NOT NULL` surviving optimization) — inheriting nullability from
+    * the children would let Catalyst fold that guard away whenever all
+    * three inputs are non-nullable. */
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val okVec = vec.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val okNrm = nrm.dataType == DoubleType
+    val okCents = cents.dataType match {
+      case ArrayType(StructType(Array(
+            StructField(_, LongType, _, _),
+            StructField(_, ArrayType(DoubleType, _), _, _),
+            StructField(_, DoubleType, _, _))), _) => true
+      case _ => false
+    }
+    if (okVec && okNrm && okCents) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<double>, double, " +
+        "array<struct<cid:bigint,cv:array<double>,cn:double>>), got " +
+        Seq(vec, nrm, cents).map(_.dataType.simpleString).mkString(", "))
+  }
+
   override def prettyName: String = "nearest_centroid"
 
   override protected def nullSafeEval(v: Any, n: Any, cs: Any): Any = {

@@ -75,26 +75,32 @@ object ImageIoCodec extends MediaCodec {
     }
 
     def metadata(in: MultimodalOps.MediaIn): MultimodalOps.MediaMeta = {
-      val it = ImageIO.getImageReaders(
-        ImageIO.createImageInputStream(new ByteArrayInputStream(in.payload)))
-      if (!it.hasNext)
-        MultimodalOps.MediaMeta(in.doc_id, "unknown", 0L, 0L, 0L,
-          in.payload.length.toLong)
-      else {
-        val r = it.next()
-        try {
-          r.setInput(ImageIO.createImageInputStream(
-            new ByteArrayInputStream(in.payload)))
-          val n = r.getNumImages(true)
-          MultimodalOps.MediaMeta(
-            doc_id = in.doc_id,
-            media_type = s"image/${r.getFormatName.toLowerCase}",
-            width = r.getWidth(0).toLong,
-            height = r.getHeight(0).toLong,
-            n_frames = n.toLong,
-            size_bytes = in.payload.length.toLong)
-        } finally r.dispose()
-      }
+      // ONE ImageInputStream, closed in finally: ImageIO's default cache
+      // backs these with temp files, so an unclosed stream per payload
+      // leaks file handles until GC on the hot multimodal path
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(in.payload))
+      try {
+        val it = ImageIO.getImageReaders(iis)
+        if (!it.hasNext)
+          MultimodalOps.MediaMeta(in.doc_id, "unknown", 0L, 0L, 0L,
+            in.payload.length.toLong)
+        else {
+          val r = it.next()
+          try {
+            // getImageReaders does not advance the stream, so the same
+            // stream feeds the chosen reader
+            r.setInput(iis)
+            val n = r.getNumImages(true)
+            MultimodalOps.MediaMeta(
+              doc_id = in.doc_id,
+              media_type = s"image/${r.getFormatName.toLowerCase}",
+              width = r.getWidth(0).toLong,
+              height = r.getHeight(0).toLong,
+              n_frames = n.toLong,
+              size_bytes = in.payload.length.toLong)
+          } finally r.dispose()
+        }
+      } finally iis.close()
     }
 
     def slice(payload: Array[Byte], start: Int, len: Int): (Array[Byte], String) = {

@@ -58,20 +58,28 @@ object Q {
   def avgd(c: Column): Column = sumd(c) / count(lit(1))
   def oAvgd(expr: String): String = s"(${oSumd(expr)} / count(*))"
 
-  /** Exact long-scaled sum: each double is floored at 6 decimals via ONE
-    * IEEE multiply (bit-identical on both engines — s05's trick), then
-    * summed as exact BIGINTs. ~30% faster than the decimal(18,6) route in
-    * hot aggregations (no 128-bit arithmetic or overflow checks per row).
-    * ONLY for sums whose magnitude is schema-bounded (per-group sums with
-    * bounded group size): 6-decimal scaling overflows BIGINT near 9.2e12
-    * in the summed value — corpus-wide money sums must stay on [[sumd]]. */
+  /** Exact long-scaled sum: each double is scaled to 6 decimals via ONE
+    * IEEE multiply and rounded half-up (`floor(x·10⁶ + 0.5)` — for any
+    * non-negative input whose true value has ≤ 6 decimals this matches
+    * the decimal(18,6) cast's HALF_UP exactly; bare `floor` did not:
+    * 2.01·10⁶ = 2009999.99…98 floored to n−1, drifting 1 micro/row off
+    * the decimal spelling), then summed as exact BIGINTs. Both engines
+    * run the identical multiply-add-floor, so results stay bit-identical
+    * engine↔oracle for ANY double input, and additionally equal [[sumd]]
+    * for 6-decimal non-negative values. ~30% faster than the
+    * decimal(18,6) route in hot aggregations (no 128-bit arithmetic or
+    * overflow checks per row). ONLY for sums whose magnitude is
+    * schema-bounded (per-group sums with bounded group size): 6-decimal
+    * scaling overflows BIGINT near 9.2e12 in the summed value —
+    * corpus-wide money sums must stay on [[sumd]]. */
   def sumLong6(c: Column): Column =
-    sum(floor(c * lit(1000000d)).cast(org.apache.spark.sql.types.LongType))
+    sum(floor(c * lit(1000000d) + lit(0.5d))
+      .cast(org.apache.spark.sql.types.LongType))
 
   /** DuckDB spelling of [[sumLong6]]: cast to BIGINT keeps the engine on
     * 64-bit addition (DuckDB's bare sum(BIGINT) widens to HUGEINT). */
   def oSumLong6(expr: String): String =
-    s"sum(CAST(floor(($expr) * CAST(1000000 AS DOUBLE)) AS BIGINT))"
+    s"sum(CAST(floor(($expr) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))"
 
   /** Exact long-scaled average: [[sumLong6]] / (count · 10^6) — one IEEE
     * division of two exact values, so bit-identical across engines (and

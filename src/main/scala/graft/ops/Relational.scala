@@ -40,9 +40,13 @@ object Relational {
     * long partial cannot overflow at ANY corpus size because its row
     * count is bounded by the input split size, not by N: ≤ ~4 M rows per
     * 128 MB partition × ≤ 1.3·10¹¹ micros/row ≈ 5·10¹⁷ ≪ 2⁶³ — and the
-    * merge is decimal, so total volume is unbounded. All inputs are
-    * ≤ 2-decimal money values, so 6-decimal scaling is exact and the
-    * results are bit-identical to the decimal(18,6) spelling. */
+    * merge is decimal, so total volume is unbounded. Rounding: the
+    * half-up long scaling ([[Q.sumLong6]]) matches the decimal(18,6)
+    * cast exactly on the raw ≤ 2-decimal money columns; the product
+    * terms (price·(1−disc)·(1+tax)) are full-precision doubles where
+    * both spellings round the same ONE IEEE product, and both engines
+    * share the identical multiply-add-floor shape, so results stay
+    * bit-identical engine↔oracle at any partial-aggregation order. */
   val q01 = QueryDef(
     "q01_pricing_summary",
     (s, d) => {
