@@ -45,9 +45,19 @@ object StreamingGate {
     val tmp = Files.createTempDirectory("graft-q42-sent")
     s.createDataFrame(java.util.Collections.singletonList(row), sch)
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
-      .findFirst().get()
+    val part = parquetParts(tmp).head
     Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The `.parquet` part files of a directory. `Files.list` holds an open
+    * directory handle until the java stream is closed — the unclosed
+    * spelling leaked one descriptor per batch write in the q42/q58
+    * input-dir setup. */
+  private def parquetParts(dir: Path): Seq[Path] = {
+    val st = Files.list(dir)
+    try st.filter(_.getFileName.toString.endsWith(".parquet"))
+      .toArray.toSeq.map(_.asInstanceOf[Path])
+    finally st.close()
   }
 
   /** Symlink (or copy) every part file of `table`.parquet into `inDir`
@@ -55,9 +65,7 @@ object StreamingGate {
   private def linkParts(d: String, table: String, inDir: Path): Unit = {
     val src = Paths.get(s"$d/$table.parquet").toAbsolutePath
     val parts: Seq[Path] =
-      if (Files.isDirectory(src))
-        Files.list(src).filter(_.getFileName.toString.endsWith(".parquet"))
-          .toArray.toSeq.map(_.asInstanceOf[Path])
+      if (Files.isDirectory(src)) parquetParts(src)
       else Seq(src)
     parts.zipWithIndex.foreach { case (p, i) =>
       val link = inDir.resolve(f"0_${table}_$i%04d.parquet")
@@ -300,12 +308,13 @@ object StreamingGate {
     * Scale: state is one row per DISTINCT band key (the bucket registry,
     * ≪ corpus, metadata-width); per batch one band-key shuffle of the
     * new documents only. Unbounded deployment bounds state with the
-    * RocksDB provider (q49's seam) + state TTL; the gate input is
-    * bounded so the gate run uses NoTimeout. */
+    * RocksDB provider (q49's seam) + the [[neardupHits]] `ttlMs`
+    * processing-time TTL (an expired bucket is evicted and the next
+    * claimant re-registers as owner — StreamingSpec proves the
+    * re-admission across a RocksDB restart); the gate input is bounded
+    * so the gate run uses NoTimeout. */
   private[graft] def neardupStream(
       s: SparkSession, d: String, provider: Option[String]): DataFrame = {
-      graft.functions.GraftFunctions.register(s)
-      import s.implicits._
       val docs = Q.table(s, d, "documents")
       val sch = docs.schema
       val inDir = Files.createTempDirectory("graft-q58-in")
@@ -313,8 +322,7 @@ object StreamingGate {
         val tmp = Files.createTempDirectory("graft-q58-b")
         docs.where(col("doc_id") % 2 === par).coalesce(1)
           .write.mode("overwrite").parquet(tmp.toString)
-        val part = Files.list(tmp)
-          .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        val part = parquetParts(tmp).head
         val dest = inDir.resolve(name)
         Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
         Files.setLastModifiedTime(dest,
@@ -322,10 +330,60 @@ object StreamingGate {
       }
       writeBatch(0, "0_even.parquet", 0)
       writeBatch(1, "1_odd.parquet", 60000)
+      val outDir = Files.createTempDirectory("graft-q58-out").toString
+      val ckpt = Files.createTempDirectory("graft-q58-ckpt").toString
+      neardupHits(s, inDir, sch, provider, None, None, outDir, ckpt)
+  }
+
+  /** The q58 stream itself, factored out of the gate staging so the TTL
+    * and restart behavior are testable: reads `inDir` as a file stream
+    * (schema `sch` must carry `doc_id` + `text`), bands each document,
+    * and runs the bucket-registry FSM.
+    *
+    * `ttlMs` is the bucket TTL — the bounded-state dial the scaladoc
+    * above promises: `Some(ms)` switches the registry to
+    * `ProcessingTimeTimeout`; a bucket unseen for `ms` is evicted on the
+    * next batch (the `hasTimedOut` path) and its next claimant registers
+    * as a fresh owner. Every touch (ownership claim OR a suppressed
+    * duplicate) re-arms the clock, so only genuinely cold buckets age
+    * out — the same keep-warm rule as the reference's capacity-bounded
+    * channel registry (`/root/reference/gasket/src/messaging.rs:384-391`).
+    * `None` = NoTimeout (gate runs on bounded input).
+    *
+    * `buckets` is an optional live-bucket-count accumulator (wire it
+    * from `Registry.sparkCounter` — SURVEY §2.1 #24): +1 on register,
+    * −1 on evict, so registry growth/stall is observable the way the
+    * reference exposes queue depth (`messaging.rs:281-377`). Task
+    * retries can over-count (accumulator semantics) — it is telemetry,
+    * not state.
+    *
+    * Trigger choice is forced by the TTL: `ProcessingTimeTimeout` makes
+    * the stateful operator report "another batch needed" forever, so
+    * under `Trigger.AvailableNow` the query never self-terminates, and
+    * `processAllAvailable()` never returns either — every timer batch
+    * counts as batch construction, so `noNewData` is never signaled
+    * (both measured: unbounded empty batches / a 20-min hang). A TTL
+    * run therefore uses a periodic trigger, polls streaming progress
+    * until `awaitRows` input rows are consumed, sleeps `settleMs` so
+    * evictions can fire, then `stop()`s — the always-on shape of a real
+    * deployment; the bounded gate run stays on AvailableNow. */
+  private[graft] def neardupHits(
+      s: SparkSession, inDir: Path,
+      sch: org.apache.spark.sql.types.StructType,
+      provider: Option[String], ttlMs: Option[Long],
+      buckets: Option[org.apache.spark.util.LongAccumulator],
+      outDir: String, ckpt: String,
+      settleMs: Long = 0L, awaitRows: Long = 0L): DataFrame = {
+      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
       val k = DedupOps.minhashK
       val rowRefs = (1 to DedupOps.minhashRows)
         .map(i => s"CAST(element_at(sg, bj*${DedupOps.minhashRows} + $i) AS STRING)")
         .mkString(", ")
+      val timeoutConf =
+        if (ttlMs.isDefined)
+          org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout
+        else org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout
       val hits = s.readStream.schema(sch)
         .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
         .selectExpr("doc_id", "shingle_set(text, 3) AS sset")
@@ -338,29 +396,51 @@ object StreamingGate {
         .as[BandRow]
         .groupByKey(r => (r.bj, r.bkey))
         .flatMapGroupsWithState(
-          org.apache.spark.sql.streaming.OutputMode.Append,
-          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+          org.apache.spark.sql.streaming.OutputMode.Append, timeoutConf) {
           (key: (Long, String), rows: Iterator[BandRow],
            st: org.apache.spark.sql.streaming.GroupState[BucketOwner]) =>
-            val ids = rows.map(_.doc_id).toSeq
-            if (st.exists) {
-              val o = st.get.owner
-              ids.sorted.iterator.map(id => DupHit(key._1, o, id))
-            } else {
-              st.update(BucketOwner(ids.min))
+            if (st.hasTimedOut) {
+              st.remove()
+              buckets.foreach(_.add(-1))
               Iterator.empty
+            } else {
+              val ids = rows.map(_.doc_id).toSeq
+              val out = if (st.exists) {
+                val o = st.get.owner
+                ids.sorted.iterator.map(id => DupHit(key._1, o, id))
+              } else {
+                st.update(BucketOwner(ids.min))
+                buckets.foreach(_.add(1))
+                Iterator.empty
+              }
+              ttlMs.foreach(st.setTimeoutDuration)
+              out
             }
         }
-      val outDir = Files.createTempDirectory("graft-q58-out").toString
-      val ckpt = Files.createTempDirectory("graft-q58-ckpt").toString
       graft.streaming.StateStores.withProvider(s, provider) {
-        val q = hits.toDF()
+        val writer = hits.toDF()
           .writeStream.format("parquet")
           .option("path", outDir).option("checkpointLocation", ckpt)
           .outputMode("append")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        if (ttlMs.isEmpty) {
+          val q = writer.trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        } else {
+          val q = writer
+            .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+          try {
+            val deadline = System.nanoTime() + 60L * 1000000000L
+            def consumed: Long =
+              q.recentProgress.map(_.numInputRows).sum
+            while (consumed < awaitRows && q.exception.isEmpty &&
+                System.nanoTime() < deadline)
+              Thread.sleep(100)
+            q.exception.foreach(throw _)
+            require(consumed >= awaitRows,
+              s"stream consumed $consumed of $awaitRows rows before deadline")
+            if (settleMs > 0) Thread.sleep(settleMs)
+          } finally q.stop()
+        }
       }
       s.read.parquet(outDir)
   }

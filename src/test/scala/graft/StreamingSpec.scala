@@ -232,6 +232,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(runWith(Some(graft.streaming.StateStores.RocksDB)) == hits)
   }
 
+  test("q58 bucket TTL: an expired bucket re-admits its key as a fresh owner (RocksDB restart)") {
+    // The bounded-state dial: run 1 (TTL = 1 ms) lets doc 1's buckets
+    // expire when the unrelated batch arrives; run 2 restarts the SAME
+    // checkpoint with a long TTL — doc 2 must re-register the expired
+    // buckets as the NEW owner, proven by doc 3's hits naming owner 2,
+    // not 1. Texts are fixed and the MinHash pipeline is deterministic,
+    // so the band keys (and hence this test) are deterministic too.
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val sch = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val inDir = Files.createTempDirectory("graft-ttl-in")
+    val outDir = Files.createTempDirectory("graft-ttl-out").toString
+    val ckpt = Files.createTempDirectory("graft-ttl-ckpt").toString
+    val textT = "the quick brown fox jumps over the lazy dog again and again"
+    val textU = "completely different content describing distributed state stores"
+    def writeFile(name: String, rows: Seq[(Long, String)], mtPlus: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft-ttl-b")
+      spark.createDataFrame(rows).toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val st = Files.list(tmp)
+      val part = try st.filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get() finally st.close()
+      val dest = inDir.resolve(name)
+      Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest,
+        FileTime.fromMillis(System.currentTimeMillis() + mtPlus))
+    }
+    val reg = new graft.runtime.Registry
+    val acc = reg.sparkCounter(spark, "q58_bucket_registry_size")
+    val rocks = Some(graft.streaming.StateStores.RocksDB)
+    // run 1 (TTL 1 ms, 2 s settle): doc 1 and doc 99 claim their buckets,
+    // then every bucket ages out during the settle window and is evicted
+    writeFile("0_a.parquet", Seq((1L, textT)), 0)
+    writeFile("1_b.parquet", Seq((99L, textU)), 60000)
+    val r1 = graft.ops.StreamingGate.neardupHits(
+      spark, inDir, sch, rocks, Some(1L), Some(acc), outDir, ckpt,
+      settleMs = 2000L, awaitRows = 2L)
+    assert(r1.count() == 0, "no collisions exist in run 1; hits mean a bug")
+    assert(reg.readings()("accum.q58_bucket_registry_size") == 0L,
+      s"buckets not evicted after TTL: ${acc.value} still registered")
+    // run 2 (same checkpoint, TTL 24 h): doc 2 re-registers T's expired
+    // buckets, doc 3 collides with the NEW owner
+    writeFile("2_c.parquet", Seq((2L, textT)), 120000)
+    writeFile("3_d.parquet", Seq((3L, textT)), 180000)
+    val hits = graft.ops.StreamingGate.neardupHits(
+        spark, inDir, sch, rocks, Some(86400000L), Some(acc), outDir, ckpt,
+        awaitRows = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(hits.nonEmpty, "doc 3 must collide with the re-admitted bucket")
+    hits.foreach { case (_, owner, dup) =>
+      assert(owner == 2L, s"owner $owner — expired bucket did NOT re-admit doc 2")
+      assert(dup == 3L, s"unexpected dup $dup")
+    }
+    // live-bucket telemetry (SURVEY §2.1 #24): doc 2's re-registered
+    // buckets are the only live ones after the run-1 evictions
+    assert(reg.readings()("accum.q58_bucket_registry_size") ==
+      graft.ops.DedupOps.minhashBands.toLong,
+      s"bucket count ${acc.value} — register/evict accounting drifted")
+  }
+
   test("RocksDB provider is genuinely engaged (progress metrics prove it)") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[Long]
