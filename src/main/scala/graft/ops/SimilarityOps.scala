@@ -892,13 +892,17 @@ object SimilarityOps {
     *
     * Two-stage search (the standard IVFADC-R shape): the ADC pass ranks
     * ALL vectors by approximate score against the 8-byte codes and keeps
-    * the top [[pqRerank]] per query — a CONSTANT candidate budget (5% of
+    * the top [[pqRerank]] per query — a CONSTANT candidate budget (10% of
     * corpus at sf0.1, independent of N by construction) — then the exact
     * pass re-scores only those candidates against full-precision vectors.
     * Measured frontier on the real (adversarial, see [[lshPlanes]])
     * embeddings at sf0.1: K16 no-rerank 0.07, K64 no-rerank 0.24,
-    * K64+rerank-50 0.71, K64+rerank-100 **0.86 mean / 0.40 min** —
-    * shipped. SimilaritySpec pins the floor.
+    * K64+rerank-50 0.71, K64+rerank-100 0.86 mean / 0.40 min,
+    * K64+rerank-200 **0.93 mean / 0.80 min** — shipped (the rerank
+    * budget is the cheap axis: doubling the codebook to K128 measured
+    * 0.97 but doubles every vector's encode scan for +0.04 that the
+    * rerank dial already covers). SimilaritySpec pins the ≥0.9 floor at
+    * BOTH measured SFs — sf0.01 (1.00) and sf0.1 (0.93).
     *
     * Exactness discipline: normalized components quantize once to the
     * 1e-6 grid (s09's trick, |x6| ≤ 1e6), per-subspace squared L2
@@ -924,7 +928,7 @@ object SimilarityOps {
   private[graft] val pqSub = 8
   private[graft] val pqSubDim = 8
   /** ADC candidate budget per query — a constant, never f(N). */
-  private[graft] val pqRerank = 100
+  private[graft] val pqRerank = 200
   /** Deterministic codebook sample: 64 ids at every gate SF (3, 10, …,
     * 444), capped so |K| never grows with the corpus. */
   private[graft] val pqSeeds = "vec_id % 7 = 3 AND vec_id < 450"
@@ -961,7 +965,7 @@ object SimilarityOps {
       v AS (SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM v0),
       e AS (SELECT vec_id,
               transform(v, x -> CAST(floor(x / nrm * 1000000.0) AS BIGINT)) AS x6
-            FROM v),
+            FROM v WHERE nrm > 0),
       c AS (SELECT vec_id AS cid, x6 AS cv FROM e WHERE $pqSeeds),
       sc AS (SELECT /*+ BROADCAST(c) */ t.vec_id,
                ${(0 until pqSub).map(sPqDist).mkString(",\n               ")}
@@ -1003,7 +1007,7 @@ object SimilarityOps {
             FROM v0),
       e AS (SELECT vec_id,
               list_transform(v, x -> CAST(floor(x / nrm * 1000000.0) AS BIGINT)) AS x6
-            FROM v),
+            FROM v WHERE nrm > 0),
       c AS (SELECT vec_id AS cid, x6 AS cv FROM e WHERE $pqSeeds),
       sc AS (SELECT t.vec_id,
                ${(0 until pqSub).map(oPqDist).mkString(",\n               ")}
