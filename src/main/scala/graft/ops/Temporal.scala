@@ -151,43 +151,53 @@ object Temporal {
     * per-stage user counts, exact summed latencies (BIGINT micros), and
     * the view→purchase rate (one IEEE division of exact counts).
     *
-    * Shape: ONE shuffle (collect the per-user event set), then the
-    * funnel is a row-wise MIN-CHAIN over the collected array —
-    * `tv = min(view times)`, `tc = min(click times > tv)`,
-    * `tp = min(purchase times > tc)`. Each stage is an order-free min
-    * over a filtered array, so no sort is needed anywhere (collect order
-    * is irrelevant) and the chain is trivially deterministic on both
-    * engines — the same reason the window-free spelling beats a
-    * row_number cascade at scale: per-user work is a lambda over an
-    * in-memory array, not three more shuffles. */
+    * Shape: ONE shuffle on user_id, then a (user, time) sort feeding two
+    * RUNNING-MIN windows and a partial-aggregatable groupBy — O(1) state
+    * per user, no per-user array anywhere. The first spelling collected
+    * each user's events into an array (`collect_list`), which is
+    * unbounded in event count: one power user with 10⁸ events is a
+    * single un-spillable task OOM at 100 TB. The running-min spelling is
+    * skew-proof — the sort spills, the windows keep one value of state —
+    * and EXACT, not an approximation: `tv_run` (min view time over rows
+    * sorted ≤ current) equals the global first-view time wherever the
+    * qualifying conditions can pass (a click only qualifies when a view
+    * precedes it, and then every earlier view is in its frame — same
+    * argument chains to `tc_run` for purchases), so per-row
+    * qualification with running mins selects exactly the globally
+    * qualifying events; ScaleSpec re-proves equality against an
+    * independent driver-local fold on synthetic hot-user data. The
+    * DuckDB oracle keeps the array spelling: single-node, no task-memory
+    * bound, and an INDEPENDENT derivation of the same semantics. */
   val q60 = QueryDef(
     "q60_conversion_funnel",
     (s, d) => withViews(s, d, "events")(s"""
       WITH e AS (SELECT user_id, unix_micros(ts) AS t, event_type AS et
                  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
-      u AS (SELECT user_id, collect_list(struct(t, et)) AS seq
-            FROM e GROUP BY user_id),
-      f1 AS (SELECT user_id, seq,
-               array_min(transform(filter(seq, x -> x.et = 'view'),
-                 x -> x.t)) AS tv
-             FROM u),
-      f2 AS (SELECT user_id, seq, tv,
-               array_min(transform(filter(seq,
-                 x -> x.et = 'click' AND x.t > tv
-                   AND x.t <= tv + $funnelWindowUs), x -> x.t)) AS tc
-             FROM f1),
-      f3 AS (SELECT user_id, tv, tc,
-               array_min(transform(filter(seq,
-                 x -> x.et = 'purchase' AND x.t > tc
-                   AND x.t <= tc + $funnelWindowUs), x -> x.t)) AS tp
-             FROM f2)
+      w1 AS (SELECT user_id, t, et,
+               min(CASE WHEN et = 'view' THEN t END) OVER
+                 (PARTITION BY user_id ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tv_run
+             FROM e),
+      w2 AS (SELECT user_id, t, et, tv_run,
+               min(CASE WHEN et = 'click' AND t > tv_run
+                     AND t <= tv_run + $funnelWindowUs THEN t END) OVER
+                 (PARTITION BY user_id ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tc_run
+             FROM w1),
+      u AS (SELECT user_id,
+              min(CASE WHEN et = 'view' THEN t END) AS tv,
+              min(CASE WHEN et = 'click' AND t > tv_run
+                    AND t <= tv_run + $funnelWindowUs THEN t END) AS tc,
+              min(CASE WHEN et = 'purchase' AND t > tc_run
+                    AND t <= tc_run + $funnelWindowUs THEN t END) AS tp
+            FROM w2 GROUP BY user_id)
       SELECT CAST(count(tv) AS BIGINT) AS n_view,
              CAST(count(tc) AS BIGINT) AS n_click,
              CAST(count(tp) AS BIGINT) AS n_purchase,
              CAST(sum(tc - tv) AS BIGINT) AS sum_click_us,
              CAST(sum(tp - tv) AS BIGINT) AS sum_purchase_us,
              CAST(count(tp) AS DOUBLE) / CAST(count(tv) AS DOUBLE) AS conversion
-      FROM f3"""),
+      FROM u"""),
     Some(s"""
       WITH e AS (SELECT user_id, epoch_us(cast(ts AS timestamp)) AS t,
                         event_type AS et
@@ -214,7 +224,8 @@ object Temporal {
              CAST(sum(tc - tv) AS BIGINT) AS sum_click_us,
              CAST(sum(tp - tv) AS BIGINT) AS sum_purchase_us,
              CAST(count(tp) AS DOUBLE) / CAST(count(tv) AS DOUBLE) AS conversion
-      FROM f3"""))
+      FROM f3"""),
+    headline = true)
 
   /** Cohort-retention matrix over the event stream — the classic
     * retention triangle: users cohorted by signup week, each cohort's

@@ -10,6 +10,51 @@ class ScaleSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("q60 funnel is skew-proof: hot user with 300k events, exact vs driver-local fold") {
+    // the collect_list spelling this replaced would build one 300k-element
+    // array in a single task; the running-min window spelling keeps O(1)
+    // state per user and must stay EXACT — checked here against an
+    // independent array-fold done driver-locally on the same rows
+    val W = graft.ops.Temporal.funnelWindowUs
+    val hour = 3600L * 1000000L
+    val base = 1700000000L * 1000000L // epoch micros
+    def et(u: Long, i: Int): String =
+      Seq("view", "click", "purchase", "other", "view")(((u * 31 + i) % 5).toInt)
+    val normal = for (u <- 1L to 50L; i <- 0 until 20)
+      yield (u, base + u * 24 * hour + i * hour, et(u, i))
+    val hot = for (i <- 0 until 300000)
+      yield (777L, base + i * 1000000L, Seq("view", "click", "purchase")(i % 3))
+    val rows = normal ++ hot
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q60-skew").toString
+    rows.toDF("user_id", "t", "event_type")
+      .select($"user_id", timestamp_micros($"t").as("ts"), $"event_type")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = SparkEntry.queries("q60_conversion_funnel")(spark, tmp).collect()(0)
+    // independent derivation: per-user min-chain over in-memory arrays
+    val funnel = rows.groupBy(_._1).values.map { evs =>
+      def minIn(typ: String, lo: Option[Long]): Option[Long] = lo.flatMap { l =>
+        val q = evs.collect { case (_, t, e) if e == typ && t > l && t <= l + W => t }
+        if (q.isEmpty) None else Some(q.min)
+      }
+      val tv = { val v = evs.collect { case (_, t, "view") => t }
+                 if (v.isEmpty) None else Some(v.min) }
+      val tc = minIn("click", tv)
+      val tp = minIn("purchase", tc)
+      (tv, tc, tp)
+    }.toSeq
+    assert(got.getLong(0) == funnel.count(_._1.isDefined))
+    assert(got.getLong(1) == funnel.count(_._2.isDefined))
+    assert(got.getLong(2) == funnel.count(_._3.isDefined))
+    assert(got.getLong(3) == funnel.collect {
+      case (Some(v), Some(c), _) => c - v }.sum)
+    assert(got.getLong(4) == funnel.collect {
+      case (Some(v), _, Some(p)) => p - v }.sum)
+    // and the plan must not rebuild the array: no collect_list anywhere
+    val plan = SparkEntry.queries("q60_conversion_funnel")(spark, tmp)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("collect_list"), "q60 regressed to the array spelling")
+  }
+
   test("salted join == plain join on skewed data (90% hot key)") {
     val skewed = spark.range(0, 10000)
       .select((when($"id" % 10 < 9, 1L).otherwise($"id")).as("k"),
