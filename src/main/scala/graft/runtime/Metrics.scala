@@ -79,12 +79,44 @@ object ObservedMetrics {
   }
 }
 
-/** Prometheus text rendering of stage readings — the capability of
-  * `gasket-prometheus/src/lib.rs:51-77` without the HTTP server (Spark's
-  * own PrometheusServlet covers transport; this covers our registries). */
+/** Prometheus text rendering of stage readings — the render half of
+  * `gasket-prometheus/src/lib.rs:30-77` ([[PrometheusHttp]] is the
+  * transport half). */
 object PrometheusText {
   def render(stage: String, readings: Map[String, Long]): String =
     readings.toSeq.sortBy(_._1).map { case (name, value) =>
       s"""stage_metric{stage_name="$stage",metric_name="$name"} $value"""
     }.mkString("", "\n", "\n")
+}
+
+/** HTTP transport for the exporter — the reference serves every tethered
+  * stage's readings from an endpoint (`gasket-prometheus/src/lib.rs:
+  * 51-77`); this is the same loop over [[graft.runtime.Tether]]s on the
+  * JDK's built-in server. `tethers` is by-name so a Daemon that spawns
+  * stages after the server starts is still fully scraped. Binds
+  * loopback; `port = 0` picks an ephemeral port (read it back via
+  * [[PrometheusHttp.port]]). */
+final class PrometheusHttp private[runtime] (
+    server: com.sun.net.httpserver.HttpServer) {
+  def port: Int = server.getAddress.getPort
+  def stop(): Unit = server.stop(0)
+}
+
+object PrometheusHttp {
+  def serve(tethers: => Seq[Tether], port: Int = 0): PrometheusHttp = {
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", port), 0)
+    srv.createContext("/metrics", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = tethers
+        .map(t => PrometheusText.render(t.name, t.readMetrics()))
+        .mkString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set(
+        "Content-Type", "text/plain; version=0.0.4; charset=utf-8")
+      ex.sendResponseHeaders(200, body.length.toLong)
+      val os = ex.getResponseBody
+      try os.write(body) finally os.close()
+    })
+    srv.start()
+    new PrometheusHttp(srv)
+  }
 }

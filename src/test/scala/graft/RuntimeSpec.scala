@@ -254,4 +254,28 @@ class RuntimeSpec extends AnyFunSuite {
       "stage_metric{stage_name=\"s1\",metric_name=\"errors\"} 0\n" +
       "stage_metric{stage_name=\"s1\",metric_name=\"units\"} 5\n")
   }
+
+  test("prometheus endpoint serves live stage metrics over HTTP (gasket-prometheus/src/lib.rs:51-77)") {
+    // a real spawned stage, scraped over the wire: the counter the FSM
+    // ticks must come back through GET /metrics
+    val t = StageRuntime.spawn("scraped", new Worker[Int] {
+      override def schedule(): WorkSchedule[Int] = WorkSchedule.Done
+      override def execute(unit: Int): Unit = ()
+    })
+    assert(t.waitEnded(10.seconds))
+    val http = PrometheusHttp.serve(Seq(t))
+    try {
+      val url = java.net.URI.create(
+        s"http://127.0.0.1:${http.port}/metrics").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode == 200)
+      val body = new String(conn.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val tickLine = body.linesIterator.find(
+        _.startsWith("stage_metric{stage_name=\"scraped\",metric_name=\"counter.ticks\"}"))
+      assert(tickLine.isDefined, s"no ticks line in:\n$body")
+      assert(tickLine.get.split(' ').last.toLong > 0L,
+        "stage ran but the scraped tick counter is zero")
+    } finally http.stop()
+  }
 }
