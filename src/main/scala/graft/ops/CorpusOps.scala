@@ -687,7 +687,8 @@ object CorpusOps {
       ${(1 to bpeRounds)
         .map(r => s"SELECT CAST($r AS BIGINT) AS rank, lhs, rhs, freq FROM b$r")
         .mkString(" UNION ALL ")}
-      ORDER BY rank"""))
+      ORDER BY rank"""),
+    headline = true)
 
   /** BPE tokenizer APPLICATION — the other half of t10's train step:
     * encode every document with the learned merge-rule table and report

@@ -632,7 +632,8 @@ object CurationOps {
              CAST(sum(p6) AS BIGINT) AS p6_sum,
              CAST(sum(p6) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_p6,
              CAST(min(p6) AS BIGINT) AS min_p6
-      FROM sc GROUP BY doc_id"""))
+      FROM sc GROUP BY doc_id"""),
+    headline = true)
 
   val all: Seq[QueryDef] =
     Seq(d10, d11, d12, q51, t09, d13, q52, d15, q54, d14, q57, t11)
