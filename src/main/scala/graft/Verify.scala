@@ -11,6 +11,10 @@ object Verify {
     val names = args.drop(2).toSet
     val spark = Sessions.local()
     new java.io.File(outDir).mkdirs()
+    // a throwing query must be LOUD in the round's artifacts, not just in
+    // driver stderr: collect name → exception and dump _errors.json below
+    // (round 7's events re-encode silently dropped 4 queries this way)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => names.isEmpty || names(name) }
       .foreach { case (name, fn) =>
@@ -21,6 +25,7 @@ object Verify {
         System.err.println(
           f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.2f s")
       } catch { case e: Throwable =>
+        errors(name) = s"${e.getClass.getName}: ${e.getMessage}"
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -39,6 +44,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    // deliberately still exit 0: the driver must keep comparing the queries
+    // that DID run — _errors.json is the loud in-repo signal
+    if (errors.nonEmpty)
+      System.err.println(
+        s"[verify] ${errors.size} FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

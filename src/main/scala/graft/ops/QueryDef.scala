@@ -33,19 +33,34 @@ object Q {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 only reads with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (as a long). Normalize to
-    * microsecond TimestampType via integer division (a double division
-    * would lose precision: epoch-ns ≈ 1.7e18 > 2^53). DuckDB's
-    * `cast(ts as timestamp)` truncates ns→us the same way. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = table(spark, dir, "events")
-    raw.schema("ts").dataType match {
+  /** Normalize an event-time column to `TimestampType` regardless of how
+    * the parquet writer encoded it — the engine's input-format-agnostic
+    * contract (reference stages make no input-encoding assumptions either:
+    * `/root/reference/gasket/src/framework.rs:10`). Three encodings seen
+    * from the driver's generators so far, all handled:
+    *   - parquet TIMESTAMP(NANOS), which Spark 4 only reads with
+    *     `spark.sql.legacy.parquet.nanosAsLong=true` (as a long): integer
+    *     division ns→us (a double division would lose precision:
+    *     epoch-ns ≈ 1.7e18 > 2^53). DuckDB's `cast(ts as timestamp)`
+    *     truncates the same way.
+    *   - parquet timestamp[us] without UTC adjustment → TIMESTAMP_NTZ:
+    *     cast to TimestampType — bit-identical under the session's UTC
+    *     timezone (Sessions pins `spark.sql.session.timeZone=UTC`), and
+    *     matching DuckDB, which treats the column as wall-clock micros.
+    *   - timestamp[us] UTC-adjusted → already TimestampType: pass through.
+    * Works on batch AND streaming frames (pure column projection). */
+  def normalizeTs(df: DataFrame, colName: String = "ts"): DataFrame =
+    df.schema(colName).dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
+        df.withColumn(colName, timestamp_micros(expr(s"`$colName` div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(colName,
+          col(colName).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
     }
-  }
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(table(spark, dir, "events"))
 
   /** Exact (decimal-routed) sum of a double expression, returned as double. */
   def sumd(c: Column): Column = sum(c.cast(D6)).cast(DoubleType)

@@ -37,8 +37,15 @@ object StreamingGate {
       sch: org.apache.spark.sql.types.StructType,
       tsNs: Long,
       dest: Path): Unit = {
+    // the sentinel must be written in the RAW input schema (it lands in the
+    // same streaming input dir as the driver's files) — so each supported
+    // ts encoding needs its matching external JVM type
     val tsVal: Any = sch("ts").dataType match {
       case LongType => tsNs
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        java.time.LocalDateTime.ofEpochSecond(
+          tsNs / 1000000000L, (tsNs % 1000000000L).toInt,
+          java.time.ZoneOffset.UTC)
       case _ => new java.sql.Timestamp(tsNs / 1000000L)
     }
     val row = Row(-1L, tsVal, -1L, SENTINEL, 0.0, "{}")
@@ -105,11 +112,8 @@ object StreamingGate {
       val raw = s.readStream.schema(sch)
         .option("maxFilesPerTrigger", "1")
         .parquet(inDir.toString)
-      // same ns→us normalization as Q.events (batch side)
-      val ev = sch("ts").dataType match {
-        case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case _ => raw
-      }
+      // same encoding normalization as Q.events (batch side)
+      val ev = Q.normalizeTs(raw)
       val q = ev
         .withWatermark("ts", "10 minutes")
         .groupBy(window($"ts", "1 hour"), $"event_type")
