@@ -23,6 +23,44 @@ object StreamPipeline {
       open: SparkSession => DataFrame,
       openThrottled: Option[(SparkSession, Long) => DataFrame] = None)
 
+  object StreamSource {
+    import scala.concurrent.duration._
+
+    /** Processing-time tick source — the reference's `TimerPort`
+      * (`/root/reference/gasket/src/messaging.rs:151-209`) as a
+      * first-class DSL source. Emits one `(tick, ts)` row per `interval`:
+      * `tick` the 0-based ordinal, `ts` the tick's timestamp. The rate
+      * source stamps rows on a fixed `interval` grid, so the pacing is
+      * exactly assertable (the reference's own `test_timer_port` is
+      * `#[ignore]`d and asserts nothing). Lifecycle matches TimerPort:
+      * the ticker starts lazily with the query (`RunningTimer::start` on
+      * first recv) and stops with the pipeline tether's `dismiss()`
+      * (`TimerPort::stop`). At scale a tick stream is metadata-width by
+      * construction; its only cost is the micro-batch cadence. */
+    def timer(interval: FiniteDuration): StreamSource = {
+      val ms = interval.toMillis
+      require(ms >= 1, s"timer interval must be >= 1ms: $interval")
+      require(1000 % ms == 0 || ms % 1000 == 0,
+        s"timer interval must divide one second or be a whole-second " +
+          s"multiple (the rate-source grid): $interval")
+      StreamSource(s"timer($interval)", open = { s =>
+        import org.apache.spark.sql.functions._
+        if (ms <= 1000)
+          s.readStream.format("rate")
+            .option("rowsPerSecond", (1000 / ms).toString).load()
+            .select(col("value").as("tick"), col("timestamp").as("ts"))
+        else {
+          // whole-second intervals: tick the 1 Hz grid, keep every n-th
+          val n = ms / 1000
+          s.readStream.format("rate").option("rowsPerSecond", "1").load()
+            .where(col("value") % n === 0)
+            .select((col("value") / n).cast("long").as("tick"),
+              col("timestamp").as("ts"))
+        }
+      })
+    }
+  }
+
   def from(source: StreamSource): StreamBuilder =
     new StreamBuilder(source.name, (s, cap) => cap match {
       case Some(c) => source.openThrottled match {

@@ -159,6 +159,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(tether.currentPhase == StagePhase.Ended)
   }
 
+  test("timer source ticks on the interval grid and stops on dismiss (TimerPort, messaging.rs:151-209)") {
+    import StreamPipeline.StreamSource
+    val tether = StreamPipeline.from(StreamSource.timer(250.millis))
+      .spawn(spark) { w =>
+        w.outputMode("append").format("memory").queryName("timer_ticks").start()
+      }
+    try {
+      // memory sink registers its table when the query starts on the
+      // supervision thread — poll for existence, then for >= 4 ticks
+      val deadline = System.nanoTime() + 60.seconds.toNanos
+      def n(): Long =
+        if (!spark.catalog.tableExists("timer_ticks")) -1
+        else spark.table("timer_ticks").count()
+      while (n() < 4 && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(n() >= 4, s"only ${n()} ticks before deadline")
+      val rows = spark.table("timer_ticks").orderBy("tick")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+      // ordinals are consecutive from 0 — no gaps, no duplicates
+      assert(rows.map(_._1).toSeq == rows.indices.map(_.toLong),
+        s"ticks not consecutive: ${rows.map(_._1).toSeq}")
+      // pacing is EXACT in the tick timestamps: the rate source stamps
+      // rows on a fixed interval grid (this is the assertion the
+      // reference's #[ignore]d test_timer_port never makes)
+      rows.sliding(2).foreach { case Array((_, a), (_, b)) =>
+        assert(b - a == 250L, s"tick spacing ${b - a}ms, want 250ms")
+      }
+    } finally {
+      tether.dismiss() // TimerPort::stop — ends the ticker with the query
+      assert(tether.waitEnded(30.seconds))
+      assert(tether.currentPhase == StagePhase.Ended)
+    }
+  }
+
   test("stream-stream join with event-time bounds (purchase <- prior click)") {
     implicit val sql = spark.sqlContext
     val pm = MemoryStream[(Timestamp, Long, Long)] // ts, user, id
