@@ -635,6 +635,113 @@ object CurationOps {
       FROM sc GROUP BY doc_id"""),
     headline = true)
 
+  /** DSIR geometry, shared engine↔oracle: hashed-n-gram feature space
+    * size, the 10^6 fixed-point scale, the designated target-domain
+    * sources, and the selection budget. */
+  private[graft] val dsirBuckets = 1024
+  private[graft] val dsirScale = 1000000L
+  private[graft] val dsirTargets = Seq("src1", "src2", "src3")
+  private[graft] val dsirK = 25
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how much it resembles a designated TARGET domain (here
+    * the curated sources [[dsirTargets]]) under hashed-n-gram bag-of-words
+    * importance weights, and keep the top [[dsirK]]. Word unigrams AND
+    * bigrams hash into [[dsirBuckets]] buckets (`char_fold`, the codegen'd
+    * portable hash); per bucket the add-1-smoothed target/raw probability
+    * ratio is computed in t11's exact-rational spelling — no log/exp
+    * (libm calls are not bit-identical across engines): the per-bucket
+    * weight is the SCALED RATIO
+    * `r6 = ((ct+1)·(R+B)·10^6) div ((cr+1)·(T+B))` — exact BIGINT
+    * arithmetic, monotone in the paper's log-ratio — and a document's
+    * importance is its mean bucket ratio (one IEEE division of exact
+    * BIGINTs). Selection is deterministic top-K by (importance, doc_id),
+    * the resampling temperature-0 limit, which is what keeps the operator
+    * oracle-checkable.
+    *
+    * Scale shape: the n-gram stream is a shuffle-free explode over the
+    * document scan (staged once — it feeds both the count and the score
+    * pass); training is ONE B-bounded (bucket) shuffle where map-side
+    * partial aggregation means at most B=1024 rows leave each partition
+    * regardless of corpus size; the trained weight table (≤ B rows, a
+    * model artifact like t11's LM) broadcasts back onto the stream; the
+    * per-doc aggregate is one doc_id shuffle and the top-K is a
+    * TakeOrdered — no sort of the full corpus. BIGINT headroom:
+    * `(ct+1)·(R+B)·10^6 ≤ T·R·10^6`, safe through ~10^12 total n-grams
+    * (well past sf-scale); a 100 TB deployment drops the scale to 10^4
+    * or widens to decimal — a dial, not a plan change. */
+  val d18 = QueryDef(
+    "d18_importance_select",
+    (s, d) => {
+      val targetIn = dsirTargets.map(t => s"'$t'").mkString("(", ", ", ")")
+      staged("d18_ng", d) {
+        withViews(s, d, "documents")(s"""
+          WITH w AS (SELECT doc_id, source,
+                       regexp_extract_all(lower(text), '[a-z]+', 0) AS ws
+                     FROM documents WHERE length(text) >= 1)
+          SELECT doc_id, source, char_fold(g, 7) % $dsirBuckets AS b
+          FROM (SELECT doc_id, source,
+                  explode(CASE WHEN size(ws) >= 2
+                    THEN concat(ws, transform(sequence(0, size(ws) - 2),
+                           i -> concat(ws[i], ' ', ws[i + 1])))
+                    ELSE ws END) AS g
+                FROM w WHERE size(ws) >= 1)""")
+      }.createOrReplaceTempView("d18_ng")
+      s.sql(s"""
+        WITH cnt AS (SELECT b, CAST(count(*) AS BIGINT) AS cr,
+                 CAST(sum(CASE WHEN source IN $targetIn THEN 1 ELSE 0 END)
+                   AS BIGINT) AS ct
+               FROM d18_ng GROUP BY b),
+        tot AS (SELECT CAST(sum(cr) AS BIGINT) AS rn,
+                  CAST(sum(ct) AS BIGINT) AS tn FROM cnt),
+        lam AS (SELECT /*+ BROADCAST(tot) */ b,
+                  ((ct + 1) * (rn + $dsirBuckets) * $dsirScale)
+                    div ((cr + 1) * (tn + $dsirBuckets)) AS r6
+                FROM cnt CROSS JOIN tot),
+        sc AS (SELECT /*+ BROADCAST(lam) */ ng.doc_id, lam.r6
+               FROM d18_ng ng JOIN lam ON ng.b = lam.b),
+        agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+                  CAST(sum(r6) AS BIGINT) AS w6_sum,
+                  CAST(sum(r6) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                    AS importance
+                FROM sc GROUP BY doc_id)
+        SELECT doc_id, n_ngrams, w6_sum, importance
+        FROM agg ORDER BY importance DESC, doc_id LIMIT $dsirK""")
+    },
+    Some {
+      val targetIn = dsirTargets.map(t => s"'$t'").mkString("(", ", ", ")")
+      s"""
+      WITH w AS (SELECT doc_id, source,
+                   regexp_extract_all(lower(text), '[a-z]+') AS ws
+                 FROM documents WHERE length(text) >= 1),
+      ng AS (SELECT doc_id, source, (${oCharFold("g", 7)}) % $dsirBuckets AS b
+             FROM (SELECT doc_id, source, unnest(
+                     CASE WHEN len(ws) >= 2
+                       THEN list_concat(ws, list_transform(range(1, len(ws)),
+                              i -> ws[i] || ' ' || ws[i + 1]))
+                       ELSE ws END) AS g
+                   FROM w WHERE len(ws) >= 1)),
+      cnt AS (SELECT b, CAST(count(*) AS BIGINT) AS cr,
+                CAST(sum(CASE WHEN source IN $targetIn THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ct
+              FROM ng GROUP BY b),
+      tot AS (SELECT CAST(sum(cr) AS BIGINT) AS rn,
+                CAST(sum(ct) AS BIGINT) AS tn FROM cnt),
+      lam AS (SELECT b,
+                ((ct + 1) * (rn + $dsirBuckets) * $dsirScale)
+                  // ((cr + 1) * (tn + $dsirBuckets)) AS r6
+              FROM cnt CROSS JOIN tot),
+      sc AS (SELECT ng.doc_id, lam.r6 FROM ng JOIN lam ON ng.b = lam.b),
+      agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+                CAST(sum(r6) AS BIGINT) AS w6_sum,
+                CAST(sum(r6) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                  AS importance
+              FROM sc GROUP BY doc_id)
+      SELECT doc_id, n_ngrams, w6_sum, importance
+      FROM agg ORDER BY importance DESC, doc_id LIMIT $dsirK"""
+    })
+
   val all: Seq[QueryDef] =
-    Seq(d10, d11, d12, q51, t09, d13, q52, d15, q54, d14, q57, t11)
+    Seq(d10, d11, d12, q51, t09, d13, q52, d15, q54, d14, q57, t11, d18)
 }
