@@ -759,7 +759,8 @@ object CorpusOps {
                AS chars_per_subword
       FROM toks t JOIN enc e ON t.w = e.w
       GROUP BY t.doc_id"""
-    })
+    },
+    headline = true)
 
   /** Count-min geometry, shared engine↔oracle: depth-4 hash rows ×
     * width-1024 counters. ε = e/w ≈ 0.27%·N expected overcount per row;
