@@ -285,5 +285,43 @@ object Temporal {
                AS retention
       FROM r JOIN cs ON r.cw = cs.cw"""))
 
-  val all: Seq[QueryDef] = Seq(q22, q23, q27, q28, q55, q60, q61)
+  /** Event-type transition matrix — the first-order Markov chain behind
+    * "next action" product analytics: per user, events ordered by time;
+    * each consecutive (a → b) pair counts one transition; output is the
+    * (a, b) count plus the row-normalized transition probability (one
+    * IEEE division of exact counts). Ties in `ts` break on `event_id`,
+    * so the sequence — and the matrix — is deterministic on both engines.
+    *
+    * Shape: ONE shuffle on user_id feeding a (user, time) sort with an
+    * O(1)-state `lead` window (the sort spills; no per-user array), then
+    * two metadata-width aggregates — the output is ≤ |event_types|² rows
+    * regardless of N, and the row-total join broadcasts. The same
+    * skew-proof argument as q60: a 10⁸-event power user is just a longer
+    * sorted run, never a collected list. */
+  val q62 = QueryDef(
+    "q62_transition_matrix",
+    (s, d) => withViews(s, d, "events")(s"""
+      WITH p AS (SELECT event_type AS a,
+               lead(event_type) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS b
+             FROM events),
+      t AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n
+            FROM p WHERE b IS NOT NULL GROUP BY a, b),
+      ta AS (SELECT a, CAST(sum(n) AS BIGINT) AS na FROM t GROUP BY a)
+      SELECT t.a, t.b, t.n,
+             CAST(t.n AS DOUBLE) / CAST(ta.na AS DOUBLE) AS prob
+      FROM t JOIN ta ON t.a = ta.a"""),
+    Some("""
+      WITH p AS (SELECT event_type AS a,
+               lead(event_type) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS b
+             FROM events),
+      t AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n
+            FROM p WHERE b IS NOT NULL GROUP BY a, b),
+      ta AS (SELECT a, CAST(sum(n) AS BIGINT) AS na FROM t GROUP BY a)
+      SELECT t.a, t.b, t.n,
+             CAST(t.n AS DOUBLE) / CAST(ta.na AS DOUBLE) AS prob
+      FROM t JOIN ta ON t.a = ta.a"""))
+
+  val all: Seq[QueryDef] = Seq(q22, q23, q27, q28, q55, q60, q61, q62)
 }

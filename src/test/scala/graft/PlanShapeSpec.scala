@@ -210,6 +210,16 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("d18 importance weights broadcast back onto the n-gram stream, never SMJ") {
+    // the <=1024-row weight table is a model artifact (t11's LM rule):
+    // losing the broadcast would shuffle the full n-gram stream at 100 TB
+    val p = plan("d18_importance_select")
+    assert(p.contains("BroadcastHashJoin"), s"weight join lost its broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"n-gram stream shuffles for the join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrdered"), s"top-K regressed to a full sort:\n$p")
+  }
+
   test("LSH dedup candidates come from equality joins, never nested-loop") {
     val p = plan("d02_minhash_lsh")
     assert(!p.contains("CartesianProduct"), p)
