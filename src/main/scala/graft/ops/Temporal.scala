@@ -323,5 +323,43 @@ object Temporal {
              CAST(t.n AS DOUBLE) / CAST(ta.na AS DOUBLE) AS prob
       FROM t JOIN ta ON t.a = ta.a"""))
 
-  val all: Seq[QueryDef] = Seq(q22, q23, q27, q28, q55, q60, q61, q62)
+  /** Per-event-type inter-arrival statistics — the burst/cadence profile
+    * behind rate anomaly detection: for each user and event type, the gap
+    * to the user's previous event of the SAME type (lag over a (user,
+    * time) sort), aggregated per type as exact BIGINT micros (count, min,
+    * max, sum) plus the mean as one IEEE division. Ties break on
+    * event_id; all arithmetic is integer until the final division, so
+    * both engines agree bitwise. Same skew-proof single-shuffle shape as
+    * q60/q62: O(1) lag state per (user, type) run, spillable sort, and a
+    * ≤|event_types|-row output at any N. */
+  val q63 = QueryDef(
+    "q63_interarrival_stats",
+    (s, d) => withViews(s, d, "events")(s"""
+      WITH g AS (SELECT event_type,
+               unix_micros(ts) - lag(unix_micros(ts)) OVER
+                 (PARTITION BY user_id, event_type
+                  ORDER BY ts, event_id) AS gap_us
+             FROM events)
+      SELECT event_type, CAST(count(gap_us) AS BIGINT) AS n_gaps,
+             CAST(min(gap_us) AS BIGINT) AS min_us,
+             CAST(max(gap_us) AS BIGINT) AS max_us,
+             CAST(sum(gap_us) AS BIGINT) AS sum_us,
+             CAST(sum(gap_us) AS DOUBLE) / CAST(count(gap_us) AS DOUBLE)
+               AS mean_us
+      FROM g WHERE gap_us IS NOT NULL GROUP BY event_type"""),
+    Some("""
+      WITH g AS (SELECT event_type,
+               epoch_us(cast(ts AS timestamp)) - lag(epoch_us(cast(ts AS timestamp))) OVER
+                 (PARTITION BY user_id, event_type
+                  ORDER BY cast(ts AS timestamp), event_id) AS gap_us
+             FROM events)
+      SELECT event_type, CAST(count(gap_us) AS BIGINT) AS n_gaps,
+             CAST(min(gap_us) AS BIGINT) AS min_us,
+             CAST(max(gap_us) AS BIGINT) AS max_us,
+             CAST(sum(gap_us) AS BIGINT) AS sum_us,
+             CAST(sum(gap_us) AS DOUBLE) / CAST(count(gap_us) AS DOUBLE)
+               AS mean_us
+      FROM g WHERE gap_us IS NOT NULL GROUP BY event_type"""))
+
+  val all: Seq[QueryDef] = Seq(q22, q23, q27, q28, q55, q60, q61, q62, q63)
 }
