@@ -460,5 +460,48 @@ object StreamingGate {
       FROM bands b JOIN own o ON b.bj = o.bj AND b.bkey = o.bkey
       WHERE b.doc_id % 2 = 1"""))
 
-  val all: Seq[QueryDef] = Seq(q42, q43, q49, q53, q58)
+  /** Stream-STATIC enrichment join — the remaining production join shape
+    * the gate didn't cover: an unbounded fact stream (events, file source
+    * replayed with `maxFilesPerTrigger=1` so the join runs across several
+    * micro-batches) enriched against a bounded static dimension
+    * (customer), stateless and append-mode — no watermark, no state
+    * store; every micro-batch joins and emits immediately. Spark plans
+    * the static side as a broadcast per batch — the deployment shape for
+    * catalog-sized dims; a dim too big to broadcast falls back to a
+    * shuffle join with the same logical plan (a config threshold, not a
+    * rewrite). The purchase filter is pushed to the streaming scan.
+    * Output is the enriched row SET (batch-split invariant since the
+    * operator is stateless); oracle is the identical batch join. */
+  val q64 = QueryDef(
+    "q64_streaming_enrich",
+    (s, d) => {
+      import s.implicits._
+      val sch = Q.table(s, d, "events").schema
+      val inDir = Files.createTempDirectory("graft-q64-in")
+      linkParts(d, "events", inDir)
+      val cust = Q.table(s, d, "customer")
+        .select($"c_custkey", $"c_nationkey", $"c_mktsegment")
+      val outDir = Files.createTempDirectory("graft-q64-out").toString
+      val ckpt = Files.createTempDirectory("graft-q64-ckpt").toString
+      val q = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.toString)
+        .where($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"value")
+        .join(cust, $"user_id" === $"c_custkey")
+        .select($"event_id", $"user_id", $"value", $"c_nationkey", $"c_mktsegment")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+    },
+    Some("""
+      SELECT e.event_id, e.user_id, e.value, c.c_nationkey, c.c_mktsegment
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      WHERE e.event_type = 'purchase'"""))
+
+  val all: Seq[QueryDef] = Seq(q42, q43, q49, q53, q58, q64)
 }
