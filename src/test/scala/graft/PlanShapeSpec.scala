@@ -220,6 +220,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrdered"), s"top-K regressed to a full sort:\n$p")
   }
 
+  test("q62/q63 sequence analytics: windowed sort, no collected arrays, no cartesian") {
+    for (n <- Seq("q62_transition_matrix", "q63_interarrival_stats")) {
+      val p = plan(n)
+      // the skew-proof contract these share with q60: per-user sequences
+      // flow through an O(1)-state window over a spillable sort — a
+      // collect_list regression is a power-user task OOM at 100 TB
+      assert(!p.contains("collect_list"), s"$n regressed to array collection:\n$p")
+      assert(p.contains("Window"), s"$n lost its window:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    }
+    // q62's row-total join is <=|event_types| rows — must broadcast
+    assert(plan("q62_transition_matrix").contains("BroadcastHashJoin"),
+      "q62 row-total join lost its broadcast")
+  }
+
   test("LSH dedup candidates come from equality joins, never nested-loop") {
     val p = plan("d02_minhash_lsh")
     assert(!p.contains("CartesianProduct"), p)
