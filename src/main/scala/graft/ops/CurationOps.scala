@@ -740,7 +740,8 @@ object CurationOps {
               FROM sc GROUP BY doc_id)
       SELECT doc_id, n_ngrams, w6_sum, importance
       FROM agg ORDER BY importance DESC, doc_id LIMIT $dsirK"""
-    })
+    },
+    headline = true)
 
   val all: Seq[QueryDef] =
     Seq(d10, d11, d12, q51, t09, d13, q52, d15, q54, d14, q57, t11, d18)
