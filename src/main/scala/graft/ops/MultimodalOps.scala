@@ -219,5 +219,84 @@ object MultimodalOps {
              md5(string_agg(CAST(v AS VARCHAR), '-' ORDER BY pi)) AS thumb_md5
       FROM px GROUP BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(m01, m02, m03, m04)
+  final case class AHashRow(doc_id: Long, ahash: String)
+
+  /** Average-hash (aHash) perceptual fingerprint — the classic image
+    * near-dup signature: resize to an 8×8 grid through the codec seam,
+    * then one bit per pixel: is it brighter than the image mean? The
+    * comparison is EXACT integer arithmetic (`v·64 > Σv` — no division,
+    * no float mean), and the 64 bits are spelled as a '0'/'1' string so
+    * both engines agree without 64-bit sign/overflow games. Same
+    * per-partition codec-session shape as the other m-ops; a real codec
+    * (ImageIoCodec) replaces the stub and the operator is unchanged. */
+  def perceptualHash(spark: SparkSession, media: DataFrame,
+      srcW: Int = 32, codec: MediaCodec = MediaCodec.Stub): DataFrame = {
+    import spark.implicits._
+    media.as[MediaIn].mapPartitions { it =>
+      val sess = codec.open()
+      it.map { m =>
+        val px = sess.resize(m.payload, srcW, 8, 8)
+        var s = 0L
+        var i = 0
+        while (i < px.length) { s += px(i); i += 1 }
+        val bits = new Array[Char](px.length)
+        i = 0
+        while (i < px.length) {
+          bits(i) = if (px(i).toLong * 64L > s) '1' else '0'
+          i += 1
+        }
+        AHashRow(m.doc_id, new String(bits))
+      }
+    }.toDF()
+  }
+
+  /** Perceptual near-dup grouping over the aHash: documents sharing a
+    * fingerprint form a duplicate group; each row reports its group size
+    * and whether it is the canonical (min-id) member — the keep/prune
+    * verdict of an image-dedup pass. Shape: one row-wise hash map (no
+    * shuffle), then ONE shuffle on the 64-bit fingerprint for the group
+    * aggregate + join back — d01's exact-dedup economics on a perceptual
+    * key; at 100 TB the hash table is one row per DISTINCT fingerprint.
+    * Near-match (Hamming ≤ k) extends this with d02's banding over hash
+    * nibbles — same plan family, a dial away. */
+  val m05 = QueryDef(
+    "m05_perceptual_neardup",
+    (s, d) => {
+      import s.implicits._
+      val media = table(s, d, "documents")
+        .select($"doc_id", $"text".cast("binary").as("payload"), $"source")
+      val h = perceptualHash(s, media)
+      val g = h.groupBy($"ahash")
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+          org.apache.spark.sql.functions.min($"doc_id").as("canonical_doc"))
+      h.join(g, "ahash")
+        .select($"doc_id", $"ahash", $"n_docs",
+          ($"doc_id" === $"canonical_doc").as("is_canonical"))
+    },
+    Some("""
+      WITH b AS (SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS len
+                 FROM documents),
+      g AS (SELECT doc_id, text, len, (len + 31) // 32 AS src_h FROM b),
+      p AS (SELECT doc_id, text, len, src_h, unnest(range(0, 64)) AS pi FROM g),
+      px AS (SELECT doc_id, pi,
+               CASE WHEN (((pi // 8) * src_h) // 8) * 32 + (pi % 8) * 4 + 1 <= len
+                    THEN ascii(substring(text,
+                      CAST((((pi // 8) * src_h) // 8) * 32 + (pi % 8) * 4 + 1 AS INT), 1))
+                    ELSE 0 END AS v
+             FROM p),
+      sums AS (SELECT doc_id, sum(v) AS sv FROM px GROUP BY doc_id),
+      h AS (SELECT px.doc_id,
+              string_agg(CASE WHEN px.v * 64 > sums.sv THEN '1' ELSE '0' END,
+                         '' ORDER BY px.pi) AS ahash
+            FROM px JOIN sums ON px.doc_id = sums.doc_id
+            GROUP BY px.doc_id),
+      ga AS (SELECT ahash, CAST(count(*) AS BIGINT) AS n_docs,
+               min(doc_id) AS canonical_doc
+             FROM h GROUP BY ahash)
+      SELECT h.doc_id, h.ahash, ga.n_docs,
+             h.doc_id = ga.canonical_doc AS is_canonical
+      FROM h JOIN ga ON h.ahash = ga.ahash"""))
+
+  val all: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05)
 }

@@ -178,6 +178,29 @@ class MultimodalSpec extends AnyFunSuite {
     val jm = MultimodalOps.decodeMetadata(spark, junk, graft.ops.ImageIoCodec).head()
     assert(jm.getAs[String]("media_type") == "unknown")
     assert(jm.getAs[Long]("size_bytes") == 40L)
+
+    // m05 path: REAL perceptual hash — the same PNG re-encoded twice must
+    // collide (aHash is a function of decoded pixels, not container
+    // bytes), and a distinct gradient must not; bits follow the exact
+    // integer brighter-than-mean rule over the decoded 8x8 luma grid
+    val pair = Seq(
+      (0L, pngBytes(imgs(0)), "a"), (1L, pngBytes(imgs(0)), "b"),
+      (2L, pngBytes(imgs(3)), "c")).toDF("doc_id", "payload", "source")
+    val hs = MultimodalOps.perceptualHash(spark, pair,
+        codec = graft.ops.ImageIoCodec)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("ahash")).toMap
+    assert(hs(0L).length == 64 && hs(0L).forall(c => c == '0' || c == '1'))
+    assert(hs(0L) == hs(1L), "identical pixels must share an aHash")
+    assert(hs(0L) != hs(2L), "distinct gradients must not collide")
+    val im3 = imgs(0)
+    val lumas = for (y <- 0 until 8; x <- 0 until 8) yield {
+      val rgb = im3.getRGB(x * im3.getWidth / 8, y * im3.getHeight / 8)
+      (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+        114 * (rgb & 0xff)) / 1000
+    }
+    val sum = lumas.map(_.toLong).sum
+    val expectBits = lumas.map(v => if (v.toLong * 64L > sum) '1' else '0').mkString
+    assert(hs(0L) == expectBits, "aHash bits must follow v*64 > sum over decoded luma")
   }
 
   test("the default stub keeps m01-m03 oracle-identical (regression pin)") {
