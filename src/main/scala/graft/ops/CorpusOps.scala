@@ -594,30 +594,9 @@ object CorpusOps {
               FROM documents)
         GROUP BY w ORDER BY freq DESC, word LIMIT $bpeVocab""")
     }
-    var words: Array[(Array[String], Long)] =
-      wc.collect().map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
-    val out = Vector.newBuilder[(Int, String, String, Long)]
-    var r = 1
-    var exhausted = false
-    while (r <= rounds && !exhausted) {
-      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      words.foreach { case (syms, f) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          val k = (syms(i), syms(i + 1))
-          counts.update(k, counts.getOrElse(k, 0L) + f)
-          i += 1
-        }
-      }
-      if (counts.isEmpty) exhausted = true
-      else {
-        val ((lhs, rhs), f) = counts.minBy { case ((l, rr), ff) => (-ff, l, rr) }
-        out += ((r, lhs, rhs, f))
-        words = words.map { case (syms, wf) => (greedyMergeLocal(syms, lhs, rhs), wf) }
-        r += 1
-      }
-    }
-    out.result()
+    bpeMergeLoop(
+      wc.collect().map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1))),
+      rounds)
   }
 
   /** The ONE DuckDB spelling of t10's merge-table derivation — the full
@@ -626,8 +605,11 @@ object CorpusOps {
     * (which selects the b1..bN merge rows) and t12's (which composes the
     * encode rounds on top of the same b1..bN) so the two oracles cannot
     * drift — the same rule as [[graft.ops.DedupOps.oracleBandsCte]]. */
-  private def t10OracleChain: String = {
-    def oround(r: Int) = s"""
+  /** One oracle merge round (a/p/b/w CTE block) — generic over the symbol
+    * alphabet: it only sees `|`-delimited `seq` strings, so the same
+    * round body drives t10's char-level chain AND t13's byte-level (hex
+    * symbol) chain without drift. */
+  private def bpeOracleRound(r: Int): String = s"""
         a$r AS MATERIALIZED (SELECT word, freq, seq,
                    list_filter(string_split(seq, '|'), x -> x <> '') AS syms
                  FROM w$r),
@@ -641,6 +623,8 @@ object CorpusOps {
         w${r + 1} AS (SELECT w.word, w.freq,
                    ${oGreedyMerge("w.seq", "b.lhs", "b.rhs")} AS seq
                    FROM a$r w CROSS JOIN b$r b)"""
+
+  private def t10OracleChain: String =
     s"""wc AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
                   FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
                         FROM documents)
@@ -648,8 +632,7 @@ object CorpusOps {
       w1 AS (SELECT word, freq,
                '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS seq
              FROM wc),
-      ${(1 to bpeRounds).map(oround).mkString(",")}"""
-  }
+      ${(1 to bpeRounds).map(bpeOracleRound).mkString(",")}"""
 
   /** BPE-style tokenizer vocab induction: the merge-rule table a subword
     * tokenizer is trained from. ONE corpus-scale shuffle (lowercased
@@ -762,6 +745,202 @@ object CorpusOps {
     },
     headline = true)
 
+  // ---- byte-level tokenizer (full UTF-8 coverage) ---------------------
+
+  /** Deterministic corpus augmentation for the byte-level tokenizer gate:
+    * the synthetic `documents.text` is lowercase-ASCII words + spaces
+    * only, which would leave a byte-level tokenizer's entire raison
+    * d'être (digits, punctuation, casing, multi-byte UTF-8) untested. The
+    * augmented view appends data-derived tokens — `Café-№<d>.<d>%` (Latin-1
+    * 2-byte é, 3-byte №, digits, punct, uppercase) and `Ωδ<source>`
+    * (Greek 2-byte prefix fused to an ASCII word) — so the gate's
+    * hash-compare exercises every byte class while staying a pure
+    * function of the table. ONE definition, two dialect spellings. */
+  private def sAugText: String =
+    "concat(text, ' Café-№', CAST(doc_id % 10 AS STRING), '.', " +
+      "CAST(doc_id % 7 AS STRING), '% Ωδ', source)"
+  private def oAugText: String =
+    "concat(text, ' Café-№', CAST(doc_id % 10 AS VARCHAR), '.', " +
+      "CAST(doc_id % 7 AS VARCHAR), '% Ωδ', source)"
+
+  /** UTF-8 bytes of a word as uppercase hex-pair symbols — the byte-level
+    * symbol alphabet. Hex pairs never contain `|`, so the SAME delimited
+    * greedy-fold machinery (s/oGreedyMerge, [[greedyMergeLocal]]) drives
+    * byte-level merges, and merged symbols (concatenated hex) are
+    * quote-free SQL literals with binary-stable ordering in BOTH engines
+    * (plain ASCII compare — no collation games on raw UTF-8). */
+  private[graft] def byteSyms(w: String): Array[String] =
+    w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => f"${b & 0xff}%02X")
+
+  /** The shared driver-local merge loop behind [[bpeTrain]] (char-level)
+    * and [[bpeTrainBytes]] (byte-level): count adjacent pairs weighted by
+    * word freq, arg-max with the deterministic (freq DESC, lhs, rhs)
+    * tiebreak, one greedy-merge scan per word, stop early when no pair
+    * remains. Pure function of the capped vocab — trained state. */
+  private[graft] def bpeMergeLoop(
+      init: Array[(Array[String], Long)],
+      rounds: Int): Vector[(Int, String, String, Long)] = {
+    var words = init
+    val out = Vector.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((lhs, rhs), f) = counts.minBy { case ((l, rr), ff) => (-ff, l, rr) }
+        out += ((r, lhs, rhs, f))
+        words = words.map { case (syms, wf) => (greedyMergeLocal(syms, lhs, rhs), wf) }
+        r += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Byte-level BPE training — [[bpeTrain]]'s shape (ONE corpus-scale
+    * word-count shuffle → TakeOrdered top-`bpeVocab`, then the merge loop
+    * driver-local over the collected vocab) with two deltas: words are
+    * raw space-separated tokens of the AUGMENTED corpus (nothing dropped
+    * — digits, punct, case, multi-byte UTF-8 all flow through), and the
+    * symbol alphabet is UTF-8 hex byte pairs ([[byteSyms]]), merging
+    * toward GPT-2-style byte-level subwords. Vocab tiebreak orders by
+    * `hex(encode(word))` — injective, byte-wise, collation-proof in both
+    * engines. */
+  private[graft] def bpeTrainBytes(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+      rounds: Int = bpeRounds): Vector[(Int, String, String, Long)] = {
+    val wc = staged("t13_wordcounts", d) {
+      withViews(s, d, "documents")(s"""
+        SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT explode(filter(split($sAugText, ' '), x -> x <> '')) AS w
+              FROM documents)
+        GROUP BY w ORDER BY freq DESC, hex(encode(w, 'UTF-8')) LIMIT $bpeVocab""")
+    }
+    bpeMergeLoop(
+      wc.collect().map(r => (byteSyms(r.getString(0)), r.getLong(1))), rounds)
+  }
+
+  /** Driver-local byte-level encode of one word under a merge table — the
+    * exact fold the engine SQL applies ([[sGreedyMerge]] chain over hex
+    * symbols), for spec-level round-trip proofs: concatenating the
+    * returned symbols always reconstructs `hex(utf8(word))`, so decoding
+    * is lossless for ANY input. */
+  private[graft] def encodeBytesLocal(
+      word: String, merges: Seq[(String, String)]): Array[String] =
+    merges.foldLeft(byteSyms(word)) { case (syms, (l, r)) =>
+      greedyMergeLocal(syms, l, r)
+    }
+
+  /** Byte-level twin of [[t10OracleChain]]: same per-round CTE bodies
+    * ([[bpeOracleRound]] is alphabet-generic), byte-level wc/w1 heads. */
+  private def t13OracleChain: String =
+    s"""wc AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+                  FROM (SELECT unnest(list_filter(string_split($oAugText, ' '),
+                                 x -> x <> '')) AS w
+                        FROM documents)
+                  GROUP BY w ORDER BY freq DESC, hex(encode(w)) LIMIT $bpeVocab),
+      w1 AS (SELECT word, freq,
+               '|' || regexp_replace(hex(encode(word)), '(..)', '\\1|', 'g') AS seq
+             FROM wc),
+      ${(1 to bpeRounds).map(bpeOracleRound).mkString(",")}"""
+
+  /** Byte-level BPE vocab induction (GPT-2-style: symbols are UTF-8
+    * BYTES, so no input ever falls outside the alphabet — digits,
+    * punctuation, casing, and multi-byte scripts tokenize instead of
+    * vanishing, closing t10's lowercase-`[a-z]+` coverage hole). Runs on
+    * the augmented corpus ([[sAugText]]) precisely so the gate hash
+    * proves the non-ASCII path. Identical scale shape to t10: one
+    * word-count shuffle touches N documents; the merge loop is
+    * driver-local over ≤`bpeVocab` collected rows (trained state), and
+    * `-Dgraft.bpe.rounds` scales rounds at zero Spark-job cost. */
+  val t13 = QueryDef(
+    "t13_bpe_byte_vocab",
+    (s, d) => {
+      import s.implicits._
+      bpeTrainBytes(s, d)
+        .map { case (r, l, rh, f) => (r.toLong, l, rh, f) }
+        .toDF("rank", "lhs", "rhs", "freq")
+        .orderBy("rank")
+    },
+    Some(s"""
+      WITH $t13OracleChain
+      ${(1 to bpeRounds)
+        .map(r => s"SELECT CAST($r AS BIGINT) AS rank, lhs, rhs, freq FROM b$r")
+        .mkString(" UNION ALL ")}
+      ORDER BY rank"""),
+    headline = true)
+
+  /** Byte-level BPE encode — t12's plan shape (merges fold over DISTINCT
+    * words only, vocabulary-scale; encoded lengths broadcast back onto
+    * the shuffle-free per-doc token explode) on the byte alphabet:
+    * per-doc subword count, UTF-8 byte count, and bytes-per-subword
+    * compression over the augmented corpus. Lossless by construction
+    * (symbols partition the byte string — proved per-word in
+    * QueriesSpec via [[encodeBytesLocal]] round-trips). */
+  val t14 = QueryDef(
+    "t14_bpe_byte_encode",
+    (s, d) => {
+      val merges = bpeTrainBytes(s, d).map { case (_, l, r, _) => (l, r) }
+      val encSeq = merges.foldLeft(
+        "concat('|', regexp_replace(hex(encode(w, 'UTF-8')), '(..)', '$1|'))") {
+        case (e, (l, r)) => sGreedyMerge(e, s"'$l'", s"'$r'")
+      }
+      withViews(s, d, "documents")(s"""
+        WITH toks AS (SELECT doc_id,
+                        explode(filter(split($sAugText, ' '), x -> x <> '')) AS w
+                      FROM documents),
+        dw AS (SELECT DISTINCT w FROM toks),
+        enc AS (SELECT w,
+                  CAST(size(filter(split($encSeq, '[|]'), x -> x <> '')) AS BIGINT) AS n_sub
+                FROM dw)
+        SELECT /*+ BROADCAST(e) */ t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(e.n_sub) AS BIGINT) AS n_subwords,
+               CAST(sum(octet_length(t.w)) AS BIGINT) AS n_bytes,
+               CAST(sum(octet_length(t.w)) AS DOUBLE) / CAST(sum(e.n_sub) AS DOUBLE)
+                 AS bytes_per_subword
+        FROM toks t JOIN enc e ON t.w = e.w
+        GROUP BY t.doc_id""")
+    },
+    Some {
+      val encodeRounds = (1 to bpeRounds).map { r =>
+        s"""e$r AS MATERIALIZED (SELECT w,
+            ${oGreedyMerge("seq", "b.lhs", "b.rhs")} AS seq
+            FROM e${r - 1} CROSS JOIN b$r b)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH $t13OracleChain,
+      toks AS (SELECT doc_id,
+                 unnest(list_filter(string_split($oAugText, ' '), x -> x <> '')) AS w
+               FROM documents),
+      dw AS (SELECT DISTINCT w FROM toks),
+      e0 AS (SELECT w, '|' || regexp_replace(hex(encode(w)), '(..)', '\\1|', 'g') AS seq
+             FROM dw),
+      $encodeRounds,
+      enc AS (SELECT w, CAST(len(list_filter(string_split(seq, '|'),
+                x -> x <> '')) AS BIGINT) AS n_sub
+              FROM e$bpeRounds)
+      SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(e.n_sub) AS BIGINT) AS n_subwords,
+             CAST(sum(strlen(t.w)) AS BIGINT) AS n_bytes,
+             CAST(sum(strlen(t.w)) AS DOUBLE) / CAST(sum(e.n_sub) AS DOUBLE)
+               AS bytes_per_subword
+      FROM toks t JOIN enc e ON t.w = e.w
+      GROUP BY t.doc_id"""
+    },
+    headline = true)
+
   /** Count-min geometry, shared engine↔oracle: depth-4 hash rows ×
     * width-1024 counters. ε = e/w ≈ 0.27%·N expected overcount per row;
     * 4 independent rows drive the min-tail down. All integers — nothing
@@ -857,5 +1036,6 @@ object CorpusOps {
     },
     headline = true)
 
-  val all: Seq[QueryDef] = Seq(d08, d09, q44, t06, q46, q47, q48, q50, t10, t12, q59)
+  val all: Seq[QueryDef] =
+    Seq(d08, d09, q44, t06, q46, q47, q48, q50, t10, t12, t13, t14, q59)
 }

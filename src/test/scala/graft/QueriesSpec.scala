@@ -96,6 +96,46 @@ class QueriesSpec extends AnyFunSuite {
     assert(sec < 30.0, f"256-round train took $sec%.1f s — loop is not driver-local")
   }
 
+  test("t13 byte-level BPE round-trips digits/punct/case/UTF-8 losslessly") {
+    // the lossless property byte-level BPE exists for: symbols PARTITION
+    // the UTF-8 byte string, so concatenating a word's subword symbols
+    // always reconstructs the exact input — for any script, not just
+    // [a-z]+. Checked under the gate's 12-round table AND a deep
+    // 256-round table (merges only ever fuse adjacent symbols; the
+    // partition invariant must survive depth).
+    for (rounds <- Seq(12, 256)) {
+      val merges = graft.ops.CorpusOps.bpeTrainBytes(spark, dir, rounds = rounds)
+        .map { case (_, l, r, _) => (l, r) }
+      assert(merges.nonEmpty)
+      assert(merges.forall { case (l, r) =>
+        (l + r).matches("[0-9A-F]+") && (l.length + r.length) % 2 == 0
+      }, "merge symbols must stay in the hex byte-pair alphabet")
+      val words = Seq("café", "Δ42%!", "Straße", "naïve", "日本語テスト",
+        "a1-b2.c3", "ΩδWEB", "№9", "mixedCASE42", "...", "", "🙂emoji")
+      for (w <- words) {
+        val syms = graft.ops.CorpusOps.encodeBytesLocal(w, merges)
+        val bytes = syms.mkString.grouped(2)
+          .map(Integer.parseInt(_, 16).toByte).toArray
+        assert(new String(bytes, java.nio.charset.StandardCharsets.UTF_8) == w,
+          s"round-trip broke for '$w' at $rounds rounds")
+      }
+    }
+  }
+
+  test("t13 deep-dial: 256 byte-level merges compress the augmented tokens") {
+    // the 100 TB argument: rounds cost driver CPU only, and a realistic
+    // merge depth actually reaches the non-ASCII augmentation words
+    val deep = graft.ops.CorpusOps.bpeTrainBytes(spark, dir, rounds = 256)
+    val base = graft.ops.CorpusOps.bpeTrainBytes(spark, dir)
+    assert(deep.take(base.length) == base, "greedy BPE must be prefix-stable")
+    val merges = deep.map { case (_, l, r, _) => (l, r) }
+    val w = "Café-№3.2%"
+    val syms = graft.ops.CorpusOps.encodeBytesLocal(w, merges)
+    val nBytes = w.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+    assert(syms.length < nBytes,
+      s"deep merge table must compress '$w': ${syms.length} syms vs $nBytes bytes")
+  }
+
   test("scala UDF registration works (native expressions preferred on hot paths)") {
     import org.apache.spark.sql.functions.udf
     val clip = udf((x: Double, lo: Double, hi: Double) => math.max(lo, math.min(hi, x)))
