@@ -250,6 +250,32 @@ object MultimodalOps {
     }.toDF()
   }
 
+  /** The oracle's independent aHash derivation (the Stub codec's stripe
+    * resize + brighter-than-mean bits as pure SQL) — ONE spelling shared
+    * by m05 and m06 so the two oracles cannot drift. ASCII assumption:
+    * strlen/substring/ascii index CHARACTERS while the engine hashes raw
+    * UTF-8 payload BYTES — identical only because `documents.text` is
+    * ASCII (verified: zero non-ASCII rows at every shipped SF, asserted
+    * in MultimodalSpec's "documents.text is ASCII" pin; m01-m04 oracles
+    * lean on the same equivalence). */
+  private def oAHashCtes: String = """
+      b AS (SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS len
+                 FROM documents),
+      g AS (SELECT doc_id, text, len, (len + 31) // 32 AS src_h FROM b),
+      p AS (SELECT doc_id, text, len, src_h, unnest(range(0, 64)) AS pi FROM g),
+      px AS (SELECT doc_id, pi,
+               CASE WHEN (((pi // 8) * src_h) // 8) * 32 + (pi % 8) * 4 + 1 <= len
+                    THEN ascii(substring(text,
+                      CAST((((pi // 8) * src_h) // 8) * 32 + (pi % 8) * 4 + 1 AS INT), 1))
+                    ELSE 0 END AS v
+             FROM p),
+      sums AS (SELECT doc_id, sum(v) AS sv FROM px GROUP BY doc_id),
+      h AS (SELECT px.doc_id,
+              string_agg(CASE WHEN px.v * 64 > sums.sv THEN '1' ELSE '0' END,
+                         '' ORDER BY px.pi) AS ahash
+            FROM px JOIN sums ON px.doc_id = sums.doc_id
+            GROUP BY px.doc_id)"""
+
   /** Perceptual near-dup grouping over the aHash: documents sharing a
     * fingerprint form a duplicate group; each row reports its group size
     * and whether it is the canonical (min-id) member — the keep/prune
@@ -257,8 +283,7 @@ object MultimodalOps {
     * shuffle), then ONE shuffle on the 64-bit fingerprint for the group
     * aggregate + join back — d01's exact-dedup economics on a perceptual
     * key; at 100 TB the hash table is one row per DISTINCT fingerprint.
-    * Near-match (Hamming ≤ k) extends this with d02's banding over hash
-    * nibbles — same plan family, a dial away. */
+    * Near-match (Hamming ≤ k) is m06's banding over hash nibbles. */
   val m05 = QueryDef(
     "m05_perceptual_neardup",
     (s, d) => {
@@ -274,23 +299,8 @@ object MultimodalOps {
         .select($"doc_id", $"ahash", $"n_docs",
           ($"doc_id" === $"canonical_doc").as("is_canonical"))
     },
-    Some("""
-      WITH b AS (SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS len
-                 FROM documents),
-      g AS (SELECT doc_id, text, len, (len + 31) // 32 AS src_h FROM b),
-      p AS (SELECT doc_id, text, len, src_h, unnest(range(0, 64)) AS pi FROM g),
-      px AS (SELECT doc_id, pi,
-               CASE WHEN (((pi // 8) * src_h) // 8) * 32 + (pi % 8) * 4 + 1 <= len
-                    THEN ascii(substring(text,
-                      CAST((((pi // 8) * src_h) // 8) * 32 + (pi % 8) * 4 + 1 AS INT), 1))
-                    ELSE 0 END AS v
-             FROM p),
-      sums AS (SELECT doc_id, sum(v) AS sv FROM px GROUP BY doc_id),
-      h AS (SELECT px.doc_id,
-              string_agg(CASE WHEN px.v * 64 > sums.sv THEN '1' ELSE '0' END,
-                         '' ORDER BY px.pi) AS ahash
-            FROM px JOIN sums ON px.doc_id = sums.doc_id
-            GROUP BY px.doc_id),
+    Some(s"""
+      WITH $oAHashCtes,
       ga AS (SELECT ahash, CAST(count(*) AS BIGINT) AS n_docs,
                min(doc_id) AS canonical_doc
              FROM h GROUP BY ahash)
@@ -298,5 +308,99 @@ object MultimodalOps {
              h.doc_id = ga.canonical_doc AS is_canonical
       FROM h JOIN ga ON h.ahash = ga.ahash"""))
 
-  val all: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05)
+  /** Hamming-tolerance dial for m06: near-dup images whose aHashes differ
+    * in ≤ `m06MaxHam` bits group together. Banding into 8 bytes makes
+    * candidate generation EXACT, not approximate: two 64-bit hashes
+    * within Hamming distance d < 8 differ in at most d bands, so at
+    * least one of the 8 band values matches (pigeonhole) — every
+    * qualifying pair surfaces as a band-join candidate. Band width is a
+    * measured dial, not a guess: aHash bits are heavily correlated on
+    * real data (bright images skew whole nibbles to 1), and at sf0.01
+    * 4-bit bands put ~40% of all distinct hashes into one '1111' bucket
+    * (368k candidate pairs from 487 hashes ≈ all-pairs); 8-bit bands cut
+    * that to 36k while still guaranteeing completeness for d < 8. */
+  private[graft] val m06MaxHam = 2
+  private[graft] val m06Bands = 8
+
+  /** Banded Hamming-neighbor aggregation over a (doc_id, ahash) frame —
+    * d02's LSH-banding economics on the perceptual key. Plan shape, in
+    * order: ONE shuffle on the fingerprint (distinct-hash groups — the
+    * only stage that sees N rows); a 16× band explode over DISTINCT
+    * hashes only (metadata-width); band-key EQUI-join for candidates
+    * (never a cross join); a 64-char compare per candidate pair; a
+    * metadata-width edge aggregate joined back. A hash class present on
+    * both sides of a ≤`maxHam` pair reports its neighbor classes and the
+    * total near-dup docs behind them — the dedup-review surface of an
+    * image pipeline. Skew note: a degenerate corpus of near-constant
+    * images concentrates one band value, the same documented dial as
+    * d02's band width (widen bands or pre-split hot buckets). */
+  def perceptualNeighbors(spark: SparkSession, hashes: DataFrame,
+      maxHam: Int = m06MaxHam): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dh = hashes.groupBy($"ahash")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("canonical_doc"))
+    val bands = dh.select($"ahash",
+        explode(expr(s"transform(sequence(0, ${m06Bands - 1}), " +
+          "i -> struct(i AS bi, substring(ahash, i*8+1, 8) AS bv))")).as("b"))
+      .select($"ahash", $"b.bi".as("bi"), $"b.bv".as("bv"))
+    // Hamming distance as two 32-bit conv + XOR + bit_count halves —
+    // plain codegen'd integer ops per candidate pair (the 64× substring
+    // lambda this replaced was ~10× slower on fat candidate sets); 32-bit
+    // halves keep conv's unsigned result inside BIGINT
+    val hamHalf = (off: Int) =>
+      s"bit_count(CAST(conv(substring(ha, $off, 32), 2, 10) AS BIGINT) ^ " +
+        s"CAST(conv(substring(hb, $off, 32), 2, 10) AS BIGINT))"
+    val near = bands.as("x").join(bands.as("y"),
+        $"x.bi" === $"y.bi" && $"x.bv" === $"y.bv" && $"x.ahash" < $"y.ahash")
+      .select($"x.ahash".as("ha"), $"y.ahash".as("hb"))
+      .distinct()
+      .withColumn("ham", expr(s"CAST(${hamHalf(1)} + ${hamHalf(33)} AS BIGINT)"))
+      .where($"ham" <= maxHam)
+    val edges = near.select($"ha".as("ahash"), $"hb".as("other"))
+      .union(near.select($"hb".as("ahash"), $"ha".as("other")))
+    val nb = edges
+      .join(dh.select($"ahash".as("other"), $"n_docs".as("other_docs")), "other")
+      .groupBy($"ahash")
+      .agg(count(lit(1)).as("n_neighbor_hashes"),
+        sum($"other_docs").as("n_neighbor_docs"))
+    dh.join(nb, Seq("ahash"), "left")
+      .select($"ahash", $"n_docs", $"canonical_doc",
+        coalesce($"n_neighbor_hashes", lit(0L)).as("n_neighbor_hashes"),
+        coalesce($"n_neighbor_docs", lit(0L)).as("n_neighbor_docs"))
+  }
+
+  /** Hamming-tolerant perceptual near-dup (m05's documented extension
+    * made real): per distinct aHash class, its size, canonical doc, and
+    * the neighboring classes within `m06MaxHam` flipped bits — so
+    * re-encoded/slightly-perturbed images that no longer collide exactly
+    * still surface as near-dups. The DuckDB oracle brute-forces all
+    * distinct-hash pairs (an INDEPENDENT derivation — no banding), which
+    * doubles as the completeness proof of the pigeonhole argument. */
+  val m06 = QueryDef(
+    "m06_perceptual_banded",
+    (s, d) => {
+      import s.implicits._
+      val media = table(s, d, "documents")
+        .select($"doc_id", $"text".cast("binary").as("payload"), $"source")
+      perceptualNeighbors(s, perceptualHash(s, media))
+    },
+    Some(s"""
+      WITH $oAHashCtes,
+      dh AS (SELECT ahash, CAST(count(*) AS BIGINT) AS n_docs,
+               min(doc_id) AS canonical_doc
+             FROM h GROUP BY ahash),
+      e AS (SELECT a.ahash AS ahash, b.n_docs AS other_docs,
+              len(list_filter(range(1, 65),
+                i -> substring(a.ahash, i, 1) <> substring(b.ahash, i, 1))) AS ham
+            FROM dh a JOIN dh b ON a.ahash <> b.ahash),
+      nb AS (SELECT ahash, CAST(count(*) AS BIGINT) AS n_neighbor_hashes,
+               CAST(sum(other_docs) AS BIGINT) AS n_neighbor_docs
+             FROM e WHERE ham <= $m06MaxHam GROUP BY ahash)
+      SELECT dh.ahash, dh.n_docs, dh.canonical_doc,
+             CAST(coalesce(nb.n_neighbor_hashes, 0) AS BIGINT) AS n_neighbor_hashes,
+             CAST(coalesce(nb.n_neighbor_docs, 0) AS BIGINT) AS n_neighbor_docs
+      FROM dh LEFT JOIN nb ON dh.ahash = nb.ahash"""))
+
+  val all: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06)
 }

@@ -203,6 +203,83 @@ class MultimodalSpec extends AnyFunSuite {
     assert(hs(0L) == expectBits, "aHash bits must follow v*64 > sum over decoded luma")
   }
 
+  test("documents.text is ASCII (the m01-m06 oracle byte==char assumption)") {
+    // the DuckDB oracles index CHARACTERS (strlen/substring/ascii) while
+    // the engine hashes payload BYTES; equivalence requires ASCII text.
+    // Pin it on the shipped data rather than assume it silently.
+    import spark.implicits._
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val bad = graft.ops.Q.table(spark, sf, "documents")
+        .where(org.apache.spark.sql.functions.expr(
+          "octet_length(text) <> length(text)"))
+        .count()
+      assert(bad == 0L, s"$sf has $bad non-ASCII documents — m0x oracles break")
+    }
+  }
+
+  test("m06 banding: 1-2 flipped bits are neighbors, far hashes are not") {
+    import spark.implicits._
+    def flip(h: String, bits: Int*): String = {
+      val a = h.toCharArray
+      bits.foreach(b => a(b) = if (a(b) == '0') '1' else '0')
+      new String(a)
+    }
+    val base = ("01" * 32).take(64)
+    val rows = Seq(
+      (0L, base), (1L, base),                   // exact dup class of 2
+      (2L, flip(base, 5)),                      // 1 bit off
+      (3L, flip(base, 17, 40)),                 // 2 bits off
+      (4L, flip(base, 1, 2, 3, 4, 5, 6, 7, 8,
+        9, 10, 11, 12, 13, 14, 15, 16, 20, 21, 22, 23)) // 20 bits off
+    ).toDF("doc_id", "ahash")
+    val got = MultimodalOps.perceptualNeighbors(spark, rows)
+      .collect().map(r => r.getAs[String]("ahash") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_neighbor_hashes"),
+          r.getAs[Long]("n_neighbor_docs")))).toMap
+    // base class: 2 docs; neighbors = the 1-bit and 2-bit classes (2 docs)
+    assert(got(base) == ((2L, 2L, 2L)))
+    // 1-bit class: neighbors = base (2 docs) and the 2-bit class? ham
+    // between flip(5) and flip(17,40) is 3 > maxHam — so base only
+    assert(got(flip(base, 5)) == ((1L, 1L, 2L)))
+    assert(got(flip(base, 17, 40)) == ((1L, 1L, 2L)))
+    // the 20-bit outlier has no neighbors
+    assert(got(flip(base, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,
+      15, 16, 20, 21, 22, 23)) == ((1L, 0L, 0L)))
+  }
+
+  test("m06: a JPEG re-encode of the same image lands in the same group") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    // smooth gradient (JPEG-friendly: no hard edges → tiny luma error)
+    val img = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val v = (x * 2 + y) & 0xff
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val df = Seq((0L, enc("png"), "orig"), (1L, enc("jpg"), "reenc"))
+      .toDF("doc_id", "payload", "source")
+    val h = MultimodalOps.perceptualHash(spark, df,
+      codec = graft.ops.ImageIoCodec)
+    val hs = h.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("ahash")).toMap
+    val ham = hs(0L).zip(hs(1L)).count { case (a, b) => a != b }
+    assert(ham <= graft.ops.MultimodalOps.m06MaxHam,
+      s"lossy re-encode moved the aHash $ham bits — perturbation model broken")
+    val nb = MultimodalOps.perceptualNeighbors(spark, h)
+      .collect().map(r => r.getAs[String]("ahash") ->
+        r.getAs[Long]("n_neighbor_docs")).toMap
+    if (ham == 0)
+      assert(nb.size == 1, "identical hashes must form one class")
+    else
+      assert(nb.values.forall(_ == 1L),
+        "each class must see the other as a near-dup neighbor")
+  }
+
   test("the default stub keeps m01-m03 oracle-identical (regression pin)") {
     // the seam refactor must not disturb the gate outputs: spot-check the
     // stub against the documented pure functions
