@@ -314,7 +314,7 @@ object Temporal {
     Some("""
       WITH p AS (SELECT event_type AS a,
                lead(event_type) OVER
-                 (PARTITION BY user_id ORDER BY ts, event_id) AS b
+                 (PARTITION BY user_id ORDER BY cast(ts AS timestamp), event_id) AS b
              FROM events),
       t AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n
             FROM p WHERE b IS NOT NULL GROUP BY a, b),
