@@ -47,5 +47,9 @@ object GraftExtensions {
     entry("int8_quantize", classOf[Int8Quantize])(
       es => Int8Quantize(es.head)),
     entry("int8_dot", classOf[Int8Dot])(
-      es => Int8Dot(es.head, es(1))))
+      es => Int8Dot(es.head, es(1))),
+    entry("bpe_apply_bytes", classOf[BpeApply])(
+      es => BpeApply(es.head, es(1), hexMode = true)),
+    entry("bpe_apply_chars", classOf[BpeApply])(
+      es => BpeApply(es.head, es(1), hexMode = false)))
 }

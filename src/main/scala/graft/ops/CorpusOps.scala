@@ -539,7 +539,7 @@ object CorpusOps {
     * still deterministic and engine↔oracle identical, with no magic pass
     * count. The prepended `'|'` init also satisfies DuckDB's
     * `list_reduce` same-type constraint. */
-  private def sGreedyMerge(seqE: String, lhsE: String, rhsE: String): String =
+  private[graft] def sGreedyMerge(seqE: String, lhsE: String, rhsE: String): String =
     s"""aggregate(filter(split($seqE, '[|]'), x -> x <> ''), '|',
        |  (acc, x) -> CASE WHEN endswith(acc, concat('|', $lhsE, '|')) AND x = $rhsE
        |    THEN concat(left(acc, length(acc) - length($lhsE) - 1), $lhsE, $rhsE, '|')
@@ -673,48 +673,55 @@ object CorpusOps {
       ORDER BY rank"""),
     headline = true)
 
+  /** t12's distributed encode plan at an arbitrary merge depth: train the
+    * merge table ([[bpeTrain]] — a MODEL ARTIFACT, tiny trained state,
+    * same judgment as d12's driver-built Bloom filter), flatten it into
+    * ONE string literal, and apply it per DISTINCT word with the native
+    * [[graft.functions.BpeApply]] expression. Round count only ever
+    * changes the literal's length — never the plan shape — so a
+    * 30k-merge production tokenizer is the SAME two-stage plan (this is
+    * what removed the old nested-`aggregate()` spelling's structural
+    * depth cap; QueriesSpec pins 12-round equivalence against that legacy
+    * SQL fold and 256-round equivalence against the driver fold). */
+  private[graft] def t12Encode(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      rounds: Int = bpeRounds): org.apache.spark.sql.DataFrame = {
+    val merges = bpeTrain(s, d, rounds)
+      .map { case (_, l, r, _) => s"$l $r" }.mkString(" ")
+    withViews(s, d, "documents")(s"""
+      WITH toks AS (SELECT doc_id, explode(regexp_extract_all(lower(text), '[a-z]+', 0)) AS w
+                    FROM documents),
+      dw AS (SELECT DISTINCT w FROM toks),
+      enc AS (SELECT w,
+                CAST(size(bpe_apply_chars(w, '$merges')) AS BIGINT) AS n_sub
+              FROM dw)
+      SELECT /*+ BROADCAST(e) */ t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(e.n_sub) AS BIGINT) AS n_subwords,
+             CAST(sum(length(t.w)) AS BIGINT) AS n_chars,
+             CAST(sum(length(t.w)) AS DOUBLE) / CAST(sum(e.n_sub) AS DOUBLE)
+               AS chars_per_subword
+      FROM toks t JOIN enc e ON t.w = e.w
+      GROUP BY t.doc_id""")
+  }
+
   /** BPE tokenizer APPLICATION — the other half of t10's train step:
     * encode every document with the learned merge-rule table and report
     * per-doc subword statistics (token count, char count, chars-per-
     * subword compression — the number a tokenizer owner actually
-    * monitors). Train the merge table on the driver ([[bpeTrain]] — a
-    * MODEL ARTIFACT, the same pattern as d12's driver-built Bloom
-    * filter: tiny trained state, not data) → rebuild it into a literal
-    * chain of greedy-merge folds ([[sGreedyMerge]] with literal pairs).
+    * monitors).
     *
-    * Scale shape: merges apply to DISTINCT words, not the token stream —
-    * the 12-round greedy-fold chain runs once per distinct word
-    * (vocabulary-sized, millions at 100 TB, never corpus-sized) after
-    * one metadata-width word shuffle, and the encoded lengths broadcast back
-    * onto the shuffle-free per-doc token explode. The oracle cannot
-    * collect, so it re-derives the merge table with t10's own unrolled
-    * CTEs (oracle-verified identical by t10's gate row) and applies the
-    * same 12 rounds over the distinct-word frame. */
+    * Scale shape ([[t12Encode]]): merges apply to DISTINCT words, not the
+    * token stream — the native merge-apply expression runs once per
+    * distinct word (vocabulary-sized, millions at 100 TB, never
+    * corpus-sized) after one metadata-width word shuffle, and the encoded
+    * lengths broadcast back onto the shuffle-free per-doc token explode.
+    * The oracle cannot collect, so it re-derives the merge table with
+    * t10's own unrolled CTEs (oracle-verified identical by t10's gate
+    * row) and applies the same 12 rounds over the distinct-word frame. */
   val t12 = QueryDef(
     "t12_bpe_encode",
-    (s, d) => {
-      val merges = bpeTrain(s, d).map { case (_, l, r, _) => (l, r) }
-      def lit(x: String) = s"'${x.replace("'", "''")}'"
-      val encSeq = merges.foldLeft(
-        "concat('|', regexp_replace(w, '(.)', '$1|'))") { case (e, (l, r)) =>
-        sGreedyMerge(e, lit(l), lit(r))
-      }
-      withViews(s, d, "documents")(s"""
-        WITH toks AS (SELECT doc_id, explode(regexp_extract_all(lower(text), '[a-z]+', 0)) AS w
-                      FROM documents),
-        dw AS (SELECT DISTINCT w FROM toks),
-        enc AS (SELECT w,
-                  CAST(size(filter(split($encSeq, '[|]'), x -> x <> '')) AS BIGINT) AS n_sub
-                FROM dw)
-        SELECT /*+ BROADCAST(e) */ t.doc_id,
-               CAST(count(*) AS BIGINT) AS n_words,
-               CAST(sum(e.n_sub) AS BIGINT) AS n_subwords,
-               CAST(sum(length(t.w)) AS BIGINT) AS n_chars,
-               CAST(sum(length(t.w)) AS DOUBLE) / CAST(sum(e.n_sub) AS DOUBLE)
-                 AS chars_per_subword
-        FROM toks t JOIN enc e ON t.w = e.w
-        GROUP BY t.doc_id""")
-    },
+    (s, d) => t12Encode(s, d),
     Some {
       // composes [[t10OracleChain]] — the oracle-verified derivation of
       // the same b1..b12 the engine collected, so both sides apply the
@@ -880,38 +887,44 @@ object CorpusOps {
       ORDER BY rank"""),
     headline = true)
 
-  /** Byte-level BPE encode — t12's plan shape (merges fold over DISTINCT
-    * words only, vocabulary-scale; encoded lengths broadcast back onto
-    * the shuffle-free per-doc token explode) on the byte alphabet:
-    * per-doc subword count, UTF-8 byte count, and bytes-per-subword
-    * compression over the augmented corpus. Lossless by construction
-    * (symbols partition the byte string — proved per-word in
+  /** t14's distributed encode plan at an arbitrary merge depth — the
+    * byte-level twin of [[t12Encode]]: one merge-table artifact literal,
+    * one `bpe_apply_bytes` pass per DISTINCT word. Exposed with a
+    * `rounds` dial so QueriesSpec proves the SAME distributed plan at 256
+    * merges (vs [[encodeBytesLocal]]) — depth is data, not plan shape. */
+  private[graft] def t14Encode(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      rounds: Int = bpeRounds): org.apache.spark.sql.DataFrame = {
+    val merges = bpeTrainBytes(s, d, rounds)
+      .map { case (_, l, r, _) => s"$l $r" }.mkString(" ")
+    withViews(s, d, "documents")(s"""
+      WITH toks AS (SELECT doc_id,
+                      explode(filter(split($sAugText, ' '), x -> x <> '')) AS w
+                    FROM documents),
+      dw AS (SELECT DISTINCT w FROM toks),
+      enc AS (SELECT w,
+                CAST(size(bpe_apply_bytes(w, '$merges')) AS BIGINT) AS n_sub
+              FROM dw)
+      SELECT /*+ BROADCAST(e) */ t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(e.n_sub) AS BIGINT) AS n_subwords,
+             CAST(sum(octet_length(t.w)) AS BIGINT) AS n_bytes,
+             CAST(sum(octet_length(t.w)) AS DOUBLE) / CAST(sum(e.n_sub) AS DOUBLE)
+               AS bytes_per_subword
+      FROM toks t JOIN enc e ON t.w = e.w
+      GROUP BY t.doc_id""")
+  }
+
+  /** Byte-level BPE encode — t12's plan shape (merge table applied over
+    * DISTINCT words only, vocabulary-scale; encoded lengths broadcast
+    * back onto the shuffle-free per-doc token explode) on the byte
+    * alphabet: per-doc subword count, UTF-8 byte count, and
+    * bytes-per-subword compression over the augmented corpus. Lossless by
+    * construction (symbols partition the byte string — proved per-word in
     * QueriesSpec via [[encodeBytesLocal]] round-trips). */
   val t14 = QueryDef(
     "t14_bpe_byte_encode",
-    (s, d) => {
-      val merges = bpeTrainBytes(s, d).map { case (_, l, r, _) => (l, r) }
-      val encSeq = merges.foldLeft(
-        "concat('|', regexp_replace(hex(encode(w, 'UTF-8')), '(..)', '$1|'))") {
-        case (e, (l, r)) => sGreedyMerge(e, s"'$l'", s"'$r'")
-      }
-      withViews(s, d, "documents")(s"""
-        WITH toks AS (SELECT doc_id,
-                        explode(filter(split($sAugText, ' '), x -> x <> '')) AS w
-                      FROM documents),
-        dw AS (SELECT DISTINCT w FROM toks),
-        enc AS (SELECT w,
-                  CAST(size(filter(split($encSeq, '[|]'), x -> x <> '')) AS BIGINT) AS n_sub
-                FROM dw)
-        SELECT /*+ BROADCAST(e) */ t.doc_id,
-               CAST(count(*) AS BIGINT) AS n_words,
-               CAST(sum(e.n_sub) AS BIGINT) AS n_subwords,
-               CAST(sum(octet_length(t.w)) AS BIGINT) AS n_bytes,
-               CAST(sum(octet_length(t.w)) AS DOUBLE) / CAST(sum(e.n_sub) AS DOUBLE)
-                 AS bytes_per_subword
-        FROM toks t JOIN enc e ON t.w = e.w
-        GROUP BY t.doc_id""")
-    },
+    (s, d) => t14Encode(s, d),
     Some {
       val encodeRounds = (1 to bpeRounds).map { r =>
         s"""e$r AS MATERIALIZED (SELECT w,

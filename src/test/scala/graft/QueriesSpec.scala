@@ -136,6 +136,89 @@ class QueriesSpec extends AnyFunSuite {
       s"deep merge table must compress '$w': ${syms.length} syms vs $nBytes bytes")
   }
 
+  test("bpe_apply native expression == legacy nested-SQL fold (12 rounds, both alphabets)") {
+    // the native merge-apply expression replaced the round-per-nested-
+    // aggregate() SQL spelling in round 10; this pins the two spellings
+    // bit-identical on the gate's 12-round tables over a word set that
+    // exercises every byte class (plus the char alphabet on [a-z]+ words)
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+
+    val wordsB = Seq("café", "Δ42%!", "Straße", "naïve", "日本語テスト",
+      "a1-b2.c3", "ΩδWEB", "№9", "mixedCASE42", "...", "x", "🙂emoji",
+      "Café-№3.2%", "the", "and", "that", "with", "from", "this")
+    val mergesB = graft.ops.CorpusOps.bpeTrainBytes(spark, dir)
+      .map { case (_, l, r, _) => (l, r) }
+    val flatB = mergesB.map { case (l, r) => s"$l $r" }.mkString(" ")
+    val legacyB = mergesB.foldLeft(
+      "concat('|', regexp_replace(hex(encode(w, 'UTF-8')), '(..)', '$1|'))") {
+      case (e, (l, r)) => graft.ops.CorpusOps.sGreedyMerge(e, s"'$l'", s"'$r'")
+    }
+    val bothB = wordsB.toDF("w").selectExpr(
+      "w",
+      s"filter(split($legacyB, '[|]'), x -> x <> '') AS legacy",
+      s"bpe_apply_bytes(w, '$flatB') AS native")
+      .collect()
+    bothB.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"byte-level divergence on '${r.getString(0)}'")
+    }
+
+    val wordsC = Seq("the", "and", "that", "with", "from", "parrot",
+      "cancan", "aaaaa", "ababab", "stern", "luster", "x")
+    val mergesC = graft.ops.CorpusOps.bpeTrain(spark, dir)
+      .map { case (_, l, r, _) => (l, r) }
+    val flatC = mergesC.map { case (l, r) => s"$l $r" }.mkString(" ")
+    val legacyC = mergesC.foldLeft(
+      "concat('|', regexp_replace(w, '(.)', '$1|'))") {
+      case (e, (l, r)) => graft.ops.CorpusOps.sGreedyMerge(e, s"'$l'", s"'$r'")
+    }
+    val bothC = wordsC.toDF("w").selectExpr(
+      "w",
+      s"filter(split($legacyC, '[|]'), x -> x <> '') AS legacy",
+      s"bpe_apply_chars(w, '$flatC') AS native")
+      .collect()
+    bothC.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"char-level divergence on '${r.getString(0)}'")
+    }
+  }
+
+  test("t14 deep-dial: 256 merges run through the DISTRIBUTED expression path") {
+    // the round-9 gap: deep-round evidence only ever ran encodeBytesLocal
+    // on the driver. Here the SAME 256-merge table rides the SQL literal
+    // into bpe_apply_bytes executed by Spark, and every word's distributed
+    // encoding must equal the driver fold — depth is data, not plan shape.
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val merges = graft.ops.CorpusOps.bpeTrainBytes(spark, dir, rounds = 256)
+      .map { case (_, l, r, _) => (l, r) }
+    assert(merges.length > 100, "sf0.001 vocab must support deep merges")
+    val flat = merges.map { case (l, r) => s"$l $r" }.mkString(" ")
+    val words = Seq("café", "Δ42%!", "Straße", "日本語テスト", "Café-№3.2%",
+      "a1-b2.c3", "ΩδWEB", "🙂emoji", "the", "that", "with", "mixedCASE42")
+    val viaSpark = words.toDF("w")
+      .repartition(4) // force task-side eval, not a driver-side constant fold
+      .selectExpr("w", s"bpe_apply_bytes(w, '$flat') AS syms")
+      .collect().map(r => (r.getString(0), r.getSeq[String](1).toSeq)).toMap
+    for (w <- words) {
+      val local = graft.ops.CorpusOps.encodeBytesLocal(w, merges).toSeq
+      assert(viaSpark(w) == local, s"distributed != driver fold for '$w' at 256 rounds")
+      assert(local.mkString.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+        .sameElements(w.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+        s"round-trip broke for '$w'")
+    }
+    // and the full t14 plan at 256 rounds: same two-stage shape, rows for
+    // every doc, strictly better compression than the 12-round table
+    val deep = graft.ops.CorpusOps.t14Encode(spark, dir, rounds = 256)
+      .selectExpr("sum(n_subwords) AS s", "count(*) AS n").collect().head
+    val base = graft.ops.CorpusOps.t14Encode(spark, dir)
+      .selectExpr("sum(n_subwords) AS s", "count(*) AS n").collect().head
+    assert(deep.getLong(1) == base.getLong(1))
+    assert(deep.getLong(0) < base.getLong(0),
+      "256-round table must compress further than the 12-round table")
+  }
+
   test("scala UDF registration works (native expressions preferred on hot paths)") {
     import org.apache.spark.sql.functions.udf
     val clip = udf((x: Double, lo: Double, hi: Double) => math.max(lo, math.min(hi, x)))

@@ -38,8 +38,22 @@ def main(sf_dir, out_dir):
         con.execute(
             f"create view {t} as select * from read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Verify exits 0 even when queries throw (the driver must keep comparing
+    # the rest) and records the casualties in _errors.json — a crashed query
+    # dumps no directory, so without reading it a crash would pass silently
+    # as "undumped (skipped)": the exact round-7 failure mode this gate
+    # exists to prevent. Crashes are FAILs here.
+    errors = {}
+    err_path = f"{out_dir}/_errors.json"
+    if os.path.exists(err_path):
+        errors = json.load(open(err_path))
     n_ok = n_bad = n_skip = 0
+    for name, msg in sorted(errors.items()):
+        print(f"FAIL {name}: query threw in Verify: {msg}")
+        n_bad += 1
     for name, sql in sorted(oracle.items()):
+        if name in errors:
+            continue  # already counted as FAIL above
         # a filtered Verify run (extra args) dumps a subset; compare only
         # what was dumped instead of flooding FAILs for the rest
         if not os.path.isdir(f"{out_dir}/{name}"):
