@@ -667,10 +667,14 @@ object CurationOps {
     * regardless of corpus size; the trained weight table (≤ B rows, a
     * model artifact like t11's LM) broadcasts back onto the stream; the
     * per-doc aggregate is one doc_id shuffle and the top-K is a
-    * TakeOrdered — no sort of the full corpus. BIGINT headroom:
-    * `(ct+1)·(R+B)·10^6 ≤ T·R·10^6`, safe through ~10^12 total n-grams
-    * (well past sf-scale); a 100 TB deployment drops the scale to 10^4
-    * or widens to decimal — a dial, not a plan change. */
+    * TakeOrdered — no sort of the full corpus. BIGINT headroom: the
+    * ratio numerator `(ct+1)·(R+B)·10^6` must stay under 2^63, so with
+    * uniform bucket load (ct ≈ T/B, B=1024) comparable-size corpora are
+    * safe through T ≈ 10^8 total n-grams, degrading to ~3·10^6 under
+    * total single-bucket skew (bound pinned in ScaleSpec). Past that the
+    * ANSI-mode arithmetic fails LOUDLY (no silent wraparound); a 100 TB
+    * deployment drops the 10^6 scale or widens to decimal — a dial, not
+    * a plan change. */
   val d18 = QueryDef(
     "d18_importance_select",
     (s, d) => {

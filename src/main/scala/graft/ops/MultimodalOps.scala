@@ -325,8 +325,8 @@ object MultimodalOps {
   /** Banded Hamming-neighbor aggregation over a (doc_id, ahash) frame —
     * d02's LSH-banding economics on the perceptual key. Plan shape, in
     * order: ONE shuffle on the fingerprint (distinct-hash groups — the
-    * only stage that sees N rows); a 16× band explode over DISTINCT
-    * hashes only (metadata-width); band-key EQUI-join for candidates
+    * only stage that sees N rows); an `m06Bands`× (8×) band explode over
+    * DISTINCT hashes only (metadata-width); band-key EQUI-join for candidates
     * (never a cross join); a 64-char compare per candidate pair; a
     * metadata-width edge aggregate joined back. A hash class present on
     * both sides of a ≤`maxHam` pair reports its neighbor classes and the
@@ -336,6 +336,12 @@ object MultimodalOps {
     * d02's band width (widen bands or pre-split hot buckets). */
   def perceptualNeighbors(spark: SparkSession, hashes: DataFrame,
       maxHam: Int = m06MaxHam): DataFrame = {
+    // completeness is the pigeonhole argument: d < m06Bands byte-flips
+    // cannot touch all m06Bands bands, so some band matches exactly. At
+    // maxHam >= m06Bands the recall guarantee silently vanishes — refuse.
+    require(maxHam < m06Bands,
+      s"perceptualNeighbors: maxHam=$maxHam >= bands=$m06Bands would drop " +
+        "the pigeonhole completeness guarantee (add bands or lower maxHam)")
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val dh = hashes.groupBy($"ahash")

@@ -27,6 +27,33 @@ import java.nio.file.attribute.FileTime
   */
 object StreamingGate {
 
+  /** Every scratch dir the gate creates (stream input staging, sinks,
+    * checkpoints), registered for recursive deletion at JVM exit. Eager
+    * deletion is NOT safe — each gate query returns a DataFrame that
+    * lazily re-reads its parquet sink dir — so the JVM-lifetime registry
+    * plus one shutdown hook is the correct scope: a gate run leaves /tmp
+    * clean. (19 bare `createTempDirectory` sites leaked before this.) */
+  private val tempDirs = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
+  private lazy val cleanupHookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      tempDirs.forEach { root =>
+        try {
+          import java.util.Comparator
+          val st = Files.walk(root)
+          try st.sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => try Files.deleteIfExists(p) catch { case _: Throwable => () })
+          finally st.close()
+        } catch { case _: Throwable => () }
+      }
+    }, "graft-streaminggate-tempdir-cleanup"))
+
+  private[graft] def tempDir(prefix: String): Path = {
+    cleanupHookInstalled
+    val p = Files.createTempDirectory(prefix)
+    tempDirs.add(p)
+    p
+  }
+
   private val SENTINEL = "__sentinel__"
   private val SENT_NS: Long = 4102444800L * 1000000000L // 2100-01-01T00:00Z
 
@@ -49,7 +76,7 @@ object StreamingGate {
       case _ => new java.sql.Timestamp(tsNs / 1000000L)
     }
     val row = Row(-1L, tsVal, -1L, SENTINEL, 0.0, "{}")
-    val tmp = Files.createTempDirectory("graft-q42-sent")
+    val tmp = tempDir("graft-q42-sent")
     s.createDataFrame(java.util.Collections.singletonList(row), sch)
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val part = parquetParts(tmp).head
@@ -85,7 +112,7 @@ object StreamingGate {
     * (copied if the filesystem refuses links) plus two sentinel files
     * whose mtimes force them to batch AFTER the real data. */
   private def stageInput(s: SparkSession, d: String): Path = {
-    val inDir = Files.createTempDirectory("graft-q42-in")
+    val inDir = tempDir("graft-q42-in")
     linkParts(d, "events", inDir)
     val sch = Q.table(s, d, "events").schema
     val now = System.currentTimeMillis()
@@ -104,8 +131,8 @@ object StreamingGate {
       import s.implicits._
       val sch = Q.table(s, d, "events").schema
       val inDir = stageInput(s, d)
-      val outDir = Files.createTempDirectory("graft-q42-out").toString
-      val ckpt = Files.createTempDirectory("graft-q42-ckpt").toString
+      val outDir = tempDir("graft-q42-out").toString
+      val ckpt = tempDir("graft-q42-ckpt").toString
       // maxFilesPerTrigger=1 keeps the sentinels in their own batches:
       // watermark emission in Append mode is always one batch behind the
       // data that advanced it
@@ -184,7 +211,7 @@ object StreamingGate {
   private[graft] def dedupStream(
       s: SparkSession, d: String, provider: Option[String]): DataFrame = {
     val sch = Q.table(s, d, "documents").schema
-    val inDir = Files.createTempDirectory("graft-q49-in")
+    val inDir = tempDir("graft-q49-in")
     linkParts(d, "documents", inDir)
     // replay: same bytes under a later name — batch 2 is all duplicates
     val src = Paths.get(s"$d/documents.parquet").toAbsolutePath
@@ -195,8 +222,8 @@ object StreamingGate {
       Files.setLastModifiedTime(replay,
         FileTime.fromMillis(System.currentTimeMillis() + 60000))
     }
-    val outDir = Files.createTempDirectory("graft-q49-out").toString
-    val ckpt = Files.createTempDirectory("graft-q49-ckpt").toString
+    val outDir = tempDir("graft-q49-out").toString
+    val ckpt = tempDir("graft-q49-ckpt").toString
     graft.streaming.StateStores.withProvider(s, provider) {
       val q = s.readStream.schema(sch)
         .option("maxFilesPerTrigger", "1")
@@ -233,8 +260,8 @@ object StreamingGate {
     (s, d) => {
       import s.implicits._
       val ev = Q.events(s, d) // batch read, ns→us normalized
-      val pDir = Files.createTempDirectory("graft-q53-p").toString
-      val cDir = Files.createTempDirectory("graft-q53-c").toString
+      val pDir = tempDir("graft-q53-p").toString
+      val cDir = tempDir("graft-q53-c").toString
       ev.where($"event_type" === "purchase").coalesce(1)
         .write.mode("overwrite").parquet(pDir)
       // two click files => two source batches => cross-batch join state
@@ -261,8 +288,8 @@ object StreamingGate {
         .withWatermark("c_ts", "90 days")
       val joined = purchases.join(clickStream,
         expr("p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"))
-      val outDir = Files.createTempDirectory("graft-q53-out").toString
-      val ckpt = Files.createTempDirectory("graft-q53-ckpt").toString
+      val outDir = tempDir("graft-q53-out").toString
+      val ckpt = tempDir("graft-q53-ckpt").toString
       val q = joined
         .select($"p_id", $"c_id", $"p_user".as("user_id"),
           Q.tsStr($"p_ts").as("purchase_ts"), Q.tsStr($"c_ts").as("click_ts"))
@@ -321,9 +348,9 @@ object StreamingGate {
       s: SparkSession, d: String, provider: Option[String]): DataFrame = {
       val docs = Q.table(s, d, "documents")
       val sch = docs.schema
-      val inDir = Files.createTempDirectory("graft-q58-in")
+      val inDir = tempDir("graft-q58-in")
       def writeBatch(par: Int, name: String, mtPlus: Long): Unit = {
-        val tmp = Files.createTempDirectory("graft-q58-b")
+        val tmp = tempDir("graft-q58-b")
         docs.where(col("doc_id") % 2 === par).coalesce(1)
           .write.mode("overwrite").parquet(tmp.toString)
         val part = parquetParts(tmp).head
@@ -334,8 +361,8 @@ object StreamingGate {
       }
       writeBatch(0, "0_even.parquet", 0)
       writeBatch(1, "1_odd.parquet", 60000)
-      val outDir = Files.createTempDirectory("graft-q58-out").toString
-      val ckpt = Files.createTempDirectory("graft-q58-ckpt").toString
+      val outDir = tempDir("graft-q58-out").toString
+      val ckpt = tempDir("graft-q58-ckpt").toString
       neardupHits(s, inDir, sch, provider, None, None, outDir, ckpt)
   }
 
@@ -477,12 +504,12 @@ object StreamingGate {
     (s, d) => {
       import s.implicits._
       val sch = Q.table(s, d, "events").schema
-      val inDir = Files.createTempDirectory("graft-q64-in")
+      val inDir = tempDir("graft-q64-in")
       linkParts(d, "events", inDir)
       val cust = Q.table(s, d, "customer")
         .select($"c_custkey", $"c_nationkey", $"c_mktsegment")
-      val outDir = Files.createTempDirectory("graft-q64-out").toString
-      val ckpt = Files.createTempDirectory("graft-q64-ckpt").toString
+      val outDir = tempDir("graft-q64-out").toString
+      val ckpt = tempDir("graft-q64-ckpt").toString
       val q = s.readStream.schema(sch)
         .option("maxFilesPerTrigger", "1")
         .parquet(inDir.toString)

@@ -100,6 +100,33 @@ class ScaleSpec extends AnyFunSuite {
       orders.join(customer, $"o_custkey" === $"c_custkey").count())
   }
 
+  test("d18 BIGINT headroom bound matches the documented ~10^8 n-gram limit") {
+    // pins the CurationOps d18 docstring to the arithmetic: the scaled
+    // ratio numerator (ct+1)·(R+B)·10^6 must stay under 2^63. Under
+    // uniform bucket load ct ≈ T/B; with comparable corpora (R ≈ T) the
+    // largest safe T solves (T/B + 1)(T + B)·10^6 ≤ Long.MaxValue.
+    val B = 1024L
+    val scale = 1000000L
+    def safe(t: Long): Boolean = {
+      // exact check via BigInt so the test itself can't overflow
+      (BigInt(t) / B + 1) * (BigInt(t) + B) * scale <= BigInt(Long.MaxValue)
+    }
+    // binary search the uniform-load bound
+    var lo = 1L; var hi = Long.MaxValue / scale
+    while (lo < hi) {
+      val mid = lo + (hi - lo + 1) / 2
+      if (safe(mid)) lo = mid else hi = mid - 1
+    }
+    val uniformBound = lo
+    assert(uniformBound >= 9e7.toLong && uniformBound < 1e9.toLong,
+      s"uniform-load bound $uniformBound left the documented ~10^8 decade")
+    // total single-bucket skew (ct = T): documented ~3·10^6
+    def safeSkew(t: Long): Boolean =
+      (BigInt(t) + 1) * (BigInt(t) + B) * scale <= BigInt(Long.MaxValue)
+    assert(safeSkew(3000000L) && !safeSkew(10000000L),
+      "skew bound left the documented ~3*10^6 range")
+  }
+
   test("AQE coalesces shuffle partitions (adaptive enabled)") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
     val df = graft.ops.Q.table(spark, "/root/testdata/sf0.001", "lineitem")
