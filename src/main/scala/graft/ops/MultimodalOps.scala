@@ -408,5 +408,115 @@ object MultimodalOps {
              CAST(coalesce(nb.n_neighbor_docs, 0) AS BIGINT) AS n_neighbor_docs
       FROM dh LEFT JOIN nb ON dh.ahash = nb.ahash"""))
 
-  val all: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06)
+  private[graft] case class PBandRow(
+      doc_id: Long, bi: Long, bv: String, ahash: String)
+  private[graft] case class POwner(owner: Long, ahash: String)
+  private[graft] case class PerceptualHit(
+      bi: Long, owner_doc: Long, dup_doc: Long)
+
+  private def hammingStr(a: String, b: String): Int = {
+    var i = 0; var n = 0
+    while (i < a.length) { if (a.charAt(i) != b.charAt(i)) n += 1; i += 1 }
+    n
+  }
+
+  /** m07's stream, factored from the gate staging (q58's
+    * [[StreamingGate.neardupHits]] pattern) so StreamingSpec can drive it
+    * under the RocksDB provider: media batches arrive as a file stream,
+    * each image row-wise aHashes ([[perceptualHash]] — a stateless typed
+    * map, streaming-legal), explodes into its `m06Bands` band keys, and
+    * `flatMapGroupsWithState` keyed by (band, band-value) keeps ONE owner
+    * per bucket — the first batch's min-doc claimant WITH its full hash.
+    * A later-batch doc colliding in a band is emitted as a suppression
+    * hit only if its full-hash Hamming distance to the owner is within
+    * `m06MaxHam` — m06's verify step executed in-state, so the streaming
+    * operator has banding's exact recall (pigeonhole) AND its precision.
+    *
+    * Scale: state is one (owner, 64-char hash) row per DISTINCT live band
+    * key ≪ corpus; per batch one band-key shuffle of the new docs only.
+    * Unbounded deployments bound the registry exactly like q58 (RocksDB
+    * provider + processing-time TTL); the bounded gate run uses
+    * NoTimeout. */
+  private[graft] def perceptualHitsStream(
+      s: SparkSession, inDir: java.nio.file.Path,
+      sch: org.apache.spark.sql.types.StructType,
+      provider: Option[String]): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val media = s.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        col("source"))
+    val bands = perceptualHash(s, media)
+      .selectExpr("doc_id", "ahash",
+        s"explode(transform(sequence(0, ${m06Bands - 1}), " +
+          "i -> struct(CAST(i AS BIGINT) AS bi, " +
+          "substring(ahash, i*8+1, 8) AS bv))) AS b")
+      .selectExpr("doc_id", "b.bi AS bi", "b.bv AS bv", "ahash")
+      .as[PBandRow]
+    val hits = bands.groupByKey(r => (r.bi, r.bv))
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[PBandRow],
+         st: org.apache.spark.sql.streaming.GroupState[POwner]) =>
+          val rs = rows.toSeq
+          if (st.exists) {
+            val o = st.get
+            rs.filter(r => hammingStr(r.ahash, o.ahash) <= m06MaxHam)
+              .map(_.doc_id).sorted.iterator
+              .map(id => PerceptualHit(key._1, o.owner, id))
+          } else {
+            val first = rs.minBy(_.doc_id)
+            st.update(POwner(first.doc_id, first.ahash))
+            Iterator.empty
+          }
+      }
+    val outDir = StreamingGate.tempDir("graft-m07-out").toString
+    val ckpt = StreamingGate.tempDir("graft-m07-ckpt").toString
+    graft.streaming.StateStores.withProvider(s, provider) {
+      val q = hits.toDF().writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(outDir)
+  }
+
+  private[graft] def perceptualStream(
+      s: SparkSession, d: String, provider: Option[String]): DataFrame =
+    perceptualHitsStream(s,
+      StreamingGate.stageParityBatches(s, d, "documents"),
+      table(s, d, "documents").schema, provider)
+
+  /** Streaming perceptual near-dup — m06's banded image key running
+    * through q58's ingest-time bucket-registry FSM: the composition a
+    * multimodal pipeline ships (suppress re-encoded/perturbed images at
+    * ingest, not in a nightly batch). Hits are strictly cross-batch
+    * (batch-internal dups are m06's batch job); the oracle derives the
+    * identical set in batch SQL — band buckets owned by the even-parity
+    * batch, odd-parity claimants Hamming-verified against the owner's
+    * hash. */
+  val m07 = QueryDef(
+    "m07_streaming_perceptual",
+    (s, d) => perceptualStream(s, d, None),
+    Some(s"""
+      WITH $oAHashCtes,
+      bands AS (SELECT doc_id, ahash, bi,
+                  substring(ahash, CAST(bi * 8 + 1 AS INT), 8) AS bv
+                FROM (SELECT doc_id, ahash, unnest(range(0, $m06Bands)) AS bi
+                      FROM h)),
+      own AS (SELECT bi, bv, min(doc_id) AS owner_doc,
+                arg_min(ahash, doc_id) AS owner_hash
+              FROM bands WHERE doc_id % 2 = 0 GROUP BY bi, bv)
+      SELECT b.bi AS bi, o.owner_doc AS owner_doc, b.doc_id AS dup_doc
+      FROM bands b JOIN own o ON b.bi = o.bi AND b.bv = o.bv
+      WHERE b.doc_id % 2 = 1
+        AND len(list_filter(range(1, 65),
+              i -> substring(b.ahash, i, 1) <> substring(o.owner_hash, i, 1)))
+            <= $m06MaxHam"""))
+
+  val all: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06, m07)
 }

@@ -344,23 +344,34 @@ object StreamingGate {
     * claimant re-registers as owner — StreamingSpec proves the
     * re-admission across a RocksDB restart); the gate input is bounded
     * so the gate run uses NoTimeout. */
+  /** Stage `table` into a fresh streaming input dir as two doc_id-parity
+    * batches with ordered names + mtimes and `maxFilesPerTrigger=1` on
+    * the reader — batch membership is a pure function of the DATA
+    * (batch = doc_id % 2), which is what makes a cross-batch streaming
+    * operator's output oracle-checkable. Shared by q58 and m07. */
+  private[graft] def stageParityBatches(
+      s: SparkSession, d: String, table: String): Path = {
+    val rows = Q.table(s, d, table)
+    val inDir = tempDir(s"graft-$table-parity-in")
+    def writeBatch(par: Int, name: String, mtPlus: Long): Unit = {
+      val tmp = tempDir(s"graft-$table-parity-b")
+      rows.where(col("doc_id") % 2 === par).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = parquetParts(tmp).head
+      val dest = inDir.resolve(name)
+      Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest,
+        FileTime.fromMillis(System.currentTimeMillis() + mtPlus))
+    }
+    writeBatch(0, "0_even.parquet", 0)
+    writeBatch(1, "1_odd.parquet", 60000)
+    inDir
+  }
+
   private[graft] def neardupStream(
       s: SparkSession, d: String, provider: Option[String]): DataFrame = {
-      val docs = Q.table(s, d, "documents")
-      val sch = docs.schema
-      val inDir = tempDir("graft-q58-in")
-      def writeBatch(par: Int, name: String, mtPlus: Long): Unit = {
-        val tmp = tempDir("graft-q58-b")
-        docs.where(col("doc_id") % 2 === par).coalesce(1)
-          .write.mode("overwrite").parquet(tmp.toString)
-        val part = parquetParts(tmp).head
-        val dest = inDir.resolve(name)
-        Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
-        Files.setLastModifiedTime(dest,
-          FileTime.fromMillis(System.currentTimeMillis() + mtPlus))
-      }
-      writeBatch(0, "0_even.parquet", 0)
-      writeBatch(1, "1_odd.parquet", 60000)
+      val sch = Q.table(s, d, "documents").schema
+      val inDir = stageParityBatches(s, d, "documents")
       val outDir = tempDir("graft-q58-out").toString
       val ckpt = tempDir("graft-q58-ckpt").toString
       neardupHits(s, inDir, sch, provider, None, None, outDir, ckpt)

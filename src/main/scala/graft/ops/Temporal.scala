@@ -168,9 +168,10 @@ object Temporal {
     * independent driver-local fold on synthetic hot-user data. The
     * DuckDB oracle keeps the array spelling: single-node, no task-memory
     * bound, and an INDEPENDENT derivation of the same semantics. */
-  val q60 = QueryDef(
-    "q60_conversion_funnel",
-    (s, d) => withViews(s, d, "events")(s"""
+  /** Engine SQL of q60-q63, named so the fused one-shuffle pass
+    * ([[fusedEventSuite]]) can run the IDENTICAL statements over a shared
+    * co-partitioned base — one source of truth, zero drift. */
+  private[graft] val q60Sql: String = s"""
       WITH e AS (SELECT user_id, unix_micros(ts) AS t, event_type AS et
                  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
       w1 AS (SELECT user_id, t, et,
@@ -197,7 +198,11 @@ object Temporal {
              CAST(sum(tc - tv) AS BIGINT) AS sum_click_us,
              CAST(sum(tp - tv) AS BIGINT) AS sum_purchase_us,
              CAST(count(tp) AS DOUBLE) / CAST(count(tv) AS DOUBLE) AS conversion
-      FROM u"""),
+      FROM u"""
+
+  val q60 = QueryDef(
+    "q60_conversion_funnel",
+    (s, d) => withViews(s, d, "events")(q60Sql),
     Some(s"""
       WITH e AS (SELECT user_id, epoch_us(cast(ts AS timestamp)) AS t,
                         event_type AS et
@@ -243,9 +248,7 @@ object Temporal {
     * a `count(DISTINCT)` would add an Expand pass (q50's lesson) for the
     * same number. Week truncation is Monday-start in both engines;
     * week offsets are exact integer day arithmetic. */
-  val q61 = QueryDef(
-    "q61_cohort_retention",
-    (s, d) => withViews(s, d, "events")(s"""
+  private[graft] val q61Sql: String = s"""
       WITH e AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk,
                         event_type
                  FROM events),
@@ -263,7 +266,11 @@ object Temporal {
              r.wk_offset, r.n_active, cs.cohort_size,
              CAST(r.n_active AS DOUBLE) / CAST(cs.cohort_size AS DOUBLE)
                AS retention
-      FROM r JOIN cs ON r.cw = cs.cw"""),
+      FROM r JOIN cs ON r.cw = cs.cw"""
+
+  val q61 = QueryDef(
+    "q61_cohort_retention",
+    (s, d) => withViews(s, d, "events")(q61Sql),
     Some(s"""
       WITH e AS (SELECT user_id,
                         CAST(date_trunc('week', cast(ts AS timestamp)) AS DATE) AS wk,
@@ -298,9 +305,7 @@ object Temporal {
     * regardless of N, and the row-total join broadcasts. The same
     * skew-proof argument as q60: a 10⁸-event power user is just a longer
     * sorted run, never a collected list. */
-  val q62 = QueryDef(
-    "q62_transition_matrix",
-    (s, d) => withViews(s, d, "events")(s"""
+  private[graft] val q62Sql: String = s"""
       WITH p AS (SELECT event_type AS a,
                lead(event_type) OVER
                  (PARTITION BY user_id ORDER BY ts, event_id) AS b
@@ -310,7 +315,11 @@ object Temporal {
       ta AS (SELECT a, CAST(sum(n) AS BIGINT) AS na FROM t GROUP BY a)
       SELECT t.a, t.b, t.n,
              CAST(t.n AS DOUBLE) / CAST(ta.na AS DOUBLE) AS prob
-      FROM t JOIN ta ON t.a = ta.a"""),
+      FROM t JOIN ta ON t.a = ta.a"""
+
+  val q62 = QueryDef(
+    "q62_transition_matrix",
+    (s, d) => withViews(s, d, "events")(q62Sql),
     Some("""
       WITH p AS (SELECT event_type AS a,
                lead(event_type) OVER
@@ -332,9 +341,7 @@ object Temporal {
     * both engines agree bitwise. Same skew-proof single-shuffle shape as
     * q60/q62: O(1) lag state per (user, type) run, spillable sort, and a
     * ≤|event_types|-row output at any N. */
-  val q63 = QueryDef(
-    "q63_interarrival_stats",
-    (s, d) => withViews(s, d, "events")(s"""
+  private[graft] val q63Sql: String = s"""
       WITH g AS (SELECT event_type,
                unix_micros(ts) - lag(unix_micros(ts)) OVER
                  (PARTITION BY user_id, event_type
@@ -346,7 +353,11 @@ object Temporal {
              CAST(sum(gap_us) AS BIGINT) AS sum_us,
              CAST(sum(gap_us) AS DOUBLE) / CAST(count(gap_us) AS DOUBLE)
                AS mean_us
-      FROM g WHERE gap_us IS NOT NULL GROUP BY event_type"""),
+      FROM g WHERE gap_us IS NOT NULL GROUP BY event_type"""
+
+  val q63 = QueryDef(
+    "q63_interarrival_stats",
+    (s, d) => withViews(s, d, "events")(q63Sql),
     Some("""
       WITH g AS (SELECT event_type,
                epoch_us(cast(ts AS timestamp)) - lag(epoch_us(cast(ts AS timestamp))) OVER
@@ -360,6 +371,59 @@ object Temporal {
              CAST(sum(gap_us) AS DOUBLE) / CAST(count(gap_us) AS DOUBLE)
                AS mean_us
       FROM g WHERE gap_us IS NOT NULL GROUP BY event_type"""))
+
+  /** Fused one-shuffle/four-output pass over the temporal event suite:
+    * q60-q63 each pay a full events scan + user_id exchange + job setup
+    * over the same stream, and at trivial absolute work those shared
+    * constants dominate (all four sit in SCALE.md's >2×-at-64× weak set).
+    * This variant stages ONE co-partitioned base — the events scan
+    * repartitioned on `user_id` and sorted within partitions on
+    * (user_id, ts, event_id), cached via [[Q.staged]] — then runs the
+    * FOUR UNCHANGED engine SQL statements ([[q60Sql]]..[[q63Sql]] — one
+    * source of truth with the gate rows) against it and unions the tagged
+    * JSON-encoded outputs into one job.
+    *
+    * Why it's cheaper: hash partitioning on `user_id` satisfies every
+    * branch's clustered distribution (q63's (user_id, event_type) window
+    * included — a superset clustering), so no branch re-exchanges the
+    * stream; the scan + parse + big shuffle happen once instead of four
+    * times and the per-job constant is paid once (PlanShapeSpec pins the
+    * no-user_id-re-exchange contract). At 100 TB the same argument is the
+    * classic multi-query optimization: the shuffle is the dominant cost
+    * and it's shared. Equality with the four individual gate queries is
+    * spec-pinned; measured wins are committed in SCALE.md. */
+  def fusedEventSuite(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    // checkpoint (not cache): the materialized base must survive re-analysis
+    // under a temp view, and LogicalRDD rewrites its preserved partitioning
+    // to the fresh attribute ids — InMemoryRelation does not (its
+    // withOutput loses the partitioning attrs and throws on Spark 4.1).
+    // AQE off for the base build only: AdaptiveSparkPlanExec reports
+    // UnknownPartitioning, so a checkpoint taken under AQE forgets the
+    // hash partitioning and every branch re-exchanges — the one plan
+    // property this operator exists to share. AQE adds nothing to a plain
+    // repartition+sort anyway; branch queries still run under it.
+    val base = {
+      val key = "spark.sql.adaptive.enabled"
+      val prev = s.conf.get(key)
+      s.conf.set(key, "false")
+      try roundCheckpoint(
+        Q.events(s, d).repartition(col("user_id"))
+          .sortWithinPartitions(col("user_id"), col("ts"), col("event_id")))
+      finally s.conf.set(key, prev)
+    }
+    base.createOrReplaceTempView("events")
+    def tagged(tag: String, sql: String) = {
+      val df = s.sql(sql)
+      df.select(lit(tag).as("q"),
+        to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("payload"))
+    }
+    tagged("q60", q60Sql)
+      .unionAll(tagged("q61", q61Sql))
+      .unionAll(tagged("q62", q62Sql))
+      .unionAll(tagged("q63", q63Sql))
+  }
 
   val all: Seq[QueryDef] = Seq(q22, q23, q27, q28, q55, q60, q61, q62, q63)
 }

@@ -235,6 +235,29 @@ class PlanShapeSpec extends AnyFunSuite {
       "q62 row-total join lost its broadcast")
   }
 
+  test("q60 funnel: running-min windows over a spillable sort, never collect_list") {
+    // the skew-proof contract (documented at Temporal.q60, re-proven on a
+    // 300k-event hot user in ScaleSpec): per-user sequences flow through
+    // O(1)-state running-min windows — a collect_list regression is one
+    // un-spillable array task per power user at 100 TB
+    val p = plan("q60_conversion_funnel")
+    assert(!p.contains("collect_list"), s"q60 regressed to array collection:\n$p")
+    assert(p.contains("Window"), s"q60 lost its running-min windows:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q61 cohort retention: distinct-aggregate shape, no count-distinct Expand") {
+    // the joined frame is distinct per (user, week) and offset is a
+    // bijection of week given the cohort, so the cell aggregate is a plain
+    // count(*) — a count(DISTINCT) respelling would add an Expand pass
+    // (q50's lesson) that doubles the shuffled volume for the same number
+    val p = plan("q61_cohort_retention")
+    assert(!p.contains("Expand"), s"q61 grew a count-distinct Expand pass:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"q61 cohort-size join lost its broadcast:\n$p")
+  }
+
   test("LSH dedup candidates come from equality joins, never nested-loop") {
     val p = plan("d02_minhash_lsh")
     assert(!p.contains("CartesianProduct"), p)

@@ -100,6 +100,31 @@ class ScaleSpec extends AnyFunSuite {
       orders.join(customer, $"o_custkey" === $"c_custkey").count())
   }
 
+  test("fused event suite == the four individual gate queries, sharing one shuffle") {
+    val dir = "/root/testdata/sf0.001"
+    val fused = graft.ops.Temporal.fusedEventSuite(spark, dir)
+    // equality: every branch's tagged JSON payload set matches the solo
+    // query's rows encoded the same way (same engine, same formatting)
+    val got = fused.collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getString(1)).toSet }
+    val solos = Seq("q60" -> "q60_conversion_funnel", "q61" -> "q61_cohort_retention",
+      "q62" -> "q62_transition_matrix", "q63" -> "q63_interarrival_stats")
+    for ((tag, name) <- solos) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val want = df.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*)))
+        .collect().map(_.getString(0)).toSet
+      assert(got(tag) == want, s"fused $tag diverged from $name")
+    }
+    // plan pin: no branch re-exchanges the event stream — the only
+    // user_id hashpartitioning lives inside the staged cached base
+    val plan = fused.queryExecution.executedPlan.toString
+    val reExchanges = "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(plan).size
+    assert(reExchanges == 0,
+      s"a fused branch re-shuffled the stream on user_id:\n$plan")
+  }
+
   test("d18 BIGINT headroom bound matches the documented ~10^8 n-gram limit") {
     // pins the CurationOps d18 docstring to the arithmetic: the scaled
     // ratio numerator (ct+1)·(R+B)·10^6 must stay under 2^63. Under
