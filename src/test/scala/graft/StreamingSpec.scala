@@ -265,6 +265,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(runWith(Some(graft.streaming.StateStores.RocksDB)) == hits)
   }
 
+  test("m07 streaming perceptual near-dup: cross-batch, Hamming-verified; RocksDB agrees") {
+    // q58's bucket-registry contract on the image key: owners claim in
+    // batch 0 (even doc_ids), hits are later-batch collisions only, and
+    // every emitted pair must ALSO pass the full-hash Hamming verify —
+    // banding recall with in-state precision.
+    val dir = "/root/testdata/sf0.001"
+    def runWith(p: Option[String]): Seq[(Long, Long, Long)] =
+      graft.ops.MultimodalOps.perceptualStream(spark, dir, p)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+    val hits = runWith(None)
+    assert(hits.nonEmpty, "no cross-batch perceptual collisions at sf0.001")
+    hits.foreach { case (bi, owner, dup) =>
+      assert(bi >= 0 && bi < graft.ops.MultimodalOps.m06Bands)
+      assert(owner % 2 == 0, s"owner $owner not from batch 0")
+      assert(dup % 2 == 1, s"dup $dup not from batch 1")
+    }
+    // the Hamming bound actually holds on the emitted pairs: recompute
+    // both hashes batch-side and check every pair is within m06MaxHam
+    import spark.implicits._
+    val media = graft.ops.Q.table(spark, dir, "documents")
+      .select($"doc_id", $"text".cast("binary").as("payload"), $"source")
+    val hashes = graft.ops.MultimodalOps.perceptualHash(spark, media)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    hits.foreach { case (_, owner, dup) =>
+      val ham = hashes(owner).zip(hashes(dup)).count { case (a, b) => a != b }
+      assert(ham <= graft.ops.MultimodalOps.m06MaxHam,
+        s"pair ($owner, $dup) emitted at Hamming $ham")
+    }
+    // same pipeline with state in RocksDB: identical hit set
+    assert(runWith(Some(graft.streaming.StateStores.RocksDB)) == hits)
+  }
+
   test("q58 bucket TTL: an expired bucket re-admits its key as a fresh owner (RocksDB restart)") {
     // The bounded-state dial: run 1 (TTL = 1 ms) lets doc 1's buckets
     // expire when the unrelated batch arrives; run 2 restarts the SAME
