@@ -285,6 +285,80 @@ class MultimodalSpec extends AnyFunSuite {
         "each class must see the other as a near-dup neighbor")
   }
 
+  test("WavCodec: a real WAV decode drives m01-m03 semantics on genuine PCM") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // deterministic 600-sample 16-bit LE mono PCM at 8 kHz, written as a
+    // REAL WAV container by the JDK encoder — so the codec parses a real
+    // header and decodes real sample data, and every expectation below is
+    // recomputed driver-side from the raw samples
+    val n = 600
+    val samples = Array.tabulate(n)(i => ((i * 37) % 20001 - 10000).toShort)
+    val pcm = new Array[Byte](2 * n)
+    for (i <- 0 until n) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    assert(wav.length > pcm.length, "container must carry a real header")
+
+    import spark.implicits._
+    val df = Seq((7L, wav, "wav")).toDF("doc_id", "payload", "source")
+
+    // m01: real container parse (rate/channels/frame count from the header)
+    val m = MultimodalOps.decodeMetadata(spark, df, codec = graft.ops.WavCodec).head()
+    assert(m.getAs[String]("media_type") == "audio/wave")
+    assert(m.getAs[Long]("width") == 8000L)
+    assert(m.getAs[Long]("height") == 1L)
+    assert(m.getAs[Long]("n_frames") == n.toLong)
+    assert(m.getAs[Long]("size_bytes") == wav.length.toLong)
+
+    def sampleAt(b: Array[Byte], i: Int): Int =
+      (((b(2 * i) & 0xff) | (b(2 * i + 1) << 8)).toShort).toInt
+
+    // m03: overlapping analysis windows over the DECODED plane — energy
+    // and digest must equal the driver-side computation on the raw PCM
+    val wins = MultimodalOps.segmentWindows(spark, df,
+      winBytes = 96, hopBytes = 48, codec = graft.ops.WavCodec).collect()
+    assert(wins.nonEmpty)
+    var checked = 0
+    wins.foreach { r =>
+      val start = r.getAs[Long]("byte_start").toInt - 1
+      if (start < pcm.length) {
+        val slice = pcm.slice(start, math.min(start + 96, pcm.length))
+        assert(r.getAs[Long]("n_bytes") == slice.length.toLong)
+        val energy = (0 until slice.length / 2)
+          .map(i => math.abs(sampleAt(slice, i)).toLong).sum
+        assert(r.getAs[Long]("energy") == energy,
+          s"window at $start: energy mismatch")
+        val mdig = java.security.MessageDigest.getInstance("MD5")
+        assert(r.getAs[String]("win_md5") ==
+          mdig.digest(slice).map("%02x".format(_)).mkString)
+        checked += 1
+      }
+    }
+    assert(checked > 5, "too few in-plane windows checked")
+    assert(wins.exists(_.getAs[Long]("energy") > 0L), "silent decode")
+
+    // m02: fixed-size frame sampling — digests over decoded sample blocks
+    val frames = MultimodalOps.sampleFrames(spark, df,
+      frameBytes = 64, every = 4, codec = graft.ops.WavCodec).collect()
+    assert(frames.nonEmpty)
+    frames.foreach { r =>
+      val start = r.getAs[Long]("byte_start").toInt - 1
+      val slice =
+        if (start >= pcm.length) Array.emptyByteArray
+        else pcm.slice(start, math.min(start + 64, pcm.length))
+      val mdig = java.security.MessageDigest.getInstance("MD5")
+      assert(r.getAs[String]("frame_md5") ==
+        mdig.digest(slice).map("%02x".format(_)).mkString)
+    }
+  }
+
   test("the default stub keeps m01-m03 oracle-identical (regression pin)") {
     // the seam refactor must not disturb the gate outputs: spot-check the
     // stub against the documented pure functions
