@@ -583,17 +583,32 @@ object CorpusOps {
     * Stops early if no adjacent pair remains (every word fused to one
     * symbol); the oracle's CROSS JOIN with the then-empty `b_r` goes empty
     * the same way. */
+  /** FULL per-word counts of the `[a-z]+` token stream, staged once per
+    * run: ONE corpus-scale wordcount shuffle whose output is
+    * vocabulary-sized (cheap to cache), feeding BOTH the train's top-K
+    * head (bpeTrain) and t12's distinct-word frame — without this, the
+    * encode re-ran the scan+explode once per consumer (Catalyst inlines
+    * twice-referenced CTEs — t11's lesson), 3 full passes at 64×. Caching
+    * the exploded token stream instead was measured WORSE (50 M-row cache
+    * round-trips cost more than the explode they saved); the wordcount
+    * aggregate is the metadata-width artifact that caches for free. */
+  private[graft] def wordCounts(
+      s: org.apache.spark.sql.SparkSession, d: String) =
+    staged("t10_wordcounts_full", d) {
+      withViews(s, d, "documents")("""
+        SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT explode(regexp_extract_all(lower(text), '[a-z]+', 0)) AS w
+              FROM documents)
+        GROUP BY w""")
+    }
+
   private[graft] def bpeTrain(
       s: org.apache.spark.sql.SparkSession,
       d: String,
       rounds: Int = bpeRounds): Vector[(Int, String, String, Long)] = {
-    val wc = staged("t10_wordcounts", d) {
-      withViews(s, d, "documents")(s"""
-        SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
-        FROM (SELECT explode(regexp_extract_all(lower(text), '[a-z]+', 0)) AS w
-              FROM documents)
-        GROUP BY w ORDER BY freq DESC, word LIMIT $bpeVocab""")
-    }
+    wordCounts(s, d).createOrReplaceTempView("t10_wc")
+    val wc = s.sql(
+      s"SELECT word, freq FROM t10_wc ORDER BY freq DESC, word LIMIT $bpeVocab")
     bpeMergeLoop(
       wc.collect().map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1))),
       rounds)
@@ -688,20 +703,24 @@ object CorpusOps {
       rounds: Int = bpeRounds): org.apache.spark.sql.DataFrame = {
     val merges = bpeTrain(s, d, rounds)
       .map { case (_, l, r, _) => s"$l $r" }.mkString(" ")
+    // bpeTrain above already staged the full wordcount artifact and
+    // registered it as t10_wc — the distinct-word frame reads it for free
+    // instead of re-exploding the corpus (the old CTE spelling paid the
+    // scan twice more: once for DISTINCT, once here)
     withViews(s, d, "documents")(s"""
-      WITH toks AS (SELECT doc_id, explode(regexp_extract_all(lower(text), '[a-z]+', 0)) AS w
-                    FROM documents),
-      dw AS (SELECT DISTINCT w FROM toks),
-      enc AS (SELECT w,
-                CAST(size(bpe_apply_chars(w, '$merges')) AS BIGINT) AS n_sub
-              FROM dw)
+      WITH enc AS (SELECT word AS w,
+                CAST(size(bpe_apply_chars(word, '$merges')) AS BIGINT) AS n_sub
+              FROM t10_wc)
       SELECT /*+ BROADCAST(e) */ t.doc_id,
              CAST(count(*) AS BIGINT) AS n_words,
              CAST(sum(e.n_sub) AS BIGINT) AS n_subwords,
              CAST(sum(length(t.w)) AS BIGINT) AS n_chars,
              CAST(sum(length(t.w)) AS DOUBLE) / CAST(sum(e.n_sub) AS DOUBLE)
                AS chars_per_subword
-      FROM toks t JOIN enc e ON t.w = e.w
+      FROM (SELECT doc_id,
+              explode(regexp_extract_all(lower(text), '[a-z]+', 0)) AS w
+            FROM documents) t
+      JOIN enc e ON t.w = e.w
       GROUP BY t.doc_id""")
   }
 
@@ -822,17 +841,27 @@ object CorpusOps {
     * toward GPT-2-style byte-level subwords. Vocab tiebreak orders by
     * `hex(encode(word))` — injective, byte-wise, collation-proof in both
     * engines. */
-  private[graft] def bpeTrainBytes(
-      s: org.apache.spark.sql.SparkSession,
-      d: String,
-      rounds: Int = bpeRounds): Vector[(Int, String, String, Long)] = {
-    val wc = staged("t13_wordcounts", d) {
+  /** Byte-level twin of [[wordCounts]]: FULL per-word counts of the
+    * augmented raw-token stream, staged once for both the train head and
+    * t14's distinct-word frame (same one-explode economics). */
+  private[graft] def wordCountsBytes(
+      s: org.apache.spark.sql.SparkSession, d: String) =
+    staged("t13_wordcounts_full", d) {
       withViews(s, d, "documents")(s"""
         SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
         FROM (SELECT explode(filter(split($sAugText, ' '), x -> x <> '')) AS w
               FROM documents)
-        GROUP BY w ORDER BY freq DESC, hex(encode(w, 'UTF-8')) LIMIT $bpeVocab""")
+        GROUP BY w""")
     }
+
+  private[graft] def bpeTrainBytes(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+      rounds: Int = bpeRounds): Vector[(Int, String, String, Long)] = {
+    wordCountsBytes(s, d).createOrReplaceTempView("t13_wc")
+    val wc = s.sql(s"""
+      SELECT word, freq FROM t13_wc
+      ORDER BY freq DESC, hex(encode(word, 'UTF-8')) LIMIT $bpeVocab""")
     bpeMergeLoop(
       wc.collect().map(r => (byteSyms(r.getString(0)), r.getLong(1))), rounds)
   }
@@ -897,21 +926,22 @@ object CorpusOps {
       rounds: Int = bpeRounds): org.apache.spark.sql.DataFrame = {
     val merges = bpeTrainBytes(s, d, rounds)
       .map { case (_, l, r, _) => s"$l $r" }.mkString(" ")
+    // bpeTrainBytes above staged the full wordcount artifact as t13_wc —
+    // the distinct-word frame reads it instead of re-exploding the corpus
     withViews(s, d, "documents")(s"""
-      WITH toks AS (SELECT doc_id,
-                      explode(filter(split($sAugText, ' '), x -> x <> '')) AS w
-                    FROM documents),
-      dw AS (SELECT DISTINCT w FROM toks),
-      enc AS (SELECT w,
-                CAST(size(bpe_apply_bytes(w, '$merges')) AS BIGINT) AS n_sub
-              FROM dw)
+      WITH enc AS (SELECT word AS w,
+                CAST(size(bpe_apply_bytes(word, '$merges')) AS BIGINT) AS n_sub
+              FROM t13_wc)
       SELECT /*+ BROADCAST(e) */ t.doc_id,
              CAST(count(*) AS BIGINT) AS n_words,
              CAST(sum(e.n_sub) AS BIGINT) AS n_subwords,
              CAST(sum(octet_length(t.w)) AS BIGINT) AS n_bytes,
              CAST(sum(octet_length(t.w)) AS DOUBLE) / CAST(sum(e.n_sub) AS DOUBLE)
                AS bytes_per_subword
-      FROM toks t JOIN enc e ON t.w = e.w
+      FROM (SELECT doc_id,
+              explode(filter(split($sAugText, ' '), x -> x <> '')) AS w
+            FROM documents) t
+      JOIN enc e ON t.w = e.w
       GROUP BY t.doc_id""")
   }
 

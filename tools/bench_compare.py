@@ -7,6 +7,7 @@ check. Usage:
 Needs oracle_sql.json from a Verify run (any SF) at /tmp/vout.
 """
 import json
+import os
 import sys
 import time
 
@@ -22,8 +23,10 @@ def main(sf_dir, bench_json, oracle_json="/tmp/vout/oracle_sql.json"):
     oracle = json.load(open(oracle_json))
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"create view {t} as select * from read_parquet('{sf_dir}/{t}.parquet')")
+        p = f"{sf_dir}/{t}.parquet"
+        # scaled dirs are Spark-written parquet DIRECTORIES (scale_evidence's rule)
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.execute(f"create view {t} as select * from read_parquet({src})")
     rows = []
     for name, spark_s in sorted(bench["queries"].items()):
         sql = oracle.get(name)
