@@ -744,11 +744,17 @@ object CorpusOps {
     Some {
       // composes [[t10OracleChain]] — the oracle-verified derivation of
       // the same b1..b12 the engine collected, so both sides apply the
-      // IDENTICAL rules
+      // IDENTICAL rules. LEFT JOIN ON true, not CROSS JOIN: past the
+      // exhaustion round (every word fused — char-level dries up at 89
+      // rounds on sf0.01) b_r is EMPTY, and a cross join would wipe the
+      // encode chain to zero rows while the engine's collected table just
+      // stops early; the left join passes seq through unchanged (caught
+      // by the -Dgraft.bpe.rounds=256 deep-dial gate run in round 10).
       val encodeRounds = (1 to bpeRounds).map { r =>
         s"""e$r AS MATERIALIZED (SELECT w,
-            ${oGreedyMerge("seq", "b.lhs", "b.rhs")} AS seq
-            FROM e${r - 1} CROSS JOIN b$r b)"""
+            CASE WHEN b.lhs IS NULL THEN seq
+                 ELSE ${oGreedyMerge("seq", "b.lhs", "b.rhs")} END AS seq
+            FROM e${r - 1} LEFT JOIN b$r b ON true)"""
       }.mkString(",\n      ")
       s"""
       WITH $t10OracleChain,
@@ -956,10 +962,13 @@ object CorpusOps {
     "t14_bpe_byte_encode",
     (s, d) => t14Encode(s, d),
     Some {
+      // LEFT JOIN ON true for the same exhaustion-robustness as t12's
+      // oracle (empty b_r past the last real merge must pass seq through)
       val encodeRounds = (1 to bpeRounds).map { r =>
         s"""e$r AS MATERIALIZED (SELECT w,
-            ${oGreedyMerge("seq", "b.lhs", "b.rhs")} AS seq
-            FROM e${r - 1} CROSS JOIN b$r b)"""
+            CASE WHEN b.lhs IS NULL THEN seq
+                 ELSE ${oGreedyMerge("seq", "b.lhs", "b.rhs")} END AS seq
+            FROM e${r - 1} LEFT JOIN b$r b ON true)"""
       }.mkString(",\n      ")
       s"""
       WITH $t13OracleChain,
