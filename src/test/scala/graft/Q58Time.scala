@@ -12,14 +12,17 @@ object Q58Time {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local()
     spark.sparkContext.setLogLevel("ERROR")
-    for (d <- args) {
-      graft.ops.StreamingGate.neardupStream(spark, d, None).count() // warm
+    val ops = Seq[(String, String => org.apache.spark.sql.DataFrame)](
+      "q58" -> (d => graft.ops.StreamingGate.neardupStream(spark, d, None)),
+      "m07" -> (d => graft.ops.MultimodalOps.perceptualStream(spark, d, None)))
+    for (d <- args; (name, run) <- ops) {
+      run(d).count() // warm
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        val n = graft.ops.StreamingGate.neardupStream(spark, d, None).count()
+        val n = run(d).count()
         (System.nanoTime() - t0) / 1e9 -> n
       }
-      println(f"q58 $d: min ${times.map(_._1).min}%.2f s, hits ${times.head._2}")
+      println(f"$name $d: min ${times.map(_._1).min}%.2f s, hits ${times.head._2}")
     }
     spark.stop()
   }
