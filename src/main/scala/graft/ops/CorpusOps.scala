@@ -1088,6 +1088,116 @@ object CorpusOps {
     },
     headline = true)
 
+  /** Token-ID materialization — the artifact a trainer actually consumes,
+    * closing the tokenizer pipeline (t13 train → t14 encode → ids):
+    * GPT-2's id scheme exactly — ids 0..255 are the single bytes, id
+    * 255+r is merge r's product — so every document becomes its token-ID
+    * SEQUENCE. Output per doc is bounded evidence of the full sequence:
+    * token count, the first 8 ids (comma-joined STRING — list encodings
+    * differ across engines, strings hash identically), and the exact
+    * order-weighted BIGINT checksum Σ id_i·i (s07's audit pattern: any
+    * id or position error anywhere in the sequence breaks the hash).
+    *
+    * Scale shape: the id mapping runs over DISTINCT words
+    * (vocabulary-scale — the merge map is ≤`bpeRounds` entries riding the
+    * SQL literal, base bytes map via `conv`), per-word id arrays
+    * broadcast back onto one posexplode pass, and the per-DOC sequence
+    * assembles with a collect_list that is bounded by DOCUMENT length —
+    * never corpus-scale state (a 100 TB corpus is more docs, not bigger
+    * ones; the power-doc bound is the max document size, the same bound
+    * any sequence writer has). */
+  private[graft] def t15Ids(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      rounds: Int = bpeRounds): org.apache.spark.sql.DataFrame = {
+    val table = bpeTrainBytes(s, d, rounds)
+    val merges = table.map { case (_, l, r, _) => s"$l $r" }.mkString(" ")
+    val mergeMap = table
+      .map { case (r, l, rh, _) => s"'${l + rh}', ${255 + r}" }
+      .mkString("map(", ", ", ")")
+    val symId = "CASE WHEN length(s) = 2 THEN CAST(conv(s, 16, 10) AS INT) " +
+      s"ELSE element_at($mergeMap, s) END"
+    withViews(s, d, "documents")(s"""
+      WITH toks AS (SELECT doc_id,
+                      posexplode(filter(split($sAugText, ' '), x -> x <> ''))
+                        AS (pos, w)
+                    FROM documents),
+      dw AS (SELECT DISTINCT w FROM toks),
+      enc AS (SELECT w,
+                transform(bpe_apply_bytes(w, '$merges'),
+                  s -> CAST($symId AS BIGINT)) AS ids
+              FROM dw),
+      seq AS (SELECT /*+ BROADCAST(e) */ t.doc_id, t.pos, e.ids
+              FROM toks t JOIN enc e ON t.w = e.w),
+      doc AS (SELECT doc_id,
+                flatten(transform(array_sort(collect_list(struct(pos, ids))),
+                  x -> x.ids)) AS tids
+              FROM seq GROUP BY doc_id)
+      SELECT doc_id,
+             CAST(size(tids) AS BIGINT) AS n_tokens,
+             concat_ws(',', slice(tids, 1, 8)) AS head_ids,
+             CAST(aggregate(zip_with(tids, sequence(1, size(tids)),
+               (x, i) -> x * CAST(i AS BIGINT)), CAST(0 AS BIGINT),
+               (a, b) -> a + b) AS BIGINT) AS id_checksum
+      FROM doc""")
+  }
+
+  val t15 = QueryDef(
+    "t15_token_ids",
+    (s, d) => t15Ids(s, d),
+    Some {
+      // re-derives the merge table + encode chain with t13/t14's verified
+      // CTEs, then maps symbols to ids INDEPENDENTLY (hex digits via
+      // strpos arithmetic, merge products via the rank table)
+      val encodeRounds = (1 to bpeRounds).map { r =>
+        s"""e$r AS MATERIALIZED (SELECT w,
+            CASE WHEN b.lhs IS NULL THEN seq
+                 ELSE ${oGreedyMerge("seq", "b.lhs", "b.rhs")} END AS seq
+            FROM e${r - 1} LEFT JOIN b$r b ON true)"""
+      }.mkString(",\n      ")
+      val mpUnion = (1 to bpeRounds)
+        .map(r => s"SELECT 255 + $r AS id, lhs || rhs AS sym FROM b$r")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH $t13OracleChain,
+      mp AS ($mpUnion),
+      toks AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos,
+                 unnest(ws) AS w
+               FROM (SELECT doc_id,
+                       list_filter(string_split($oAugText, ' '), x -> x <> '') AS ws
+                     FROM documents)),
+      dw AS (SELECT DISTINCT w FROM toks),
+      e0 AS (SELECT w, '|' || regexp_replace(hex(encode(w)), '(..)', '\\1|', 'g') AS seq
+             FROM dw),
+      $encodeRounds,
+      wsyms AS (SELECT w, list_filter(string_split(seq, '|'), x -> x <> '') AS syms
+                FROM e$bpeRounds),
+      ws AS (SELECT w, unnest(range(1, len(syms) + 1)) AS i,
+               unnest(syms) AS s
+             FROM wsyms),
+      wid AS (SELECT ws.w, ws.i,
+                CAST(CASE WHEN strlen(ws.s) = 2
+                  THEN (strpos('0123456789ABCDEF', ws.s[1:1]) - 1) * 16
+                     + (strpos('0123456789ABCDEF', ws.s[2:2]) - 1)
+                  ELSE mp.id END AS BIGINT) AS id
+              FROM ws LEFT JOIN mp ON ws.s = mp.sym),
+      wids AS (SELECT w, list(id ORDER BY i) AS ids FROM wid GROUP BY w),
+      seq AS (SELECT t.doc_id, t.pos, w2.ids
+              FROM toks t JOIN wids w2 ON t.w = w2.w),
+      doc AS (SELECT doc_id, flatten(list(ids ORDER BY pos)) AS tids
+              FROM seq GROUP BY doc_id),
+      chk AS (SELECT doc_id, CAST(sum(x * i) AS BIGINT) AS id_checksum
+              FROM (SELECT doc_id, unnest(tids) AS x,
+                      unnest(range(1, len(tids) + 1)) AS i
+                    FROM doc)
+              GROUP BY doc_id)
+      SELECT d.doc_id,
+             CAST(len(d.tids) AS BIGINT) AS n_tokens,
+             array_to_string(d.tids[1:8], ',') AS head_ids,
+             c.id_checksum
+      FROM doc d JOIN chk c ON d.doc_id = c.doc_id"""
+    },
+    headline = true)
+
   val all: Seq[QueryDef] =
-    Seq(d08, d09, q44, t06, q46, q47, q48, q50, t10, t12, t13, t14, q59)
+    Seq(d08, d09, q44, t06, q46, q47, q48, q50, t10, t12, t13, t14, t15, q59)
 }

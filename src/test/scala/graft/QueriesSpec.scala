@@ -219,6 +219,37 @@ class QueriesSpec extends AnyFunSuite {
       "256-round table must compress further than the 12-round table")
   }
 
+  test("t15 token-id sequences: engine output matches a full driver-side recompute") {
+    // end-to-end independent check of the id materialization: rebuild a
+    // document's complete token-id sequence on the driver (augmented
+    // text -> tokens -> encodeBytesLocal -> GPT-2 id scheme) and compare
+    // count, head, and the order-weighted checksum for every doc
+    val table = graft.ops.CorpusOps.bpeTrainBytes(spark, dir)
+    val merges = table.map { case (_, l, r, _) => (l, r) }
+    val mergeIds = table.map { case (r, l, rh, _) => (l + rh) -> (255L + r) }.toMap
+    def idsOf(word: String): Seq[Long] =
+      graft.ops.CorpusOps.encodeBytesLocal(word, merges).toSeq.map { s =>
+        if (s.length == 2) java.lang.Integer.parseInt(s, 16).toLong
+        else mergeIds(s)
+      }
+    val raw = graft.ops.Q.table(spark, dir, "documents")
+      .selectExpr("doc_id", "text", "source").collect()
+    val got = graft.ops.CorpusOps.t15Ids(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getLong(3))))
+      .toMap
+    assert(raw.nonEmpty && got.size == raw.length)
+    raw.foreach { r =>
+      val (id, text, source) = (r.getLong(0), r.getString(1), r.getString(2))
+      val aug = s"$text Café-№${id % 10}.${id % 7}% Ωδ$source"
+      val tids = aug.split(" ").filter(_.nonEmpty).toSeq.flatMap(idsOf)
+      val checksum = tids.zipWithIndex.map { case (x, i) => x * (i + 1) }.sum
+      val (n, head, chk) = got(id)
+      assert(n == tids.length, s"doc $id token count")
+      assert(head == tids.take(8).mkString(","), s"doc $id head ids")
+      assert(chk == checksum, s"doc $id checksum")
+    }
+  }
+
   test("scala UDF registration works (native expressions preferred on hot paths)") {
     import org.apache.spark.sql.functions.udf
     val clip = udf((x: Double, lo: Double, hi: Double) => math.max(lo, math.min(hi, x)))
