@@ -1116,16 +1116,19 @@ object CorpusOps {
       .mkString("map(", ", ", ")")
     val symId = "CASE WHEN length(s) = 2 THEN CAST(conv(s, 16, 10) AS INT) " +
       s"ELSE element_at($mergeMap, s) END"
+    // bpeTrainBytes above staged the full wordcount artifact as t13_wc —
+    // the distinct-word frame reads it instead of re-exploding the corpus
+    // (confirmed by plan audit: the DISTINCT-from-toks spelling inlined
+    // toks twice and paid a second scan+posexplode)
     withViews(s, d, "documents")(s"""
       WITH toks AS (SELECT doc_id,
                       posexplode(filter(split($sAugText, ' '), x -> x <> ''))
                         AS (pos, w)
                     FROM documents),
-      dw AS (SELECT DISTINCT w FROM toks),
-      enc AS (SELECT w,
-                transform(bpe_apply_bytes(w, '$merges'),
+      enc AS (SELECT word AS w,
+                transform(bpe_apply_bytes(word, '$merges'),
                   s -> CAST($symId AS BIGINT)) AS ids
-              FROM dw),
+              FROM t13_wc),
       seq AS (SELECT /*+ BROADCAST(e) */ t.doc_id, t.pos, e.ids
               FROM toks t JOIN enc e ON t.w = e.w),
       doc AS (SELECT doc_id,
