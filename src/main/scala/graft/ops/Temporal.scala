@@ -394,26 +394,7 @@ object Temporal {
     * spec-pinned; measured wins are committed in SCALE.md. */
   def fusedEventSuite(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    // checkpoint (not cache): the materialized base must survive re-analysis
-    // under a temp view, and LogicalRDD rewrites its preserved partitioning
-    // to the fresh attribute ids — InMemoryRelation does not (its
-    // withOutput loses the partitioning attrs and throws on Spark 4.1).
-    // AQE off for the base build only: AdaptiveSparkPlanExec reports
-    // UnknownPartitioning, so a checkpoint taken under AQE forgets the
-    // hash partitioning and every branch re-exchanges — the one plan
-    // property this operator exists to share. AQE adds nothing to a plain
-    // repartition+sort anyway; branch queries still run under it.
-    val base = {
-      val key = "spark.sql.adaptive.enabled"
-      val prev = s.conf.get(key)
-      s.conf.set(key, "false")
-      try roundCheckpoint(
-        Q.events(s, d).repartition(col("user_id"))
-          .sortWithinPartitions(col("user_id"), col("ts"), col("event_id")))
-      finally s.conf.set(key, prev)
-    }
-    base.createOrReplaceTempView("events")
+    fusedBase(s, d)
     def tagged(tag: String, sql: String) = {
       val df = s.sql(sql)
       df.select(lit(tag).as("q"),
@@ -425,5 +406,84 @@ object Temporal {
       .unionAll(tagged("q63", q63Sql))
   }
 
-  val all: Seq[QueryDef] = Seq(q22, q23, q27, q28, q55, q60, q61, q62, q63)
+  /** Build + register the shared co-partitioned events base for the fused
+    * pass.
+    *
+    * Checkpoint (not cache): the materialized base must survive re-analysis
+    * under a temp view, and LogicalRDD rewrites its preserved partitioning
+    * to the fresh attribute ids — InMemoryRelation does not (its
+    * withOutput loses the partitioning attrs and throws on Spark 4.1).
+    * AQE off for the base build only: AdaptiveSparkPlanExec reports
+    * UnknownPartitioning, so a checkpoint taken under AQE forgets the
+    * hash partitioning and every branch re-exchanges — the one plan
+    * property this operator exists to share. AQE adds nothing to a plain
+    * repartition+sort anyway; branch queries still run under it. */
+  private def fusedBase(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    graft.functions.GraftFunctions.register(s)
+    val base = {
+      val key = "spark.sql.adaptive.enabled"
+      val prev = s.conf.get(key)
+      s.conf.set(key, "false")
+      try roundCheckpoint(
+        Q.events(s, d).repartition(col("user_id"))
+          .sortWithinPartitions(col("user_id"), col("ts"), col("event_id")))
+      finally s.conf.set(key, prev)
+    }
+    base.createOrReplaceTempView("events")
+  }
+
+  /** The fused pass as a first-class, oracle-gated query: the four branch
+    * outputs land in one typed frame — `q` tags the branch; `k1`/`k2`
+    * carry the branch's string keys (cohort week, transition endpoints,
+    * event type); `c1..c5` its exact BIGINT measures in declaration
+    * order; `r` its one IEEE-division ratio. Typed columns (not JSON
+    * strings) so the driver's sorted-row hash compare applies unchanged —
+    * the doubles are the identical bit patterns the four individual gate
+    * rows already prove. The oracle is the four UNCHANGED gate oracles
+    * under the same projection, UNION ALL'd; unused measure slots are
+    * typed NULLs on both engines. */
+  private val nullC = "CAST(NULL AS BIGINT)"
+  val q65 = QueryDef(
+    "q65_fused_event_suite",
+    (s, d) => {
+      fusedBase(s, d)
+      val nl = lit(null).cast("bigint")
+      s.sql(q60Sql).select(lit("q60").as("q"), lit("").as("k1"), lit("").as("k2"),
+          col("n_view").as("c1"), col("n_click").as("c2"),
+          col("n_purchase").as("c3"), col("sum_click_us").as("c4"),
+          col("sum_purchase_us").as("c5"), col("conversion").as("r"))
+        .unionAll(s.sql(q61Sql).select(lit("q61").as("q"),
+          col("cohort_week").as("k1"), lit("").as("k2"),
+          col("wk_offset").as("c1"), col("n_active").as("c2"),
+          col("cohort_size").as("c3"), nl.as("c4"), nl.as("c5"),
+          col("retention").as("r")))
+        .unionAll(s.sql(q62Sql).select(lit("q62").as("q"),
+          col("a").as("k1"), col("b").as("k2"), col("n").as("c1"),
+          nl.as("c2"), nl.as("c3"), nl.as("c4"), nl.as("c5"),
+          col("prob").as("r")))
+        .unionAll(s.sql(q63Sql).select(lit("q63").as("q"),
+          col("event_type").as("k1"), lit("").as("k2"),
+          col("n_gaps").as("c1"), col("min_us").as("c2"),
+          col("max_us").as("c3"), col("sum_us").as("c4"), nl.as("c5"),
+          col("mean_us").as("r")))
+    },
+    Some(s"""
+      SELECT 'q60' AS q, '' AS k1, '' AS k2, n_view AS c1, n_click AS c2,
+             n_purchase AS c3, sum_click_us AS c4, sum_purchase_us AS c5,
+             conversion AS r
+      FROM (${q60.oracle.get})
+      UNION ALL
+      SELECT 'q61', cohort_week, '', wk_offset, n_active, cohort_size,
+             $nullC, $nullC, retention
+      FROM (${q61.oracle.get})
+      UNION ALL
+      SELECT 'q62', a, b, n, $nullC, $nullC, $nullC, $nullC, prob
+      FROM (${q62.oracle.get})
+      UNION ALL
+      SELECT 'q63', event_type, '', n_gaps, min_us, max_us, sum_us, $nullC,
+             mean_us
+      FROM (${q63.oracle.get})"""),
+    headline = true)
+
+  val all: Seq[QueryDef] = Seq(q22, q23, q27, q28, q55, q60, q61, q62, q63, q65)
 }

@@ -125,6 +125,23 @@ class ScaleSpec extends AnyFunSuite {
       s"a fused branch re-shuffled the stream on user_id:\n$plan")
   }
 
+  test("q65 gate row: typed fused pass keeps the zero-re-exchange property") {
+    val dir = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("q65_fused_event_suite")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).isEmpty,
+      s"a q65 branch re-shuffled the stream on user_id:\n$plan")
+    // the typed projection carries exactly the solos' cardinalities
+    val counts = df.groupBy("q").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val solos = Seq("q60" -> "q60_conversion_funnel",
+      "q61" -> "q61_cohort_retention", "q62" -> "q62_transition_matrix",
+      "q63" -> "q63_interarrival_stats")
+    for ((tag, name) <- solos)
+      assert(counts(tag) == SparkEntry.queries(name)(spark, dir).count(),
+        s"q65 branch $tag lost or duplicated rows")
+  }
+
   test("d18 BIGINT headroom bound matches the documented ~10^8 n-gram limit") {
     // pins the CurationOps d18 docstring to the arithmetic: the scaled
     // ratio numerator (ct+1)·(R+B)·10^6 must stay under 2^63. Under
