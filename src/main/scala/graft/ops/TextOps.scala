@@ -294,5 +294,111 @@ object TextOps {
              r_len AND r_wordlen AND r_stop AND r_sym AND r_digit AND r_boiler AS keep
       FROM r"""))
 
-  val all: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t07, t08, d01)
+  // ---- PII detection + redaction --------------------------------------
+
+  /** Deterministic PII augmentation for the scrub gate: the synthetic
+    * corpus contains no emails/phones/IPs/card numbers, so — exactly as
+    * t13 augments for the byte-level tokenizer — a pure function of
+    * (doc_id, source) plants every PII class on a known subset of docs:
+    * an email on doc_id%5=0, a NANP-style phone on %7=0, an IPv4 on
+    * %11=0, a Luhn-VALID card (rotating through three standard test
+    * numbers) on %13=0, and a Luhn-INVALID 16-digit run on %13=1 (the
+    * negative control the validity check must leave untouched). ONE
+    * definition, two dialect spellings. */
+  private def sPiiAug: String = s"""concat(text,
+      CASE WHEN doc_id % 5 = 0 THEN concat(' reach u', CAST(doc_id AS STRING), '@mail-', source, '.com') ELSE '' END,
+      CASE WHEN doc_id % 7 = 0 THEN concat(' call 555-', CAST(doc_id % 900 + 100 AS STRING), '-', CAST(doc_id % 9000 + 1000 AS STRING)) ELSE '' END,
+      CASE WHEN doc_id % 11 = 0 THEN concat(' ip 10.', CAST(doc_id % 256 AS STRING), '.', CAST(doc_id * 3 % 256 AS STRING), '.', CAST(doc_id * 7 % 256 AS STRING)) ELSE '' END,
+      CASE WHEN doc_id % 13 = 0 THEN concat(' card ', CASE doc_id % 3 WHEN 0 THEN '4539578763621486' WHEN 1 THEN '4716108999716531' ELSE '5425233430109903' END) ELSE '' END,
+      CASE WHEN doc_id % 13 = 1 THEN ' card 4539578763621480' ELSE '' END)"""
+  private def oPiiAug: String = s"""concat(text,
+      CASE WHEN doc_id % 5 = 0 THEN concat(' reach u', CAST(doc_id AS VARCHAR), '@mail-', source, '.com') ELSE '' END,
+      CASE WHEN doc_id % 7 = 0 THEN concat(' call 555-', CAST(doc_id % 900 + 100 AS VARCHAR), '-', CAST(doc_id % 9000 + 1000 AS VARCHAR)) ELSE '' END,
+      CASE WHEN doc_id % 11 = 0 THEN concat(' ip 10.', CAST(doc_id % 256 AS VARCHAR), '.', CAST(doc_id * 3 % 256 AS VARCHAR), '.', CAST(doc_id * 7 % 256 AS VARCHAR)) ELSE '' END,
+      CASE WHEN doc_id % 13 = 0 THEN concat(' card ', CASE doc_id % 3 WHEN 0 THEN '4539578763621486' WHEN 1 THEN '4716108999716531' ELSE '5425233430109903' END) ELSE '' END,
+      CASE WHEN doc_id % 13 = 1 THEN ' card 4539578763621480' ELSE '' END)"""
+
+  /** PII scrub — the redaction stage every public-web training corpus
+    * runs before release (emails, phone numbers, IP addresses, payment
+    * card numbers): per document, detect each class by pattern, validate
+    * card CANDIDATES with the Luhn checksum (a 13–16-digit run is only
+    * PII when the check digit matches — the %13=1 negative control stays
+    * in the clear), redact in a fixed order (email → phone → IP → each
+    * valid card by exact literal), and report the audit counts a
+    * compliance pipeline must emit. The ENGINE validates with Spark's
+    * built-in `luhn_check`; the ORACLE spells the doubled-digit fold
+    * explicitly in DuckDB — two independent derivations of the checksum
+    * that the gate hash forces to agree on every candidate.
+    *
+    * Scale shape: pure row-wise projection — regex + bounded per-row
+    * list lambdas, no explode, no shuffle; the 100 TB ideal map pass
+    * (d14's economics). */
+  val t16 = QueryDef(
+    "t16_pii_scrub",
+    (s, d) => withViews(s, d, "documents")(s"""
+      WITH t AS (SELECT doc_id, $sPiiAug AS nt FROM documents),
+      c AS (SELECT doc_id, nt,
+              regexp_extract_all(nt, '[a-z0-9._%+-]+@[a-z0-9.-]+\\\\.[a-z][a-z]+', 0) AS emails,
+              regexp_extract_all(nt, '\\\\b555-[0-9]{3}-[0-9]{4}\\\\b', 0) AS phones,
+              regexp_extract_all(nt, '\\\\b[0-9]{1,3}(\\\\.[0-9]{1,3}){3}\\\\b', 0) AS ips,
+              regexp_extract_all(nt, '\\\\b[0-9]{13,16}\\\\b', 0) AS cards
+            FROM t),
+      l AS (SELECT doc_id, nt, emails, phones, ips, cards,
+              filter(cards, x -> luhn_check(x)) AS valid_cards
+            FROM c),
+      r AS (SELECT doc_id, nt, emails, phones, ips, cards, valid_cards,
+              aggregate(valid_cards,
+                regexp_replace(regexp_replace(regexp_replace(nt,
+                  '[a-z0-9._%+-]+@[a-z0-9.-]+\\\\.[a-z][a-z]+', '<email>'),
+                  '\\\\b555-[0-9]{3}-[0-9]{4}\\\\b', '<phone>'),
+                  '\\\\b[0-9]{1,3}(\\\\.[0-9]{1,3}){3}\\\\b', '<ip>'),
+                (a, x) -> replace(a, x, '<card>')) AS cleaned
+            FROM l)
+      SELECT doc_id,
+             CAST(size(emails) AS BIGINT) AS n_email,
+             CAST(size(phones) AS BIGINT) AS n_phone,
+             CAST(size(ips) AS BIGINT) AS n_ip,
+             CAST(size(cards) AS BIGINT) AS n_card_cand,
+             CAST(size(valid_cards) AS BIGINT) AS n_card_valid,
+             CAST(length(nt) AS BIGINT) AS len_before,
+             CAST(length(cleaned) AS BIGINT) AS len_after,
+             cleaned
+      FROM r"""),
+    Some(s"""
+      WITH t AS (SELECT doc_id, $oPiiAug AS nt FROM documents),
+      c AS (SELECT doc_id, nt,
+              regexp_extract_all(nt, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+') AS emails,
+              regexp_extract_all(nt, '\\b555-[0-9]{3}-[0-9]{4}\\b') AS phones,
+              regexp_extract_all(nt, '\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b', 0) AS ips,
+              regexp_extract_all(nt, '\\b[0-9]{13,16}\\b') AS cards
+            FROM t),
+      l AS (SELECT doc_id, nt, emails, phones, ips, cards,
+              list_filter(cards, c -> list_sum(list_transform(range(length(c)), i ->
+                CASE WHEN i % 2 = 1
+                  THEN (CAST(substr(c, length(c) - i, 1) AS INT) * 2) // 10
+                     + (CAST(substr(c, length(c) - i, 1) AS INT) * 2) % 10
+                  ELSE CAST(substr(c, length(c) - i, 1) AS INT) END)) % 10 = 0)
+                AS valid_cards
+            FROM c),
+      r AS (SELECT doc_id, nt, emails, phones, ips, cards, valid_cards,
+              list_reduce(list_prepend(
+                regexp_replace(regexp_replace(regexp_replace(nt,
+                  '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+', '<email>', 'g'),
+                  '\\b555-[0-9]{3}-[0-9]{4}\\b', '<phone>', 'g'),
+                  '\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b', '<ip>', 'g'),
+                valid_cards), (a, x) -> replace(a, x, '<card>')) AS cleaned
+            FROM l)
+      SELECT doc_id,
+             CAST(len(emails) AS BIGINT) AS n_email,
+             CAST(len(phones) AS BIGINT) AS n_phone,
+             CAST(len(ips) AS BIGINT) AS n_ip,
+             CAST(len(cards) AS BIGINT) AS n_card_cand,
+             CAST(len(valid_cards) AS BIGINT) AS n_card_valid,
+             CAST(length(nt) AS BIGINT) AS len_before,
+             CAST(length(cleaned) AS BIGINT) AS len_after,
+             cleaned
+      FROM r"""),
+    headline = true)
+
+  val all: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t07, t08, t16, d01)
 }

@@ -423,4 +423,36 @@ class QueriesSpec extends AnyFunSuite {
         .forEach(p => Files.deleteIfExists(p))
     }
   }
+
+  test("t16 PII scrub: redaction complete, Luhn negative control untouched") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("t16_pii_scrub")(spark, dir).cache()
+    try {
+      // the augmentation plants each class on its residue set — counts land
+      val agg = df.agg(sum("n_email"), sum("n_phone"), sum("n_ip"),
+        sum("n_card_cand"), sum("n_card_valid")).head()
+      val n = df.count()
+      assert(agg.getLong(0) >= n / 5, "planted emails missed")
+      assert(agg.getLong(1) >= n / 7, "planted phones missed")
+      assert(agg.getLong(2) >= n / 11, "planted IPs missed")
+      // every %13=0 doc carries a VALID card, every %13=1 an INVALID one:
+      // candidates ≈ 2×valid, and validity strictly filters
+      assert(agg.getLong(4) >= n / 13 && agg.getLong(4) < agg.getLong(3),
+        "Luhn validation did not strictly filter the candidate set")
+      // cleaned text carries no residual PII of any class
+      val residual = df.filter(
+        col("cleaned").rlike("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+") ||
+        col("cleaned").rlike("\\b555-[0-9]{3}-[0-9]{4}\\b") ||
+        col("cleaned").rlike("\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b")).count()
+      assert(residual == 0, s"$residual docs still leak PII after redaction")
+      // the Luhn-invalid run survives in the clear (no over-redaction) and
+      // every valid card is gone
+      val invalidKept = df.filter(col("n_card_cand") > col("n_card_valid"))
+        .filter(col("cleaned").contains("4539578763621480")).count()
+      assert(invalidKept > 0, "negative control was over-redacted")
+      val validLeaked = df.filter(col("cleaned").rlike("\\b[0-9]{13,16}\\b"))
+        .filter(!col("cleaned").contains("4539578763621480")).count()
+      assert(validLeaked == 0, "a Luhn-valid card survived redaction")
+    } finally df.unpersist()
+  }
 }
