@@ -400,5 +400,75 @@ object TextOps {
       FROM r"""),
     headline = true)
 
-  val all: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t07, t08, t16, d01)
+  // ---- script-aware language identification ----------------------------
+
+  /** Deterministic script planting for the t17 gate (t13's augmentation
+    * pattern): the corpus is lowercase-ASCII, so Han / Cyrillic / Greek
+    * runs are appended as pure functions of doc_id — the gate hash then
+    * proves the non-Latin counting paths on every engine. */
+  private def sScriptAug: String = s"""concat(text,
+      CASE WHEN doc_id % 4 = 0 THEN ' 数据处理' ELSE '' END,
+      CASE WHEN doc_id % 6 = 0 THEN ' обработка данных' ELSE '' END,
+      CASE WHEN doc_id % 9 = 0 THEN ' Ωμέγα' ELSE '' END,
+      CASE WHEN doc_id % 8 = 0 THEN concat(' v', CAST(doc_id % 100 AS STRING)) ELSE '' END)"""
+  private def oScriptAug: String = s"""concat(text,
+      CASE WHEN doc_id % 4 = 0 THEN ' 数据处理' ELSE '' END,
+      CASE WHEN doc_id % 6 = 0 THEN ' обработка данных' ELSE '' END,
+      CASE WHEN doc_id % 9 = 0 THEN ' Ωμέγα' ELSE '' END,
+      CASE WHEN doc_id % 8 = 0 THEN concat(' v', CAST(doc_id % 100 AS VARCHAR)) ELSE '' END)"""
+
+  /** Script-aware language ID — the half of language identification that
+    * t02's stopword heuristic cannot see: per document, exact codepoint
+    * counts per Unicode script block (Latin, Han, Cyrillic, Greek, digits)
+    * via `\\x{...}`-range character classes (identical semantics in Java
+    * regex and RE2 — probed on both engines), the dominant script by
+    * fixed-priority argmax, and a multiscript flag (≥2 letter scripts
+    * present — the mixed-language doc a router must treat specially).
+    * Real-world shape: script ID is the cheap O(chars) prefilter that
+    * routes documents to per-script language models; for CJK it IS the
+    * language family decision.
+    *
+    * Scale: pure row-wise regex counting — no explode, no shuffle. */
+  val t17 = QueryDef(
+    "t17_script_id",
+    (s, d) => withViews(s, d, "documents")(s"""
+      WITH t AS (SELECT doc_id, lang, $sScriptAug AS nt FROM documents),
+      c AS (SELECT doc_id, lang,
+              CAST(size(regexp_extract_all(nt, '[a-zA-Z]', 0)) AS BIGINT) AS n_latin,
+              CAST(size(regexp_extract_all(nt, '[0-9]', 0)) AS BIGINT) AS n_digit,
+              CAST(size(regexp_extract_all(nt, '[\\\\x{4e00}-\\\\x{9fff}]', 0)) AS BIGINT) AS n_han,
+              CAST(size(regexp_extract_all(nt, '[\\\\x{0400}-\\\\x{04ff}]', 0)) AS BIGINT) AS n_cyr,
+              CAST(size(regexp_extract_all(nt, '[\\\\x{0370}-\\\\x{03ff}]', 0)) AS BIGINT) AS n_greek
+            FROM t)
+      SELECT doc_id, lang AS labeled_lang, n_latin, n_digit, n_han, n_cyr, n_greek,
+             CASE WHEN n_latin >= n_han AND n_latin >= n_cyr AND n_latin >= n_greek THEN 'latin'
+                  WHEN n_han >= n_cyr AND n_han >= n_greek THEN 'han'
+                  WHEN n_cyr >= n_greek THEN 'cyrillic'
+                  ELSE 'greek' END AS script,
+             (CASE WHEN n_latin > 0 THEN 1 ELSE 0 END +
+              CASE WHEN n_han > 0 THEN 1 ELSE 0 END +
+              CASE WHEN n_cyr > 0 THEN 1 ELSE 0 END +
+              CASE WHEN n_greek > 0 THEN 1 ELSE 0 END) >= 2 AS multiscript
+      FROM c"""),
+    Some(s"""
+      WITH t AS (SELECT doc_id, lang, $oScriptAug AS nt FROM documents),
+      c AS (SELECT doc_id, lang,
+              CAST(len(regexp_extract_all(nt, '[a-zA-Z]')) AS BIGINT) AS n_latin,
+              CAST(len(regexp_extract_all(nt, '[0-9]')) AS BIGINT) AS n_digit,
+              CAST(len(regexp_extract_all(nt, '[\\x{4e00}-\\x{9fff}]')) AS BIGINT) AS n_han,
+              CAST(len(regexp_extract_all(nt, '[\\x{0400}-\\x{04ff}]')) AS BIGINT) AS n_cyr,
+              CAST(len(regexp_extract_all(nt, '[\\x{0370}-\\x{03ff}]')) AS BIGINT) AS n_greek
+            FROM t)
+      SELECT doc_id, lang AS labeled_lang, n_latin, n_digit, n_han, n_cyr, n_greek,
+             CASE WHEN n_latin >= n_han AND n_latin >= n_cyr AND n_latin >= n_greek THEN 'latin'
+                  WHEN n_han >= n_cyr AND n_han >= n_greek THEN 'han'
+                  WHEN n_cyr >= n_greek THEN 'cyrillic'
+                  ELSE 'greek' END AS script,
+             (CASE WHEN n_latin > 0 THEN 1 ELSE 0 END +
+              CASE WHEN n_han > 0 THEN 1 ELSE 0 END +
+              CASE WHEN n_cyr > 0 THEN 1 ELSE 0 END +
+              CASE WHEN n_greek > 0 THEN 1 ELSE 0 END) >= 2 AS multiscript
+      FROM c"""))
+
+  val all: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t07, t08, t16, t17, d01)
 }

@@ -455,4 +455,27 @@ class QueriesSpec extends AnyFunSuite {
       assert(validLeaked == 0, "a Luhn-valid card survived redaction")
     } finally df.unpersist()
   }
+
+  test("t17 script ID: planted scripts counted exactly, multiscript flagged") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("t17_script_id")(spark, dir).cache()
+    try {
+      // every %4=0 doc carries exactly the 4 planted Han codepoints and
+      // is multiscript (Latin base + Han); %6=0 plants 15 Cyrillic letters
+      val han = df.filter(col("doc_id") % 4 === 0)
+      assert(han.filter(col("n_han") =!= 4 || !col("multiscript")).count() == 0,
+        "planted Han run miscounted or multiscript unflagged")
+      val cyr = df.filter(col("doc_id") % 6 === 0)
+      assert(cyr.filter(col("n_cyr") =!= 15).count() == 0,
+        "planted Cyrillic run miscounted")
+      // unplanted docs are pure-Latin, single-script
+      val plain = df.filter(col("doc_id") % 4 =!= 0 && col("doc_id") % 6 =!= 0
+        && col("doc_id") % 9 =!= 0)
+      assert(plain.filter(col("n_han") > 0 || col("n_cyr") > 0 ||
+        col("n_greek") > 0 || col("multiscript")).count() == 0,
+        "script counts leaked into unplanted docs")
+      assert(df.filter(col("script") =!= "latin").count() == 0,
+        "the ASCII-dominant corpus must stay latin-dominant per doc")
+    } finally df.unpersist()
+  }
 }
