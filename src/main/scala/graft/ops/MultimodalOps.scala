@@ -518,5 +518,82 @@ object MultimodalOps {
               i -> substring(b.ahash, i, 1) <> substring(o.owner_hash, i, 1)))
             <= $m06MaxHam"""))
 
-  val all: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06, m07)
+  /** Audio fingerprint (Haitsma–Kalker shape): the sign of the energy
+    * delta between consecutive analysis windows, 64 bits over the first
+    * 65 windows of the payload. Composes the existing seams end to end —
+    * window energies come from [[segmentWindows]] (the codec session's
+    * scalar feature, so a real decoder drops in unchanged), the per-doc
+    * assembly is a map lookup over win_idx (bounded by the 65-window
+    * horizon — never clip-length state), and payloads shorter than the
+    * horizon zero-pad (a silent tail, the standard treatment for short
+    * clips). Shorter clips therefore share zero-tail bits — the same
+    * hot-bucket banding skew m06's scaladoc documents, with the same
+    * dial (widen bands / pre-split hot buckets).
+    *
+    * Shape: row-wise window flatMap, then ONE metadata-width (doc_id,
+    * win_idx, energy) shuffle — the payload itself never moves. */
+  def audioFingerprint(spark: SparkSession, media: DataFrame,
+      winBytes: Int = 8, hopBytes: Int = 4,
+      codec: MediaCodec = MediaCodec.Stub): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    segmentWindows(spark, media, winBytes, hopBytes, codec)
+      .where($"win_idx" <= 64)
+      .groupBy($"doc_id")
+      .agg(map_from_entries(collect_list(struct($"win_idx", $"energy")))
+        .as("we"))
+      .select($"doc_id", expr(
+        "concat_ws('', transform(sequence(0, 63), i -> " +
+          "IF(coalesce(try_element_at(we, CAST(i + 1 AS BIGINT)), 0L) > " +
+          "coalesce(try_element_at(we, CAST(i AS BIGINT)), 0L), '1', '0')))")
+        .as("ahash"))
+  }
+
+  /** Audio near-dup grouping — [[audioFingerprint]]'s energy-delta key
+    * through [[perceptualNeighbors]]' banded Hamming machinery: the audio
+    * twin of m06 (re-encoded/volume-shifted clips keep their energy
+    * PROFILE — delta signs are invariant to uniform gain — so they land
+    * within a few flipped bits). The DuckDB oracle re-derives the
+    * fingerprint from the ASCII byte==char identity and brute-forces all
+    * distinct-fingerprint pairs — banding-free, so it independently
+    * proves the pigeonhole completeness exactly as m06's oracle does. */
+  val m08 = QueryDef(
+    "m08_audio_neardup",
+    (s, d) => {
+      import s.implicits._
+      val media = table(s, d, "documents")
+        .select($"doc_id", $"text".cast("binary").as("payload"), $"source")
+      perceptualNeighbors(s, audioFingerprint(s, media))
+    },
+    Some(s"""
+      WITH b AS (SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS len
+                 FROM documents),
+      en AS (SELECT doc_id, list_transform(range(0, 65), wi ->
+               CASE WHEN wi * 4 < len THEN
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, length(substring(text, CAST(wi * 4 + 1 AS INT), 8)) + 1),
+                     i -> CAST(ascii(substring(substring(text, CAST(wi * 4 + 1 AS INT), 8), i, 1)) AS BIGINT))),
+                   (a, c) -> a + c)
+               ELSE 0 END) AS e
+             FROM b),
+      h AS (SELECT doc_id, array_to_string(list_transform(range(0, 64),
+               i -> CASE WHEN e[i + 2] > e[i + 1] THEN '1' ELSE '0' END), '')
+               AS ahash
+            FROM en),
+      dh AS (SELECT ahash, CAST(count(*) AS BIGINT) AS n_docs,
+               min(doc_id) AS canonical_doc
+             FROM h GROUP BY ahash),
+      ed AS (SELECT a.ahash AS ahash, b.n_docs AS other_docs,
+              len(list_filter(range(1, 65),
+                i -> substring(a.ahash, i, 1) <> substring(b.ahash, i, 1))) AS ham
+            FROM dh a JOIN dh b ON a.ahash <> b.ahash),
+      nb AS (SELECT ahash, CAST(count(*) AS BIGINT) AS n_neighbor_hashes,
+               CAST(sum(other_docs) AS BIGINT) AS n_neighbor_docs
+             FROM ed WHERE ham <= $m06MaxHam GROUP BY ahash)
+      SELECT dh.ahash, dh.n_docs, dh.canonical_doc,
+             CAST(coalesce(nb.n_neighbor_hashes, 0) AS BIGINT) AS n_neighbor_hashes,
+             CAST(coalesce(nb.n_neighbor_docs, 0) AS BIGINT) AS n_neighbor_docs
+      FROM dh LEFT JOIN nb ON dh.ahash = nb.ahash"""))
+
+  val all: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06, m07, m08)
 }

@@ -369,4 +369,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m.getAs[Long]("width") == (len * 31 + 7) % 640 + 1)
     assert(m.getAs[Long]("height") == (len * 17 + 3) % 480 + 1)
   }
+
+  test("m08: audio fingerprint is gain-invariant on real WAVs, separates signals") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def wavOf(samples: Array[Short]): Array[Byte] = {
+      val pcm = new Array[Byte](2 * samples.length)
+      for (i <- samples.indices) {
+        pcm(2 * i) = (samples(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // EVEN samples so a 0.5× gain is exact integer halving: |s/2| = |s|/2,
+    // window energies halve exactly, and every delta-sign comparison is
+    // preserved — the invariance the fingerprint claims
+    val base = Array.tabulate(600)(i => (((i * 37) % 10000 - 5000) * 2).toShort)
+    val half = base.map(s => (s / 2).toShort)
+    val other = Array.tabulate(600)(i => (((i * 101 + 13) % 10000 - 5000) * 2).toShort)
+    import spark.implicits._
+    val df = Seq((1L, wavOf(base), "wav"), (2L, wavOf(half), "wav"),
+      (3L, wavOf(other), "wav")).toDF("doc_id", "payload", "source")
+    val fps = MultimodalOps.audioFingerprint(spark, df, codec = graft.ops.WavCodec)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L).length == 64 && fps(1L).forall(c => c == '0' || c == '1'))
+    assert(fps(1L) == fps(2L), "uniform 0.5x gain flipped delta signs")
+    assert(fps(1L) != fps(3L), "distinct signals collided")
+    // the banded neighbor pass groups the gain pair under one class
+    val nb = MultimodalOps.perceptualNeighbors(spark,
+      MultimodalOps.audioFingerprint(spark, df, codec = graft.ops.WavCodec))
+    val row = nb.filter($"ahash" === fps(1L)).head()
+    assert(row.getAs[Long]("n_docs") == 2L, "gain pair split across classes")
+    assert(row.getAs[Long]("canonical_doc") == 1L)
+  }
 }
