@@ -45,6 +45,14 @@ object MediaCodec {
       * luma mean, …). Must be exact/deterministic for the oracle gate. */
     def feature(bytes: Array[Byte]): Long
 
+    /** Smallest addressable unit of the decoded stream, in bytes —
+      * analysis windows must start and end on multiples of this or the
+      * feature parses garbage (a 16-bit PCM window sliced at an odd
+      * offset reads byte pairs straddling two samples; gain covariance
+      * and every spectral property die). 1 for byte streams (Stub,
+      * images-as-bytes), 2 for 16-bit mono PCM (WavCodec). */
+    def frameBytes: Int = 1
+
     /** Nearest-neighbor resample to a dstW × dstH thumbnail, returned as
       * row-major pixel intensities in [0, 255]. The stub interprets the
       * payload as a srcW-wide row-major byte image (ragged last row, out

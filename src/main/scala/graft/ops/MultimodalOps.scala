@@ -344,12 +344,29 @@ object MultimodalOps {
         "the pigeonhole completeness guarantee (add bands or lower maxHam)")
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val dh = hashes.groupBy($"ahash")
-      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("canonical_doc"))
+    // materialize the distinct-hash frame before the band self-join: both
+    // join sides (and the final report join) would otherwise recompute
+    // the ENTIRE upstream — payload scan + codec decode + fingerprint —
+    // once per reference. dh is metadata-width (one row per distinct
+    // 64-bit class), so the checkpoint is effectively free
+    val dh = roundCheckpoint(hashes.groupBy($"ahash")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("canonical_doc")))
+    // explicit (bi, bv) repartition before the self-join: the band frames
+    // are only tens of KB, so AQE's size-based advisory coalesces them to
+    // ONE partition — but the join's OUTPUT is the candidate-pair
+    // explosion (~1M rows at sf0.1), and generating + Hamming-scoring it
+    // single-task serialized the whole operator (StageProfile: a 4.3 s
+    // one-task stage). Keying the exchange by band spreads pair
+    // generation across the shuffle partitions and the join needs no
+    // further exchange.
     val bands = dh.select($"ahash",
         explode(expr(s"transform(sequence(0, ${m06Bands - 1}), " +
           "i -> struct(i AS bi, substring(ahash, i*8+1, 8) AS bv))")).as("b"))
       .select($"ahash", $"b.bi".as("bi"), $"b.bv".as("bv"))
+      // the partition COUNT is pinned: a bare repartition(cols) is
+      // advisory under AQE, which sized the tiny exchange back down to
+      // one partition and re-serialized the join (re-profiled)
+      .repartition(spark.sparkContext.defaultParallelism, $"bi", $"bv")
     // Hamming distance as two 32-bit conv + XOR + bit_count halves —
     // plain codegen'd integer ops per candidate pair (the 64× substring
     // lambda this replaced was ~10× slower on fat candidate sets); 32-bit
@@ -519,34 +536,60 @@ object MultimodalOps {
             <= $m06MaxHam"""))
 
   /** Audio fingerprint (Haitsma–Kalker shape): the sign of the energy
-    * delta between consecutive analysis windows, 64 bits over the first
-    * 65 windows of the payload. Composes the existing seams end to end —
-    * window energies come from [[segmentWindows]] (the codec session's
-    * scalar feature, so a real decoder drops in unchanged), the per-doc
-    * assembly is a map lookup over win_idx (bounded by the 65-window
-    * horizon — never clip-length state), and payloads shorter than the
-    * horizon zero-pad (a silent tail, the standard treatment for short
-    * clips). Shorter clips therefore share zero-tail bits — the same
-    * hot-bucket banding skew m06's scaladoc documents, with the same
-    * dial (widen bands / pre-split hot buckets).
+    * delta between consecutive analysis windows, 64 bits over a 65-window
+    * horizon. Window geometry is PER-CLIP proportional — window wi spans
+    * bytes ⌊wi·len/65⌋ to ⌊(wi+2)·len/65⌋ (50% overlap, m03's STFT
+    * shape) — so the horizon spans the whole clip and EVERY window is
+    * non-empty, making every bit informative. Geometry matters more
+    * than it looks: the first-shipped fixed-geometry spelling
+    * zero-padded short clips, which concentrated tail bands on the
+    * all-zero value — ONE band bucket held 58% of all distinct
+    * fingerprints and the band join degenerated toward all-pairs
+    * (measured 22.5 s at sf0.1; a ⌈len/65⌉-hop variant still left the
+    * truncated tail biased, max bucket 2816 of 4858). Proportional
+    * spans drop the max bucket to 246 and the candidate load 5× (SCALE
+    * .md). Windows come from the codec session's slice + scalar
+    * feature, so a real decoder (WavCodec) drops in unchanged.
     *
-    * Shape: row-wise window flatMap, then ONE metadata-width (doc_id,
-    * win_idx, energy) shuffle — the payload itself never moves. */
+    * Shape: ZERO shuffles — one row-wise map over the payloads; only
+    * (doc_id, 64-char fingerprint) leaves the scan. */
   def audioFingerprint(spark: SparkSession, media: DataFrame,
-      winBytes: Int = 8, hopBytes: Int = 4,
+      horizon: Int = 65,
       codec: MediaCodec = MediaCodec.Stub): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.functions._
-    segmentWindows(spark, media, winBytes, hopBytes, codec)
-      .where($"win_idx" <= 64)
-      .groupBy($"doc_id")
-      .agg(map_from_entries(collect_list(struct($"win_idx", $"energy")))
-        .as("we"))
-      .select($"doc_id", expr(
-        "concat_ws('', transform(sequence(0, 63), i -> " +
-          "IF(coalesce(try_element_at(we, CAST(i + 1 AS BIGINT)), 0L) > " +
-          "coalesce(try_element_at(we, CAST(i AS BIGINT)), 0L), '1', '0')))")
-        .as("ahash"))
+    // CPU-bound per-row decode: a small single-file scan arrives as ONE
+    // partition (3 MB of sf0.1 documents) and would serialize the whole
+    // fingerprint pass on one core (StageProfile: 2.1 s single-task
+    // stage). At 100 TB scans are naturally multi-partition and this is
+    // a no-op; locally it spreads the decode at the cost of shuffling
+    // the (small) payloads once.
+    val spread =
+      if (media.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
+        media.repartition(spark.sparkContext.defaultParallelism)
+      else media
+    spread.as[MediaIn].mapPartitions { it =>
+      val sess = codec.open()
+      // window boundaries land on codec frame boundaries (frameBytes) —
+      // proportional BYTE offsets would slice 16-bit PCM mid-sample and
+      // destroy gain covariance (caught by the m08 WAV spec)
+      val fb = sess.frameBytes
+      it.map { m =>
+        val nf = m.payload.length.toLong / fb
+        val energies = Array.tabulate(horizon) { wi =>
+          val startF = wi * nf / horizon
+          val endF = ((wi + 2) * nf / horizon).min(nf)
+          sess.feature(sess.slice(m.payload,
+            (startF * fb).toInt, ((endF - startF) * fb).toInt)._1)
+        }
+        val bits = new java.lang.StringBuilder(horizon - 1)
+        var i = 0
+        while (i < horizon - 1) {
+          bits.append(if (energies(i + 1) > energies(i)) '1' else '0')
+          i += 1
+        }
+        (m.doc_id, bits.toString)
+      }
+    }.toDF("doc_id", "ahash")
   }
 
   /** Audio near-dup grouping — [[audioFingerprint]]'s energy-delta key
@@ -569,12 +612,10 @@ object MultimodalOps {
       WITH b AS (SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS len
                  FROM documents),
       en AS (SELECT doc_id, list_transform(range(0, 65), wi ->
-               CASE WHEN wi * 4 < len THEN
-                 list_reduce(list_prepend(CAST(0 AS BIGINT),
-                   list_transform(range(1, length(substring(text, CAST(wi * 4 + 1 AS INT), 8)) + 1),
-                     i -> CAST(ascii(substring(substring(text, CAST(wi * 4 + 1 AS INT), 8), i, 1)) AS BIGINT))),
-                   (a, c) -> a + c)
-               ELSE 0 END) AS e
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, length(substring(text, CAST((wi * len) // 65 + 1 AS INT), CAST(((wi + 2) * len) // 65 - (wi * len) // 65 AS INT))) + 1),
+                   i -> CAST(ascii(substring(substring(text, CAST((wi * len) // 65 + 1 AS INT), CAST(((wi + 2) * len) // 65 - (wi * len) // 65 AS INT)), i, 1)) AS BIGINT))),
+                 (a, c) -> a + c)) AS e
              FROM b),
       h AS (SELECT doc_id, array_to_string(list_transform(range(0, 64),
                i -> CASE WHEN e[i + 2] > e[i + 1] THEN '1' ELSE '0' END), '')

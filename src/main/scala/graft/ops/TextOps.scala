@@ -468,7 +468,8 @@ object TextOps {
               CASE WHEN n_han > 0 THEN 1 ELSE 0 END +
               CASE WHEN n_cyr > 0 THEN 1 ELSE 0 END +
               CASE WHEN n_greek > 0 THEN 1 ELSE 0 END) >= 2 AS multiscript
-      FROM c"""))
+      FROM c"""),
+    headline = true)
 
   val all: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t07, t08, t16, t17, d01)
 }

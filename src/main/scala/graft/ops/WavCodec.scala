@@ -93,6 +93,8 @@ object WavCodec extends MediaCodec {
       (bytes, md.digest(bytes).map("%02x".format(_)).mkString)
     }
 
+    override def frameBytes: Int = 2 // 16-bit mono PCM
+
     def feature(bytes: Array[Byte]): Long = {
       // exact integer energy: sum of |16-bit LE sample| (a ragged trailing
       // byte is ignored — slices are even-length whenever callers stay on
