@@ -634,7 +634,8 @@ object MultimodalOps {
       SELECT dh.ahash, dh.n_docs, dh.canonical_doc,
              CAST(coalesce(nb.n_neighbor_hashes, 0) AS BIGINT) AS n_neighbor_hashes,
              CAST(coalesce(nb.n_neighbor_docs, 0) AS BIGINT) AS n_neighbor_docs
-      FROM dh LEFT JOIN nb ON dh.ahash = nb.ahash"""))
+      FROM dh LEFT JOIN nb ON dh.ahash = nb.ahash"""),
+    headline = true)
 
   val all: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06, m07, m08)
 }
