@@ -45,6 +45,16 @@ object MediaCodec {
       * luma mean, …). Must be exact/deterministic for the oracle gate. */
     def feature(bytes: Array[Byte]): Long
 
+    /** Length in bytes of the DECODED stream for a payload — the space
+      * `slice` offsets address. Analysis geometry (window spans, frame
+      * counts) must derive from THIS, not the container byte length: a
+      * WAV's 44-byte header would otherwise push the last windows past
+      * the plane (silent zero tails), and the same PCM in a different
+      * container (AU/AIFF headers differ) would get different window
+      * positions — breaking container-invariant fingerprints. Identity
+      * for raw byte streams. */
+    def planeLength(payload: Array[Byte]): Int = payload.length
+
     /** Smallest addressable unit of the decoded stream, in bytes —
       * analysis windows must start and end on multiples of this or the
       * feature parses garbage (a 16-bit PCM window sliced at an odd

@@ -574,7 +574,11 @@ object MultimodalOps {
       // destroy gain covariance (caught by the m08 WAV spec)
       val fb = sess.frameBytes
       it.map { m =>
-        val nf = m.payload.length.toLong / fb
+        // frame count over the DECODED stream (planeLength), not the
+        // container: a WAV header would shift every window and silence
+        // the tail, and the same PCM re-containered (AU/AIFF) would
+        // fingerprint differently — container-invariance is spec-pinned
+        val nf = sess.planeLength(m.payload).toLong / fb
         val energies = Array.tabulate(horizon) { wi =>
           val startF = wi * nf / horizon
           val endF = ((wi + 2) * nf / horizon).min(nf)

@@ -305,18 +305,14 @@ object TextOps {
     * numbers) on %13=0, and a Luhn-INVALID 16-digit run on %13=1 (the
     * negative control the validity check must leave untouched). ONE
     * definition, two dialect spellings. */
-  private def sPiiAug: String = s"""concat(text,
-      CASE WHEN doc_id % 5 = 0 THEN concat(' reach u', CAST(doc_id AS STRING), '@mail-', source, '.com') ELSE '' END,
-      CASE WHEN doc_id % 7 = 0 THEN concat(' call 555-', CAST(doc_id % 900 + 100 AS STRING), '-', CAST(doc_id % 9000 + 1000 AS STRING)) ELSE '' END,
-      CASE WHEN doc_id % 11 = 0 THEN concat(' ip 10.', CAST(doc_id % 256 AS STRING), '.', CAST(doc_id * 3 % 256 AS STRING), '.', CAST(doc_id * 7 % 256 AS STRING)) ELSE '' END,
+  private def piiAug(strTy: String): String = s"""concat(text,
+      CASE WHEN doc_id % 5 = 0 THEN concat(' reach u', CAST(doc_id AS $strTy), '@mail-', source, '.com') ELSE '' END,
+      CASE WHEN doc_id % 7 = 0 THEN concat(' call 555-', CAST(doc_id % 900 + 100 AS $strTy), '-', CAST(doc_id % 9000 + 1000 AS $strTy)) ELSE '' END,
+      CASE WHEN doc_id % 11 = 0 THEN concat(' ip 10.', CAST(doc_id % 256 AS $strTy), '.', CAST(doc_id * 3 % 256 AS $strTy), '.', CAST(doc_id * 7 % 256 AS $strTy)) ELSE '' END,
       CASE WHEN doc_id % 13 = 0 THEN concat(' card ', CASE doc_id % 3 WHEN 0 THEN '4539578763621486' WHEN 1 THEN '4716108999716531' ELSE '5425233430109903' END) ELSE '' END,
       CASE WHEN doc_id % 13 = 1 THEN ' card 4539578763621480' ELSE '' END)"""
-  private def oPiiAug: String = s"""concat(text,
-      CASE WHEN doc_id % 5 = 0 THEN concat(' reach u', CAST(doc_id AS VARCHAR), '@mail-', source, '.com') ELSE '' END,
-      CASE WHEN doc_id % 7 = 0 THEN concat(' call 555-', CAST(doc_id % 900 + 100 AS VARCHAR), '-', CAST(doc_id % 9000 + 1000 AS VARCHAR)) ELSE '' END,
-      CASE WHEN doc_id % 11 = 0 THEN concat(' ip 10.', CAST(doc_id % 256 AS VARCHAR), '.', CAST(doc_id * 3 % 256 AS VARCHAR), '.', CAST(doc_id * 7 % 256 AS VARCHAR)) ELSE '' END,
-      CASE WHEN doc_id % 13 = 0 THEN concat(' card ', CASE doc_id % 3 WHEN 0 THEN '4539578763621486' WHEN 1 THEN '4716108999716531' ELSE '5425233430109903' END) ELSE '' END,
-      CASE WHEN doc_id % 13 = 1 THEN ' card 4539578763621480' ELSE '' END)"""
+  private def sPiiAug: String = piiAug("STRING")
+  private def oPiiAug: String = piiAug("VARCHAR")
 
   /** PII scrub — the redaction stage every public-web training corpus
     * runs before release (emails, phone numbers, IP addresses, payment
@@ -338,15 +334,12 @@ object TextOps {
     (s, d) => withViews(s, d, "documents")(s"""
       WITH t AS (SELECT doc_id, $sPiiAug AS nt FROM documents),
       c AS (SELECT doc_id, nt,
-              regexp_extract_all(nt, '[a-z0-9._%+-]+@[a-z0-9.-]+\\\\.[a-z][a-z]+', 0) AS emails,
-              regexp_extract_all(nt, '\\\\b555-[0-9]{3}-[0-9]{4}\\\\b', 0) AS phones,
-              regexp_extract_all(nt, '\\\\b[0-9]{1,3}(\\\\.[0-9]{1,3}){3}\\\\b', 0) AS ips,
               regexp_extract_all(nt, '\\\\b[0-9]{13,16}\\\\b', 0) AS cards
             FROM t),
-      l AS (SELECT doc_id, nt, emails, phones, ips, cards,
+      l AS (SELECT doc_id, nt, cards,
               filter(cards, x -> luhn_check(x)) AS valid_cards
             FROM c),
-      r AS (SELECT doc_id, nt, emails, phones, ips, cards, valid_cards,
+      r AS (SELECT doc_id, nt, cards, valid_cards,
               aggregate(valid_cards,
                 regexp_replace(regexp_replace(regexp_replace(nt,
                   '[a-z0-9._%+-]+@[a-z0-9.-]+\\\\.[a-z][a-z]+', '<email>'),
@@ -355,9 +348,9 @@ object TextOps {
                 (a, x) -> replace(a, x, '<card>')) AS cleaned
             FROM l)
       SELECT doc_id,
-             CAST(size(emails) AS BIGINT) AS n_email,
-             CAST(size(phones) AS BIGINT) AS n_phone,
-             CAST(size(ips) AS BIGINT) AS n_ip,
+             CAST(regexp_count(nt, '[a-z0-9._%+-]+@[a-z0-9.-]+\\\\.[a-z][a-z]+') AS BIGINT) AS n_email,
+             CAST(regexp_count(nt, '\\\\b555-[0-9]{3}-[0-9]{4}\\\\b') AS BIGINT) AS n_phone,
+             CAST(regexp_count(nt, '\\\\b[0-9]{1,3}(\\\\.[0-9]{1,3}){3}\\\\b') AS BIGINT) AS n_ip,
              CAST(size(cards) AS BIGINT) AS n_card_cand,
              CAST(size(valid_cards) AS BIGINT) AS n_card_valid,
              CAST(length(nt) AS BIGINT) AS len_before,
@@ -406,16 +399,13 @@ object TextOps {
     * pattern): the corpus is lowercase-ASCII, so Han / Cyrillic / Greek
     * runs are appended as pure functions of doc_id — the gate hash then
     * proves the non-Latin counting paths on every engine. */
-  private def sScriptAug: String = s"""concat(text,
+  private def scriptAug(strTy: String): String = s"""concat(text,
       CASE WHEN doc_id % 4 = 0 THEN ' 数据处理' ELSE '' END,
       CASE WHEN doc_id % 6 = 0 THEN ' обработка данных' ELSE '' END,
       CASE WHEN doc_id % 9 = 0 THEN ' Ωμέγα' ELSE '' END,
-      CASE WHEN doc_id % 8 = 0 THEN concat(' v', CAST(doc_id % 100 AS STRING)) ELSE '' END)"""
-  private def oScriptAug: String = s"""concat(text,
-      CASE WHEN doc_id % 4 = 0 THEN ' 数据处理' ELSE '' END,
-      CASE WHEN doc_id % 6 = 0 THEN ' обработка данных' ELSE '' END,
-      CASE WHEN doc_id % 9 = 0 THEN ' Ωμέγα' ELSE '' END,
-      CASE WHEN doc_id % 8 = 0 THEN concat(' v', CAST(doc_id % 100 AS VARCHAR)) ELSE '' END)"""
+      CASE WHEN doc_id % 8 = 0 THEN concat(' v', CAST(doc_id % 100 AS $strTy)) ELSE '' END)"""
+  private def sScriptAug: String = scriptAug("STRING")
+  private def oScriptAug: String = scriptAug("VARCHAR")
 
   /** Script-aware language ID — the half of language identification that
     * t02's stopword heuristic cannot see: per document, exact codepoint
@@ -434,11 +424,11 @@ object TextOps {
     (s, d) => withViews(s, d, "documents")(s"""
       WITH t AS (SELECT doc_id, lang, $sScriptAug AS nt FROM documents),
       c AS (SELECT doc_id, lang,
-              CAST(size(regexp_extract_all(nt, '[a-zA-Z]', 0)) AS BIGINT) AS n_latin,
-              CAST(size(regexp_extract_all(nt, '[0-9]', 0)) AS BIGINT) AS n_digit,
-              CAST(size(regexp_extract_all(nt, '[\\\\x{4e00}-\\\\x{9fff}]', 0)) AS BIGINT) AS n_han,
-              CAST(size(regexp_extract_all(nt, '[\\\\x{0400}-\\\\x{04ff}]', 0)) AS BIGINT) AS n_cyr,
-              CAST(size(regexp_extract_all(nt, '[\\\\x{0370}-\\\\x{03ff}]', 0)) AS BIGINT) AS n_greek
+              CAST(regexp_count(nt, '[a-zA-Z]') AS BIGINT) AS n_latin,
+              CAST(regexp_count(nt, '[0-9]') AS BIGINT) AS n_digit,
+              CAST(regexp_count(nt, '[\\\\x{4e00}-\\\\x{9fff}]') AS BIGINT) AS n_han,
+              CAST(regexp_count(nt, '[\\\\x{0400}-\\\\x{04ff}]') AS BIGINT) AS n_cyr,
+              CAST(regexp_count(nt, '[\\\\x{0370}-\\\\x{03ff}]') AS BIGINT) AS n_greek
             FROM t)
       SELECT doc_id, lang AS labeled_lang, n_latin, n_digit, n_han, n_cyr, n_greek,
              CASE WHEN n_latin >= n_han AND n_latin >= n_cyr AND n_latin >= n_greek THEN 'latin'

@@ -95,6 +95,9 @@ object WavCodec extends MediaCodec {
 
     override def frameBytes: Int = 2 // 16-bit mono PCM
 
+    override def planeLength(payload: Array[Byte]): Int =
+      decodePlane(payload).length
+
     def feature(bytes: Array[Byte]): Long = {
       // exact integer energy: sum of |16-bit LE sample| (a ragged trailing
       // byte is ignored — slices are even-length whenever callers stay on

@@ -372,19 +372,23 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("m08: audio fingerprint is gain-invariant on real WAVs, separates signals") {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
-    def wavOf(samples: Array[Short]): Array[Byte] = {
+    def containerOf(samples: Array[Short],
+        typ: AudioFileFormat.Type, bigEndian: Boolean): Array[Byte] = {
       val pcm = new Array[Byte](2 * samples.length)
       for (i <- samples.indices) {
-        pcm(2 * i) = (samples(i) & 0xff).toByte
-        pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        val (lo, hi) = if (bigEndian) (2 * i + 1, 2 * i) else (2 * i, 2 * i + 1)
+        pcm(lo) = (samples(i) & 0xff).toByte
+        pcm(hi) = ((samples(i) >> 8) & 0xff).toByte
       }
-      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val fmt = new AudioFormat(8000f, 16, 1, true, bigEndian)
       val bos = new java.io.ByteArrayOutputStream()
       AudioSystem.write(new AudioInputStream(
         new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
-        AudioFileFormat.Type.WAVE, bos)
+        typ, bos)
       bos.toByteArray
     }
+    def wavOf(samples: Array[Short]): Array[Byte] =
+      containerOf(samples, AudioFileFormat.Type.WAVE, bigEndian = false)
     // EVEN samples so a 0.5× gain is exact integer halving: |s/2| = |s|/2,
     // window energies halve exactly, and every delta-sign comparison is
     // preserved — the invariance the fingerprint claims
@@ -405,5 +409,15 @@ class MultimodalSpec extends AnyFunSuite {
     val row = nb.filter($"ahash" === fps(1L)).head()
     assert(row.getAs[Long]("n_docs") == 2L, "gain pair split across classes")
     assert(row.getAs[Long]("canonical_doc") == 1L)
+    // container invariance: the SAME samples in an AIFF container
+    // (different header length, big-endian frames) must fingerprint
+    // identically — window geometry derives from the DECODED plane
+    // (Session.planeLength), never container bytes
+    val aiff = containerOf(base, javax.sound.sampled.AudioFileFormat.Type.AIFF,
+      bigEndian = true)
+    val df2 = Seq((9L, aiff, "aiff")).toDF("doc_id", "payload", "source")
+    val fpAiff = MultimodalOps.audioFingerprint(spark, df2,
+      codec = graft.ops.WavCodec).collect().head.getString(1)
+    assert(fpAiff == fps(1L), "re-containered PCM changed the fingerprint")
   }
 }
