@@ -1201,6 +1201,133 @@ object CorpusOps {
     },
     headline = true)
 
+  /** t18: corpus-scale DETOKENIZE round-trip — the integrity gate that
+    * closes the tokenizer loop (t13 train → t14 encode → t15 ids → back
+    * to bytes). Every document's token-ID sequence is decoded through
+    * the INVERSE vocabulary (ids 0–255 → the byte's hex pair
+    * arithmetically, 255+r → merge r's product via the inverted merge
+    * map), the per-word byte strings reassemble in token order, and the
+    * reconstruction is md5-compared against the same-order concatenation
+    * of the ORIGINAL tokens — any dropped byte, wrong id, or ordering
+    * error anywhere in the corpus flips `roundtrip` and breaks the gate
+    * hash. (Spaces are not tokens in this scheme, so the reference is
+    * the separator-free token concatenation — the exact byte content
+    * the tokenizer is responsible for.)
+    *
+    * Scale shape: t15's — decode runs over DISTINCT words from the
+    * staged wordcount artifact, per-word strings broadcast back onto the
+    * token explode, per-doc assembly bounded by document length. */
+  private[graft] def t18Detok(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      rounds: Int = bpeRounds): org.apache.spark.sql.DataFrame = {
+    val table = bpeTrainBytes(s, d, rounds)
+    val merges = table.map { case (_, l, r, _) => s"$l $r" }.mkString(" ")
+    val mergeMap = table
+      .map { case (r, l, rh, _) => s"'${l + rh}', ${255 + r}" }
+      .mkString("map(", ", ", ")")
+    val invMap = table
+      .map { case (r, l, rh, _) => s"${255 + r}, '${l + rh}'" }
+      .mkString("map(", ", ", ")")
+    val symId = "CASE WHEN length(s) = 2 THEN CAST(conv(s, 16, 10) AS INT) " +
+      s"ELSE element_at($mergeMap, s) END"
+    withViews(s, d, "documents")(s"""
+      WITH toks AS (SELECT doc_id,
+                      posexplode(filter(split($sAugText, ' '), x -> x <> ''))
+                        AS (pos, w)
+                    FROM documents),
+      enc AS (SELECT word AS w,
+                transform(bpe_apply_bytes(word, '$merges'),
+                  s -> CAST($symId AS BIGINT)) AS ids
+              FROM t13_wc),
+      dec AS (SELECT w, size(ids) AS n_ids,
+                decode(unhex(concat_ws('', transform(ids, i ->
+                  CASE WHEN i < 256 THEN lpad(conv(i, 10, 16), 2, '0')
+                       ELSE element_at($invMap, CAST(i AS INT)) END))),
+                  'UTF-8') AS w_back
+              FROM enc),
+      seq AS (SELECT /*+ BROADCAST(e) */ t.doc_id, t.pos, t.w, e.w_back,
+                e.n_ids
+              FROM toks t JOIN dec e ON t.w = e.w),
+      doc AS (SELECT doc_id,
+                CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(n_ids) AS BIGINT) AS n_tokens,
+                md5(concat_ws('', transform(
+                  array_sort(collect_list(struct(pos, w))), x -> x.w)))
+                  AS orig_md5,
+                md5(concat_ws('', transform(
+                  array_sort(collect_list(struct(pos, w_back))), x -> x.w_back)))
+                  AS detok_md5
+              FROM seq GROUP BY doc_id)
+      SELECT doc_id, n_words, n_tokens, orig_md5, detok_md5,
+             orig_md5 = detok_md5 AS roundtrip
+      FROM doc""")
+  }
+
+  val t18 = QueryDef(
+    "t18_detokenize",
+    (s, d) => t18Detok(s, d),
+    Some {
+      // t15's verified oracle chain down to wid (word, position, id),
+      // then the INDEPENDENT inverse: base ids via hex-digit arithmetic,
+      // merge ids via the reversed rank table; DuckDB reassembles and
+      // md5-compares exactly as the engine does
+      val encodeRounds = (1 to bpeRounds).map { r =>
+        s"""e$r AS MATERIALIZED (SELECT w,
+            CASE WHEN b.lhs IS NULL THEN seq
+                 ELSE ${oGreedyMerge("seq", "b.lhs", "b.rhs")} END AS seq
+            FROM e${r - 1} LEFT JOIN b$r b ON true)"""
+      }.mkString(",\n      ")
+      val mpUnion = (1 to bpeRounds)
+        .map(r => s"SELECT 255 + $r AS id, lhs || rhs AS sym FROM b$r")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH $t13OracleChain,
+      mp AS ($mpUnion),
+      toks AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos,
+                 unnest(ws) AS w
+               FROM (SELECT doc_id,
+                       list_filter(string_split($oAugText, ' '), x -> x <> '') AS ws
+                     FROM documents)),
+      dw AS (SELECT DISTINCT w FROM toks),
+      e0 AS (SELECT w, '|' || regexp_replace(hex(encode(w)), '(..)', '\\1|', 'g') AS seq
+             FROM dw),
+      $encodeRounds,
+      wsyms AS (SELECT w, list_filter(string_split(seq, '|'), x -> x <> '') AS syms
+                FROM e$bpeRounds),
+      ws AS (SELECT w, unnest(range(1, len(syms) + 1)) AS i,
+               unnest(syms) AS s
+             FROM wsyms),
+      wid AS (SELECT ws.w, ws.i,
+                CAST(CASE WHEN strlen(ws.s) = 2
+                  THEN (strpos('0123456789ABCDEF', ws.s[1:1]) - 1) * 16
+                     + (strpos('0123456789ABCDEF', ws.s[2:2]) - 1)
+                  ELSE mp.id END AS BIGINT) AS id
+              FROM ws LEFT JOIN mp ON ws.s = mp.sym),
+      widdec AS (SELECT w, i,
+                CASE WHEN wid.id < 256
+                  THEN concat(
+                    substr('0123456789ABCDEF', CAST(wid.id // 16 AS INT) + 1, 1),
+                    substr('0123456789ABCDEF', CAST(wid.id % 16 AS INT) + 1, 1))
+                  ELSE mp2.sym END AS hexsym
+              FROM wid LEFT JOIN mp mp2 ON wid.id = mp2.id),
+      wdec AS (SELECT w, count(*) AS n_ids,
+                decode(unhex(string_agg(hexsym, '' ORDER BY i))) AS w_back
+              FROM widdec GROUP BY w),
+      seq AS (SELECT t.doc_id, t.pos, t.w, e.w_back, e.n_ids
+              FROM toks t JOIN wdec e ON t.w = e.w),
+      doc AS (SELECT doc_id,
+                CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(n_ids) AS BIGINT) AS n_tokens,
+                md5(string_agg(w, '' ORDER BY pos)) AS orig_md5,
+                md5(string_agg(w_back, '' ORDER BY pos)) AS detok_md5
+              FROM seq GROUP BY doc_id)
+      SELECT doc_id, n_words, n_tokens, orig_md5, detok_md5,
+             orig_md5 = detok_md5 AS roundtrip
+      FROM doc"""
+    },
+    headline = true)
+
   val all: Seq[QueryDef] =
-    Seq(d08, d09, q44, t06, q46, q47, q48, q50, t10, t12, t13, t14, t15, q59)
+    Seq(d08, d09, q44, t06, q46, q47, q48, q50, t10, t12, t13, t14, t15, t18,
+      q59)
 }

@@ -478,4 +478,15 @@ class QueriesSpec extends AnyFunSuite {
         "the ASCII-dominant corpus must stay latin-dominant per doc")
     } finally df.unpersist()
   }
+
+  test("t18 detokenize: EVERY document round-trips, at 12 AND 256 merge rounds") {
+    import org.apache.spark.sql.functions._
+    // the gate hash pins the values; this pins the semantic claim — zero
+    // failed reconstructions corpus-wide, through the distributed path
+    for (rounds <- Seq(graft.ops.CorpusOps.bpeRounds, 256)) {
+      val df = graft.ops.CorpusOps.t18Detok(spark, dir, rounds)
+      val bad = df.filter(!col("roundtrip")).count()
+      assert(bad == 0, s"$bad docs failed the $rounds-round detokenize round-trip")
+    }
+  }
 }
