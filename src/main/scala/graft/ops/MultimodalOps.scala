@@ -322,6 +322,18 @@ object MultimodalOps {
   private[graft] val m06MaxHam = 2
   private[graft] val m06Bands = 8
 
+  /** Hamming distance between two 64-char binary-string fingerprints as
+    * two 32-bit conv + XOR + bit_count halves — plain codegen'd integer
+    * ops per pair (the 64× substring lambda this replaced was ~10×
+    * slower on fat candidate sets); 32-bit halves keep conv's unsigned
+    * result inside BIGINT. */
+  private def sHam64(a: String, b: String): String = {
+    def half(off: Int) =
+      s"bit_count(CAST(conv(substring($a, $off, 32), 2, 10) AS BIGINT) ^ " +
+        s"CAST(conv(substring($b, $off, 32), 2, 10) AS BIGINT))"
+    s"CAST(${half(1)} + ${half(33)} AS BIGINT)"
+  }
+
   /** Banded Hamming-neighbor aggregation over a (doc_id, ahash) frame —
     * d02's LSH-banding economics on the perceptual key. Plan shape, in
     * order: ONE shuffle on the fingerprint (distinct-hash groups — the
@@ -367,18 +379,11 @@ object MultimodalOps {
       // advisory under AQE, which sized the tiny exchange back down to
       // one partition and re-serialized the join (re-profiled)
       .repartition(spark.sparkContext.defaultParallelism, $"bi", $"bv")
-    // Hamming distance as two 32-bit conv + XOR + bit_count halves —
-    // plain codegen'd integer ops per candidate pair (the 64× substring
-    // lambda this replaced was ~10× slower on fat candidate sets); 32-bit
-    // halves keep conv's unsigned result inside BIGINT
-    val hamHalf = (off: Int) =>
-      s"bit_count(CAST(conv(substring(ha, $off, 32), 2, 10) AS BIGINT) ^ " +
-        s"CAST(conv(substring(hb, $off, 32), 2, 10) AS BIGINT))"
     val near = bands.as("x").join(bands.as("y"),
         $"x.bi" === $"y.bi" && $"x.bv" === $"y.bv" && $"x.ahash" < $"y.ahash")
       .select($"x.ahash".as("ha"), $"y.ahash".as("hb"))
       .distinct()
-      .withColumn("ham", expr(s"CAST(${hamHalf(1)} + ${hamHalf(33)} AS BIGINT)"))
+      .withColumn("ham", expr(sHam64("ha", "hb")))
       .where($"ham" <= maxHam)
     val edges = near.select($"ha".as("ahash"), $"hb".as("other"))
       .union(near.select($"hb".as("ahash"), $"ha".as("other")))
@@ -641,5 +646,83 @@ object MultimodalOps {
       FROM dh LEFT JOIN nb ON dh.ahash = nb.ahash"""),
     headline = true)
 
-  val all: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06, m07, m08)
+  /** Cross-modal consensus dedup — the multi-signal verdict a production
+    * dedup pipeline ships to cut false positives: every text near-dup
+    * CANDIDATE pair (d02's MinHash/LSH, jaccard ≥ 0.8) is corroborated
+    * against two independent perceptual signals on the same payloads —
+    * the image aHash (alignment-robust: 88% of true text near-dups land
+    * within m06MaxHam bits, measured at sf0.01) and the m08 audio
+    * energy-delta fingerprint, whose Hamming is reported as a DIAGNOSTIC
+    * but not gated: proportional-grid fingerprints are
+    * alignment-sensitive (a single-token edit shifts every window span
+    * by a content fraction larger than one hop, decorrelating the
+    * deltas — measured min Hamming 19 across all true near-dup pairs),
+    * which is exactly why production audio matchers search over offsets
+    * rather than compare one global fingerprint. `consensus` = the text
+    * signal AND the image signal agree.
+    *
+    * Scale shape: the candidate set is d02's (band-joined, tiny relative
+    * to the corpus); the per-doc feature frame (64-bit image key +
+    * 64-bit audio key) is computed ONCE, checkpointed, and the pair
+    * frame joins it twice by doc id with the PAIRS side broadcast — the
+    * features never shuffle, no pair explosion beyond d02's own. */
+  val m09 = QueryDef(
+    "m09_crossmodal_consensus",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val media = table(s, d, "documents")
+        .select($"doc_id", $"text".cast("binary").as("payload"), $"source")
+      val feats = roundCheckpoint(
+        perceptualHash(s, media).withColumnRenamed("ahash", "ihash")
+          .join(audioFingerprint(s, media).withColumnRenamed("ahash", "afp"),
+            "doc_id"))
+      val pairs = graft.ops.DedupOps.d02.run(s, d)
+        .select($"doc_a", $"doc_b", $"jaccard")
+      val withA = feats.as("fa")
+        .join(broadcast(pairs).as("p"), $"fa.doc_id" === $"p.doc_a")
+        .select($"p.doc_a", $"p.doc_b", $"p.jaccard",
+          $"fa.ihash".as("ia"), $"fa.afp".as("aa"))
+      val withB = feats.as("fb")
+        .join(broadcast(withA).as("x"), $"fb.doc_id" === $"x.doc_b")
+        .select($"x.doc_a", $"x.doc_b", $"x.jaccard",
+          expr(sHam64("x.ia", "fb.ihash")).as("ham_image"),
+          expr(sHam64("x.aa", "fb.afp")).as("ham_audio"))
+      withB
+        .withColumn("image_corroborates", $"ham_image" <= lit(m06MaxHam))
+        .withColumn("consensus", $"ham_image" <= lit(m06MaxHam))
+    },
+    Some(s"""
+      WITH pairs AS (SELECT * FROM (${graft.ops.DedupOps.d02.oracle.get})),
+      $oAHashCtes,
+      ab AS (SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS len
+             FROM documents),
+      aen AS (SELECT doc_id, list_transform(range(0, 65), wi ->
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, length(substring(text, CAST((wi * len) // 65 + 1 AS INT), CAST(((wi + 2) * len) // 65 - (wi * len) // 65 AS INT))) + 1),
+                   i -> CAST(ascii(substring(substring(text, CAST((wi * len) // 65 + 1 AS INT), CAST(((wi + 2) * len) // 65 - (wi * len) // 65 AS INT)), i, 1)) AS BIGINT))),
+                 (a, c) -> a + c)) AS e
+             FROM ab),
+      ah AS (SELECT doc_id, array_to_string(list_transform(range(0, 64),
+               i -> CASE WHEN e[i + 2] > e[i + 1] THEN '1' ELSE '0' END), '')
+               AS afp
+             FROM aen),
+      j AS (SELECT p.doc_a, p.doc_b, p.jaccard,
+              CAST(len(list_filter(range(1, 65),
+                i -> substring(ia.ahash, i, 1) <> substring(ib.ahash, i, 1)))
+                AS BIGINT) AS ham_image,
+              CAST(len(list_filter(range(1, 65),
+                i -> substring(aa.afp, i, 1) <> substring(bb.afp, i, 1)))
+                AS BIGINT) AS ham_audio
+            FROM pairs p
+            JOIN h ia ON p.doc_a = ia.doc_id
+            JOIN h ib ON p.doc_b = ib.doc_id
+            JOIN ah aa ON p.doc_a = aa.doc_id
+            JOIN ah bb ON p.doc_b = bb.doc_id)
+      SELECT doc_a, doc_b, jaccard, ham_image, ham_audio,
+             ham_image <= $m06MaxHam AS image_corroborates,
+             ham_image <= $m06MaxHam AS consensus
+      FROM j"""))
+
+  val all: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09)
 }

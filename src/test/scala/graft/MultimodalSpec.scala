@@ -420,4 +420,23 @@ class MultimodalSpec extends AnyFunSuite {
       codec = graft.ops.WavCodec).collect().head.getString(1)
     assert(fpAiff == fps(1L), "re-containered PCM changed the fingerprint")
   }
+
+  test("m09: image signal corroborates text near-dups, audio stays diagnostic") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("m09_crossmodal_consensus")(
+      spark, "/root/testdata/sf0.001").cache()
+    try {
+      val n = df.count()
+      assert(n > 0, "no d02 candidate pairs at sf0.001")
+      // the documented asymmetry: the alignment-robust aHash lands most
+      // true near-dups inside the tolerance; the alignment-sensitive
+      // audio grid does not (its Hamming exceeds the image's on average)
+      val agg = df.agg(
+        sum(when(col("consensus"), 1L).otherwise(0L)),
+        avg(col("ham_image")), avg(col("ham_audio"))).head()
+      assert(agg.getLong(0) * 2 > n, "image corroboration below majority")
+      assert(agg.getDouble(2) > agg.getDouble(1),
+        "audio Hamming should exceed image Hamming on near-dup pairs")
+    } finally df.unpersist()
+  }
 }
