@@ -661,11 +661,16 @@ object MultimodalOps {
     * rather than compare one global fingerprint. `consensus` = the text
     * signal AND the image signal agree.
     *
-    * Scale shape: the candidate set is d02's (band-joined, tiny relative
-    * to the corpus); the per-doc feature frame (64-bit image key +
-    * 64-bit audio key) is computed ONCE, checkpointed, and the pair
-    * frame joins it twice by doc id with the PAIRS side broadcast — the
-    * features never shuffle, no pair explosion beyond d02's own. */
+    * Scale shape: the candidate set is d02's (band-joined, small
+    * relative to the corpus but DATA-DEPENDENT — a duplication-heavy
+    * corpus can produce a fat pair set); the per-doc feature frame
+    * (64-bit image key + 64-bit audio key) is computed ONCE,
+    * checkpointed, and the pair frame joins it twice by doc id. The
+    * join strategy is deliberately left to AQE's runtime size decision:
+    * a pinned broadcast hint OOM'd the driver at 64× (the checkpointed
+    * feature frame landed on the broadcast side), while AQE broadcasts
+    * whichever side is actually small and falls back to a shuffle join
+    * — same logical plan — when neither is. */
   val m09 = QueryDef(
     "m09_crossmodal_consensus",
     (s, d) => {
@@ -680,11 +685,11 @@ object MultimodalOps {
       val pairs = graft.ops.DedupOps.d02.run(s, d)
         .select($"doc_a", $"doc_b", $"jaccard")
       val withA = feats.as("fa")
-        .join(broadcast(pairs).as("p"), $"fa.doc_id" === $"p.doc_a")
+        .join(pairs.as("p"), $"fa.doc_id" === $"p.doc_a")
         .select($"p.doc_a", $"p.doc_b", $"p.jaccard",
           $"fa.ihash".as("ia"), $"fa.afp".as("aa"))
       val withB = feats.as("fb")
-        .join(broadcast(withA).as("x"), $"fb.doc_id" === $"x.doc_b")
+        .join(withA.as("x"), $"fb.doc_id" === $"x.doc_b")
         .select($"x.doc_a", $"x.doc_b", $"x.jaccard",
           expr(sHam64("x.ia", "fb.ihash")).as("ham_image"),
           expr(sHam64("x.aa", "fb.afp")).as("ham_audio"))
