@@ -357,4 +357,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: ["), p)
     assert(!p.replaceAll("\\s", "").contains("PushedFilters:[]"), p)
   }
+
+  test("t16/t17 scrub & script ID: pure row-wise map passes, zero exchanges") {
+    // the 100 TB ideal shape these ship (and the reason they run 4-19x
+    // FASTER than DuckDB at 64x, SCALE.md): regex battery + bounded
+    // per-row lambdas over the scan, nothing shuffles, no explode
+    for (n <- Seq("t16_pii_scrub", "t17_script_id")) {
+      val p = plan(n)
+      assert(!p.contains("Exchange"), s"$n grew a shuffle:\n$p")
+      assert(!p.contains("Generate"), s"$n grew an explode:\n$p")
+    }
+  }
+
+  test("t18 detokenize: distinct-word decode broadcasts onto the token explode") {
+    // t15's contract: the per-word decode frame is vocabulary-scale and
+    // must broadcast — a sort-merge regression would shuffle the full
+    // corpus token stream on the join key
+    val p = plan("t18_detokenize")
+    assert(p.contains("BroadcastHashJoin"),
+      s"t18 lost the vocabulary-side broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"t18 shuffles the token stream through a sort-merge join:\n$p")
+  }
 }
