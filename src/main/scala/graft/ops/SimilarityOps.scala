@@ -251,29 +251,37 @@ object SimilarityOps {
     * search touches only probed lists — the classic IVF trade of recall
     * for a bounded candidate set. Oracle replicates the same quantizer
     * and probe count, so results stay exact-checkable. */
+  /** Register s03's static IVF structures as temp views (`s03_n`
+    * normalized corpus, `s03_assign` per-vector probe ranking) — shared
+    * by the batch gate row and the s11 streaming twin, ONE definition. */
+  private[graft] def s03Statics(
+      s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    val n = staged("s03_n", d) {
+      withViews(s, d, "embeddings")("""
+        WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings)
+        SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM e""")
+    }
+    n.createOrReplaceTempView("s03_n")
+    val assign = staged("s03_assign", d) {
+      s.sql(s"""
+        WITH c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM s03_n
+                   WHERE vec_id % 50 = 7 AND vec_id < 3200),
+        sc AS (SELECT /*+ BROADCAST(c) */ t.vec_id, cid,
+                 dot_product(t.v, cv) / (t.nrm * cn) AS cos,
+                 row_number() OVER (PARTITION BY t.vec_id
+                                    ORDER BY dot_product(t.v, cv) / (t.nrm * cn) DESC,
+                                             cid) AS rn
+               FROM s03_n t CROSS JOIN c)
+        SELECT vec_id, cid AS cluster, rn FROM sc WHERE rn <= $ivfProbes""")
+    }
+    assign.createOrReplaceTempView("s03_assign")
+  }
+
   val s03 = QueryDef(
     "s03_knn_ivf",
     (s, d) => {
-      val n = staged("s03_n", d) {
-        withViews(s, d, "embeddings")("""
-          WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                     FROM embeddings)
-          SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM e""")
-      }
-      n.createOrReplaceTempView("s03_n")
-      val assign = staged("s03_assign", d) {
-        s.sql(s"""
-          WITH c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM s03_n
-                     WHERE vec_id % 50 = 7 AND vec_id < 3200),
-          sc AS (SELECT /*+ BROADCAST(c) */ t.vec_id, cid,
-                   dot_product(t.v, cv) / (t.nrm * cn) AS cos,
-                   row_number() OVER (PARTITION BY t.vec_id
-                                      ORDER BY dot_product(t.v, cv) / (t.nrm * cn) DESC,
-                                               cid) AS rn
-                 FROM s03_n t CROSS JOIN c)
-          SELECT vec_id, cid AS cluster, rn FROM sc WHERE rn <= $ivfProbes""")
-      }
-      assign.createOrReplaceTempView("s03_assign")
+      s03Statics(s, d)
       s.sql(s"""
         WITH members AS (SELECT vec_id, cluster FROM s03_assign WHERE rn = 1),
         probes AS (SELECT vec_id AS query_id, cluster FROM s03_assign

@@ -350,12 +350,13 @@ object StreamingGate {
     * (batch = doc_id % 2), which is what makes a cross-batch streaming
     * operator's output oracle-checkable. Shared by q58 and m07. */
   private[graft] def stageParityBatches(
-      s: SparkSession, d: String, table: String): Path = {
+      s: SparkSession, d: String, table: String,
+      parity: String = "doc_id % 2"): Path = {
     val rows = Q.table(s, d, table)
     val inDir = tempDir(s"graft-$table-parity-in")
     def writeBatch(par: Int, name: String, mtPlus: Long): Unit = {
       val tmp = tempDir(s"graft-$table-parity-b")
-      rows.where(col("doc_id") % 2 === par).coalesce(1)
+      rows.where(expr(parity) === par).coalesce(1)
         .write.mode("overwrite").parquet(tmp.toString)
       val part = parquetParts(tmp).head
       val dest = inDir.resolve(name)
@@ -541,5 +542,100 @@ object StreamingGate {
       FROM events e JOIN customer c ON e.user_id = c.c_custkey
       WHERE e.event_type = 'purchase'"""))
 
-  val all: Seq[QueryDef] = Seq(q42, q43, q49, q53, q58, q64)
+  /** Streaming stream-static ANN — ingest-time retrieval: embedding rows
+    * arrive as micro-batches (parity-staged file stream), and each
+    * batch's QUERY vectors (s02/s03's `qSet`) probe the STATIC corpus
+    * IVF index ([[SimilarityOps.s03Statics]]: normalized corpus + probe
+    * assignments, staged once before the stream starts) for their top-5
+    * cosine neighbors. Per batch the logic is stateless — assign the
+    * streamed vector to its probe centroids (same broadcast-centroid
+    * arg-max as the batch row), join the probed inverted lists, score,
+    * rank — so the emitted SET is batch-split invariant and the oracle
+    * is s03's UNCHANGED batch oracle: the streaming pipeline must
+    * reproduce the batch result exactly.
+    *
+    * Spelled with `foreachBatch` (the production pattern for
+    * stream-static joins needing per-batch ranking: append-mode
+    * streaming forbids non-time windows, but inside foreachBatch each
+    * micro-batch is a bounded frame where `row_number` is legal). At
+    * 100 TB the static side is the big one and never re-shuffles per
+    * batch: the streamed queries broadcast onto the probed lists. */
+  val s11 = QueryDef(
+    "s11_streaming_knn",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      SimilarityOps.s03Statics(s, d)
+      // hand the static index to the micro-batch session as FILES: the
+      // foreachBatch session is a clone whose inherited views point at
+      // the outer session's cached plans, and executing those across the
+      // session boundary breaks (exchange-reuse key errors). Parquet is
+      // the session-neutral contract — exactly how a deployed job would
+      // ship a prebuilt index to a streaming consumer anyway.
+      val nPath = tempDir("graft-s11-n").toString
+      val aPath = tempDir("graft-s11-assign").toString
+      s.table("s03_n").write.mode("overwrite").parquet(nPath)
+      s.table("s03_assign").write.mode("overwrite").parquet(aPath)
+      val sch = Q.table(s, d, "embeddings").schema
+      // batch membership = (vec_id div 100) % 2: the query set is
+      // vec_id % 100 = 0 (all even ids), so a plain id-parity split would
+      // land every query in one batch — this split alternates QUERIES
+      // across batches, proving genuine multi-batch operation
+      val inDir = stageParityBatches(s, d, "embeddings",
+        parity = "(vec_id div 100) % 2")
+      val outDir = tempDir("graft-s11-out").toString
+      val ckpt = tempDir("graft-s11-ckpt").toString
+      val q = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          // the micro-batch Dataset lives in a session CLONED at stream
+          // start (temp views + functions inherited) — register and query
+          // there, not on the outer session, or the view is invisible
+          val bs = batch.sparkSession
+          graft.functions.GraftFunctions.register(bs)
+          batch.createOrReplaceTempView("s11_batch")
+          bs.read.parquet(nPath).createOrReplaceTempView("s03_n")
+          bs.read.parquet(aPath).createOrReplaceTempView("s03_assign")
+          bs.sql(s"""
+            WITH bq AS (SELECT vec_id,
+                          transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                        FROM s11_batch WHERE ${SimilarityOps.qSet}),
+            nq AS (SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM bq),
+            c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM s03_n
+                  WHERE vec_id % 50 = 7 AND vec_id < 3200),
+            pr AS (SELECT /*+ BROADCAST(c) */ t.vec_id AS query_id, cid,
+                     row_number() OVER (PARTITION BY t.vec_id
+                       ORDER BY dot_product(t.v, cv) / (t.nrm * cn) DESC,
+                                cid) AS rn
+                   FROM nq t CROSS JOIN c),
+            probes AS (SELECT query_id, cid AS cluster FROM pr
+                       WHERE rn <= ${SimilarityOps.ivfProbes}),
+            members AS (SELECT vec_id, cluster FROM s03_assign WHERE rn = 1),
+            cand AS (SELECT DISTINCT p.query_id, m.vec_id AS neighbor_id
+                     FROM probes p JOIN members m ON m.cluster = p.cluster
+                     WHERE m.vec_id <> p.query_id),
+            sc AS (SELECT cand.query_id, cand.neighbor_id,
+                     dot_product(q.v, t.v) / (q.nrm * t.nrm) AS cos
+                   FROM cand JOIN nq q ON q.vec_id = cand.query_id
+                             JOIN s03_n t ON t.vec_id = cand.neighbor_id),
+            r AS (SELECT query_id, neighbor_id, cos,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rn
+                  FROM sc)
+            SELECT query_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rn
+            FROM r WHERE rn <= 5""")
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+    },
+    // the streaming pipeline must reproduce the batch result exactly
+    SimilarityOps.s03.oracle)
+
+  val all: Seq[QueryDef] = Seq(q42, q43, q49, q53, q58, q64, s11)
 }

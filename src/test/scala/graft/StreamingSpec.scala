@@ -549,4 +549,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("ticks").count() > 0)
     assert(spark.table("ticks").columns.toSet == Set("timestamp", "value"))
   }
+
+  test("s11 streaming KNN: both micro-batches emit, union == the s03 batch result") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("s11_streaming_knn")(spark, d).cache()
+    try {
+      // queries are parity-split across the two staged batches — results
+      // from BOTH parities prove the stream really ran multi-batch
+      val parities = out.select(expr("(query_id div 100) % 2").as("p"))
+        .distinct().count()
+      assert(parities == 2, "a parity batch emitted no results")
+      // and the emitted set is exactly the batch operator's
+      val batch = SparkEntry.queries("s03_knn_ivf")(spark, d)
+      assert(out.except(batch).isEmpty && batch.except(out).isEmpty,
+        "streaming KNN diverged from the batch result")
+    } finally out.unpersist()
+  }
 }
