@@ -138,6 +138,75 @@ object Extended {
              CAST(count(*) AS BIGINT) AS n
       FROM lineitem GROUP BY l_returnflag"""))
 
+  /** Mergeable-histogram quantile sketch — q31's scale twin: exact
+    * `percentile` buffers every group value on one task (the 100 TB
+    * failure mode of percentile aggregation), while the histogram
+    * spelling IS a groupBy (q59's count-min economics applied to
+    * quantiles): the map-side partial aggregate builds per-partition
+    * bucket counts, the exchange merges histograms — ≤ one row per
+    * (group, bucket) moves regardless of N — and the quantile
+    * interpolates inside the covering bucket. Estimates are within one
+    * bucket width of the exact answer by construction (spec-pinned vs
+    * q31); the dial is the bucket width, exactly a production sketch's
+    * accuracy/space trade. All arithmetic to the final estimate is
+    * exact integers; the estimate itself is one fixed-order IEEE
+    * multiply+divide, bit-identical across engines. */
+  val q66 = QueryDef(
+    "q66_quantile_histogram",
+    (s, d) => withViews(s, d, "lineitem")("""
+      WITH h AS (SELECT l_returnflag AS g,
+                   CAST(floor(l_extendedprice / 100) AS BIGINT) AS b,
+                   CAST(count(*) AS BIGINT) AS n
+                 FROM lineitem GROUP BY l_returnflag,
+                   CAST(floor(l_extendedprice / 100) AS BIGINT)),
+      c AS (SELECT g, b, n,
+              sum(n) OVER (PARTITION BY g ORDER BY b) AS cum,
+              sum(n) OVER (PARTITION BY g) AS total
+            FROM h),
+      qs AS (SELECT * FROM VALUES (0.5), (0.9), (0.99) AS t(p)),
+      sel AS (SELECT c.g, qs.p, min(c.b) AS qb
+              FROM c JOIN qs
+                ON c.cum >= CAST(ceil(qs.p * CAST(c.total AS DOUBLE)) AS BIGINT)
+              GROUP BY c.g, qs.p),
+      est AS (SELECT s.g, s.p, s.qb, c.total,
+                CAST(s.qb * 100 AS DOUBLE)
+                  + CAST(100 AS DOUBLE)
+                    * CAST(CAST(ceil(s.p * CAST(c.total AS DOUBLE)) AS BIGINT)
+                           - (c.cum - c.n) AS DOUBLE)
+                    / CAST(c.n AS DOUBLE) AS v
+              FROM sel s JOIN c ON c.g = s.g AND c.b = s.qb)
+      SELECT g AS l_returnflag, CAST(p AS DOUBLE) AS p,
+             CAST(qb AS BIGINT) AS bucket,
+             v AS estimate, CAST(total AS BIGINT) AS n
+      FROM est"""),
+    Some("""
+      WITH h AS (SELECT l_returnflag AS g,
+                   CAST(floor(l_extendedprice / 100) AS BIGINT) AS b,
+                   CAST(count(*) AS BIGINT) AS n
+                 FROM lineitem GROUP BY l_returnflag,
+                   CAST(floor(l_extendedprice / 100) AS BIGINT)),
+      c AS (SELECT g, b, n,
+              sum(n) OVER (PARTITION BY g ORDER BY b) AS cum,
+              sum(n) OVER (PARTITION BY g) AS total
+            FROM h),
+      qs AS (SELECT * FROM (VALUES (0.5), (0.9), (0.99)) t(p)),
+      sel AS (SELECT c.g, qs.p, min(c.b) AS qb
+              FROM c JOIN qs
+                ON c.cum >= CAST(ceil(qs.p * CAST(c.total AS DOUBLE)) AS BIGINT)
+              GROUP BY c.g, qs.p),
+      est AS (SELECT s.g, s.p, s.qb, c.total,
+                CAST(s.qb * 100 AS DOUBLE)
+                  + CAST(100 AS DOUBLE)
+                    * CAST(CAST(ceil(s.p * CAST(c.total AS DOUBLE)) AS BIGINT)
+                           - (c.cum - c.n) AS DOUBLE)
+                    / CAST(c.n AS DOUBLE) AS v
+              FROM sel s JOIN c ON c.g = s.g AND c.b = s.qb)
+      SELECT g AS l_returnflag, CAST(p AS DOUBLE) AS p,
+             CAST(qb AS BIGINT) AS bucket,
+             v AS estimate, CAST(total AS BIGINT) AS n
+      FROM est"""),
+    headline = true)
+
   /** Array-function battery over the embedding vectors (size/min/max/
     * slice/sort/position/element_at). The output is all-scalar — the
     * driver's hash compare cannot sort frames containing array columns,
@@ -313,5 +382,6 @@ object Extended {
       WHERE rn <= 3"""),
     headline = true)
 
-  val all: Seq[QueryDef] = Seq(q24, q25, q26, q29, q30, q31, q32, q33, q34, q35, q36)
+  val all: Seq[QueryDef] =
+    Seq(q24, q25, q26, q29, q30, q31, q32, q33, q34, q35, q36, q66)
 }

@@ -14,7 +14,8 @@ object Q58Time {
     spark.sparkContext.setLogLevel("ERROR")
     val ops = Seq[(String, String => org.apache.spark.sql.DataFrame)](
       "q58" -> (d => graft.ops.StreamingGate.neardupStream(spark, d, None)),
-      "m07" -> (d => graft.ops.MultimodalOps.perceptualStream(spark, d, None)))
+      "m07" -> (d => graft.ops.MultimodalOps.perceptualStream(spark, d, None)),
+      "s11" -> (d => graft.ops.StreamingGate.s11.run(spark, d)))
     for (d <- args; (name, run) <- ops) {
       run(d).count() // warm
       val times = (1 to 2).map { _ =>

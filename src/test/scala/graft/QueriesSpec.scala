@@ -479,6 +479,22 @@ class QueriesSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("q66 histogram quantiles land within one bucket width of q31's exact ones") {
+    import org.apache.spark.sql.functions._
+    val est = SparkEntry.queries("q66_quantile_histogram")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(3)).toMap
+    val exact = SparkEntry.queries("q31_percentiles")(spark, dir)
+      .collect().flatMap(r => Seq(
+        (r.getString(0), 0.5) -> r.getDouble(1),
+        (r.getString(0), 0.9) -> r.getDouble(2))).toMap
+    assert(exact.nonEmpty)
+    for (((g, p), ex) <- exact) {
+      val e = est((g, p))
+      assert(math.abs(e - ex) <= 100.0 + 1e-9,
+        s"histogram p$p for $g drifted ${math.abs(e - ex)} > bucket width: est $e vs exact $ex")
+    }
+  }
+
   test("t18 detokenize: EVERY document round-trips, at 12 AND 256 merge rounds") {
     import org.apache.spark.sql.functions._
     // the gate hash pins the values; this pins the semantic claim — zero
