@@ -1106,16 +1106,81 @@ object CorpusOps {
     * never corpus-scale state (a 100 TB corpus is more docs, not bigger
     * ones; the power-doc bound is the max document size, the same bound
     * any sequence writer has). */
+  /** SQL-literal id scheme for a trained byte-level merge table — ONE
+    * definition shared by t15 (encode to ids) and t18 (decode back).
+    * Two merge ROUNDS can produce the same product STRING — ('41','4243')
+    * and ('4142','43') both yield '414243'; real tokenizers key merges by
+    * id pairs, our symbols are strings — so the symbol→id map keeps the
+    * FIRST (lowest-round) id for a product: an undeduped literal would
+    * crash Spark's `map(...)` under `mapKeyDedupPolicy=EXCEPTION`, and
+    * the oracle's rank table dedupes identically (`min(id) GROUP BY
+    * sym`), keeping both engines on one id per distinct symbol. */
+  private[graft] final case class BpeIdScheme(
+      merges: String, mergeMap: String, invMap: String, symId: String)
+  private[graft] def bpeIdScheme(
+      table: Vector[(Int, String, String, Long)]): BpeIdScheme = {
+    val merges = table.map { case (_, l, r, _) => s"$l $r" }.mkString(" ")
+    val first = scala.collection.mutable.LinkedHashMap[String, Int]()
+    table.foreach { case (r, l, rh, _) =>
+      val p = l + rh
+      if (!first.contains(p)) first(p) = 255 + r
+    }
+    val mergeMap = first
+      .map { case (p, id) => s"'$p', $id" }.mkString("map(", ", ", ")")
+    val invMap = first
+      .map { case (p, id) => s"$id, '$p'" }.mkString("map(", ", ", ")")
+    val symId = "CASE WHEN length(s) = 2 THEN CAST(conv(s, 16, 10) AS INT) " +
+      s"ELSE element_at($mergeMap, s) END"
+    BpeIdScheme(merges, mergeMap, invMap, symId)
+  }
+
+  /** DuckDB twin of [[bpeIdScheme]] + the word→(pos, id) chain shared by
+    * the t15 and t18 oracles: re-derives the merge table via t13's
+    * verified CTEs, encodes the distinct words, and maps symbols to ids
+    * INDEPENDENTLY of the engine (hex digits via strpos arithmetic,
+    * merge products via the deduped rank table). Ends at `wid(w, i, id)`
+    * and also defines `toks` and `mp` for downstream use. */
+  private def oIdChain: String = {
+    val encodeRounds = (1 to bpeRounds).map { r =>
+      s"""e$r AS MATERIALIZED (SELECT w,
+          CASE WHEN b.lhs IS NULL THEN seq
+               ELSE ${oGreedyMerge("seq", "b.lhs", "b.rhs")} END AS seq
+          FROM e${r - 1} LEFT JOIN b$r b ON true)"""
+    }.mkString(",\n      ")
+    val mpUnion = (1 to bpeRounds)
+      .map(r => s"SELECT 255 + $r AS id, lhs || rhs AS sym FROM b$r")
+      .mkString(" UNION ALL ")
+    s"""$t13OracleChain,
+      mp AS (SELECT sym, CAST(min(id) AS BIGINT) AS id
+             FROM ($mpUnion) GROUP BY sym),
+      toks AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos,
+                 unnest(ws) AS w
+               FROM (SELECT doc_id,
+                       list_filter(string_split($oAugText, ' '), x -> x <> '') AS ws
+                     FROM documents)),
+      dw AS (SELECT DISTINCT w FROM toks),
+      e0 AS (SELECT w, '|' || regexp_replace(hex(encode(w)), '(..)', '\\1|', 'g') AS seq
+             FROM dw),
+      $encodeRounds,
+      wsyms AS (SELECT w, list_filter(string_split(seq, '|'), x -> x <> '') AS syms
+                FROM e$bpeRounds),
+      ws AS (SELECT w, unnest(range(1, len(syms) + 1)) AS i,
+               unnest(syms) AS s
+             FROM wsyms),
+      wid AS (SELECT ws.w, ws.i,
+                CAST(CASE WHEN strlen(ws.s) = 2
+                  THEN (strpos('0123456789ABCDEF', ws.s[1:1]) - 1) * 16
+                     + (strpos('0123456789ABCDEF', ws.s[2:2]) - 1)
+                  ELSE mp.id END AS BIGINT) AS id
+              FROM ws LEFT JOIN mp ON ws.s = mp.sym)"""
+  }
+
   private[graft] def t15Ids(
       s: org.apache.spark.sql.SparkSession, d: String,
       rounds: Int = bpeRounds): org.apache.spark.sql.DataFrame = {
-    val table = bpeTrainBytes(s, d, rounds)
-    val merges = table.map { case (_, l, r, _) => s"$l $r" }.mkString(" ")
-    val mergeMap = table
-      .map { case (r, l, rh, _) => s"'${l + rh}', ${255 + r}" }
-      .mkString("map(", ", ", ")")
-    val symId = "CASE WHEN length(s) = 2 THEN CAST(conv(s, 16, 10) AS INT) " +
-      s"ELSE element_at($mergeMap, s) END"
+    val sch = bpeIdScheme(bpeTrainBytes(s, d, rounds))
+    val merges = sch.merges
+    val symId = sch.symId
     // bpeTrainBytes above staged the full wordcount artifact as t13_wc —
     // the distinct-word frame reads it instead of re-exploding the corpus
     // (confirmed by plan audit: the DISTINCT-from-toks spelling inlined
@@ -1148,41 +1213,8 @@ object CorpusOps {
     "t15_token_ids",
     (s, d) => t15Ids(s, d),
     Some {
-      // re-derives the merge table + encode chain with t13/t14's verified
-      // CTEs, then maps symbols to ids INDEPENDENTLY (hex digits via
-      // strpos arithmetic, merge products via the rank table)
-      val encodeRounds = (1 to bpeRounds).map { r =>
-        s"""e$r AS MATERIALIZED (SELECT w,
-            CASE WHEN b.lhs IS NULL THEN seq
-                 ELSE ${oGreedyMerge("seq", "b.lhs", "b.rhs")} END AS seq
-            FROM e${r - 1} LEFT JOIN b$r b ON true)"""
-      }.mkString(",\n      ")
-      val mpUnion = (1 to bpeRounds)
-        .map(r => s"SELECT 255 + $r AS id, lhs || rhs AS sym FROM b$r")
-        .mkString(" UNION ALL ")
       s"""
-      WITH $t13OracleChain,
-      mp AS ($mpUnion),
-      toks AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos,
-                 unnest(ws) AS w
-               FROM (SELECT doc_id,
-                       list_filter(string_split($oAugText, ' '), x -> x <> '') AS ws
-                     FROM documents)),
-      dw AS (SELECT DISTINCT w FROM toks),
-      e0 AS (SELECT w, '|' || regexp_replace(hex(encode(w)), '(..)', '\\1|', 'g') AS seq
-             FROM dw),
-      $encodeRounds,
-      wsyms AS (SELECT w, list_filter(string_split(seq, '|'), x -> x <> '') AS syms
-                FROM e$bpeRounds),
-      ws AS (SELECT w, unnest(range(1, len(syms) + 1)) AS i,
-               unnest(syms) AS s
-             FROM wsyms),
-      wid AS (SELECT ws.w, ws.i,
-                CAST(CASE WHEN strlen(ws.s) = 2
-                  THEN (strpos('0123456789ABCDEF', ws.s[1:1]) - 1) * 16
-                     + (strpos('0123456789ABCDEF', ws.s[2:2]) - 1)
-                  ELSE mp.id END AS BIGINT) AS id
-              FROM ws LEFT JOIN mp ON ws.s = mp.sym),
+      WITH $oIdChain,
       wids AS (SELECT w, list(id ORDER BY i) AS ids FROM wid GROUP BY w),
       seq AS (SELECT t.doc_id, t.pos, w2.ids
               FROM toks t JOIN wids w2 ON t.w = w2.w),
@@ -1220,16 +1252,10 @@ object CorpusOps {
   private[graft] def t18Detok(
       s: org.apache.spark.sql.SparkSession, d: String,
       rounds: Int = bpeRounds): org.apache.spark.sql.DataFrame = {
-    val table = bpeTrainBytes(s, d, rounds)
-    val merges = table.map { case (_, l, r, _) => s"$l $r" }.mkString(" ")
-    val mergeMap = table
-      .map { case (r, l, rh, _) => s"'${l + rh}', ${255 + r}" }
-      .mkString("map(", ", ", ")")
-    val invMap = table
-      .map { case (r, l, rh, _) => s"${255 + r}, '${l + rh}'" }
-      .mkString("map(", ", ", ")")
-    val symId = "CASE WHEN length(s) = 2 THEN CAST(conv(s, 16, 10) AS INT) " +
-      s"ELSE element_at($mergeMap, s) END"
+    val sch = bpeIdScheme(bpeTrainBytes(s, d, rounds))
+    val merges = sch.merges
+    val invMap = sch.invMap
+    val symId = sch.symId
     withViews(s, d, "documents")(s"""
       WITH toks AS (SELECT doc_id,
                       posexplode(filter(split($sAugText, ' '), x -> x <> ''))
@@ -1267,42 +1293,12 @@ object CorpusOps {
     "t18_detokenize",
     (s, d) => t18Detok(s, d),
     Some {
-      // t15's verified oracle chain down to wid (word, position, id),
-      // then the INDEPENDENT inverse: base ids via hex-digit arithmetic,
-      // merge ids via the reversed rank table; DuckDB reassembles and
-      // md5-compares exactly as the engine does
-      val encodeRounds = (1 to bpeRounds).map { r =>
-        s"""e$r AS MATERIALIZED (SELECT w,
-            CASE WHEN b.lhs IS NULL THEN seq
-                 ELSE ${oGreedyMerge("seq", "b.lhs", "b.rhs")} END AS seq
-            FROM e${r - 1} LEFT JOIN b$r b ON true)"""
-      }.mkString(",\n      ")
-      val mpUnion = (1 to bpeRounds)
-        .map(r => s"SELECT 255 + $r AS id, lhs || rhs AS sym FROM b$r")
-        .mkString(" UNION ALL ")
+      // [[oIdChain]] down to wid (word, position, id), then the
+      // INDEPENDENT inverse: base ids via hex-digit arithmetic, merge
+      // ids via the reversed (deduped) rank table; DuckDB reassembles
+      // and md5-compares exactly as the engine does
       s"""
-      WITH $t13OracleChain,
-      mp AS ($mpUnion),
-      toks AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos,
-                 unnest(ws) AS w
-               FROM (SELECT doc_id,
-                       list_filter(string_split($oAugText, ' '), x -> x <> '') AS ws
-                     FROM documents)),
-      dw AS (SELECT DISTINCT w FROM toks),
-      e0 AS (SELECT w, '|' || regexp_replace(hex(encode(w)), '(..)', '\\1|', 'g') AS seq
-             FROM dw),
-      $encodeRounds,
-      wsyms AS (SELECT w, list_filter(string_split(seq, '|'), x -> x <> '') AS syms
-                FROM e$bpeRounds),
-      ws AS (SELECT w, unnest(range(1, len(syms) + 1)) AS i,
-               unnest(syms) AS s
-             FROM wsyms),
-      wid AS (SELECT ws.w, ws.i,
-                CAST(CASE WHEN strlen(ws.s) = 2
-                  THEN (strpos('0123456789ABCDEF', ws.s[1:1]) - 1) * 16
-                     + (strpos('0123456789ABCDEF', ws.s[2:2]) - 1)
-                  ELSE mp.id END AS BIGINT) AS id
-              FROM ws LEFT JOIN mp ON ws.s = mp.sym),
+      WITH $oIdChain,
       widdec AS (SELECT w, i,
                 CASE WHEN wid.id < 256
                   THEN concat(

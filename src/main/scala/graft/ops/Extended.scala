@@ -145,9 +145,15 @@ object Extended {
     * quantiles): the map-side partial aggregate builds per-partition
     * bucket counts, the exchange merges histograms — ≤ one row per
     * (group, bucket) moves regardless of N — and the quantile
-    * interpolates inside the covering bucket. Estimates are within one
-    * bucket width of the exact answer by construction (spec-pinned vs
-    * q31); the dial is the bucket width, exactly a production sketch's
+    * interpolates inside the covering bucket. The construction
+    * guarantees the estimate's bucket CONTAINS the rank-⌈pN⌉ order
+    * statistic, so the error vs that order statistic is at most one
+    * bucket width; vs q31's INTERPOLATED percentile the bound is
+    * data-dependent (a group whose adjacent order stats straddle a gap
+    * wider than a bucket can diverge further — interpolation invents
+    * values between them, the histogram does not). The spec pins the
+    * one-bucket agreement with q31 on this corpus, where groups are
+    * dense; the dial is the bucket width, exactly a production sketch's
     * accuracy/space trade. All arithmetic to the final estimate is
     * exact integers; the estimate itself is one fixed-order IEEE
     * multiply+divide, bit-identical across engines. */

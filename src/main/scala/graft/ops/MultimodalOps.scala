@@ -540,6 +540,26 @@ object MultimodalOps {
               i -> substring(b.ahash, i, 1) <> substring(o.owner_hash, i, 1)))
             <= $m06MaxHam"""))
 
+  /** DuckDB audio-fingerprint chain (proportional window spans over the
+    * ASCII byte==char identity, the engine's exact geometry) ending at
+    * `h(doc_id, fpCol)` — ONE spelling shared by the m08 and m09 oracles
+    * so the two cannot drift (oAHashCtes' rule). CTE names are
+    * parameterized so the chain composes into a WITH alongside others. */
+  private def oAudioFpCtes(
+      b: String, en: String, h: String, fpCol: String): String = s"""
+      $b AS (SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS len
+             FROM documents),
+      $en AS (SELECT doc_id, list_transform(range(0, 65), wi ->
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, length(substring(text, CAST((wi * len) // 65 + 1 AS INT), CAST(((wi + 2) * len) // 65 - (wi * len) // 65 AS INT))) + 1),
+                   i -> CAST(ascii(substring(substring(text, CAST((wi * len) // 65 + 1 AS INT), CAST(((wi + 2) * len) // 65 - (wi * len) // 65 AS INT)), i, 1)) AS BIGINT))),
+                 (a, c) -> a + c)) AS e
+             FROM $b),
+      $h AS (SELECT doc_id, array_to_string(list_transform(range(0, 64),
+               i -> CASE WHEN e[i + 2] > e[i + 1] THEN '1' ELSE '0' END), '')
+               AS $fpCol
+            FROM $en)"""
+
   /** Audio fingerprint (Haitsma–Kalker shape): the sign of the energy
     * delta between consecutive analysis windows, 64 bits over a 65-window
     * horizon. Window geometry is PER-CLIP proportional — window wi spans
@@ -618,18 +638,7 @@ object MultimodalOps {
       perceptualNeighbors(s, audioFingerprint(s, media))
     },
     Some(s"""
-      WITH b AS (SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS len
-                 FROM documents),
-      en AS (SELECT doc_id, list_transform(range(0, 65), wi ->
-               list_reduce(list_prepend(CAST(0 AS BIGINT),
-                 list_transform(range(1, length(substring(text, CAST((wi * len) // 65 + 1 AS INT), CAST(((wi + 2) * len) // 65 - (wi * len) // 65 AS INT))) + 1),
-                   i -> CAST(ascii(substring(substring(text, CAST((wi * len) // 65 + 1 AS INT), CAST(((wi + 2) * len) // 65 - (wi * len) // 65 AS INT)), i, 1)) AS BIGINT))),
-                 (a, c) -> a + c)) AS e
-             FROM b),
-      h AS (SELECT doc_id, array_to_string(list_transform(range(0, 64),
-               i -> CASE WHEN e[i + 2] > e[i + 1] THEN '1' ELSE '0' END), '')
-               AS ahash
-            FROM en),
+      WITH ${oAudioFpCtes("b", "en", "h", "ahash")},
       dh AS (SELECT ahash, CAST(count(*) AS BIGINT) AS n_docs,
                min(doc_id) AS canonical_doc
              FROM h GROUP BY ahash),
@@ -693,25 +702,12 @@ object MultimodalOps {
         .select($"x.doc_a", $"x.doc_b", $"x.jaccard",
           expr(sHam64("x.ia", "fb.ihash")).as("ham_image"),
           expr(sHam64("x.aa", "fb.afp")).as("ham_audio"))
-      withB
-        .withColumn("image_corroborates", $"ham_image" <= lit(m06MaxHam))
-        .withColumn("consensus", $"ham_image" <= lit(m06MaxHam))
+      withB.withColumn("consensus", $"ham_image" <= lit(m06MaxHam))
     },
     Some(s"""
       WITH pairs AS (SELECT * FROM (${graft.ops.DedupOps.d02.oracle.get})),
       $oAHashCtes,
-      ab AS (SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS len
-             FROM documents),
-      aen AS (SELECT doc_id, list_transform(range(0, 65), wi ->
-               list_reduce(list_prepend(CAST(0 AS BIGINT),
-                 list_transform(range(1, length(substring(text, CAST((wi * len) // 65 + 1 AS INT), CAST(((wi + 2) * len) // 65 - (wi * len) // 65 AS INT))) + 1),
-                   i -> CAST(ascii(substring(substring(text, CAST((wi * len) // 65 + 1 AS INT), CAST(((wi + 2) * len) // 65 - (wi * len) // 65 AS INT)), i, 1)) AS BIGINT))),
-                 (a, c) -> a + c)) AS e
-             FROM ab),
-      ah AS (SELECT doc_id, array_to_string(list_transform(range(0, 64),
-               i -> CASE WHEN e[i + 2] > e[i + 1] THEN '1' ELSE '0' END), '')
-               AS afp
-             FROM aen),
+      ${oAudioFpCtes("ab", "aen", "ah", "afp")},
       j AS (SELECT p.doc_a, p.doc_b, p.jaccard,
               CAST(len(list_filter(range(1, 65),
                 i -> substring(ia.ahash, i, 1) <> substring(ib.ahash, i, 1)))
@@ -725,7 +721,6 @@ object MultimodalOps {
             JOIN ah aa ON p.doc_a = aa.doc_id
             JOIN ah bb ON p.doc_b = bb.doc_id)
       SELECT doc_a, doc_b, jaccard, ham_image, ham_audio,
-             ham_image <= $m06MaxHam AS image_corroborates,
              ham_image <= $m06MaxHam AS consensus
       FROM j"""))
 

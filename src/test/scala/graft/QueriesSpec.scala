@@ -480,6 +480,11 @@ class QueriesSpec extends AnyFunSuite {
   }
 
   test("q66 histogram quantiles land within one bucket width of q31's exact ones") {
+    // NOTE: the hard guarantee is one bucket width vs the rank-ceil(pN)
+    // ORDER STATISTIC; agreement with q31's INTERPOLATED percentile at
+    // this tolerance additionally relies on the groups being dense
+    // (adjacent order stats within a bucket width) — true for
+    // l_extendedprice, and this pin would flag a corpus where it is not
     import org.apache.spark.sql.functions._
     val est = SparkEntry.queries("q66_quantile_histogram")(spark, dir)
       .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(3)).toMap
