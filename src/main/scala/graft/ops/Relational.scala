@@ -616,6 +616,60 @@ object Relational {
       FROM events GROUP BY 1, 2"""),
     headline = true)
 
+  /** Incremental aggregate maintenance — the materialized-view refresh
+    * pattern q57's row-level CDC doesn't cover: q21's hourly aggregate is
+    * maintained by MERGING pre-aggregated states (base partition ⊕ delta
+    * partition: counts add, decimal sums add — exact and associative, so
+    * merge order cannot matter) instead of rescanning the base, and the
+    * gate PROVES maintained ≡ full recompute per group (`matches_full`
+    * is computed, not asserted — a false anywhere breaks the hash). At
+    * 100 TB this is the difference between scanning a day's delta and
+    * scanning the corpus per refresh; the decimal(18,6) state is the
+    * same mergeability argument [[Q.sumd]] makes for partial
+    * aggregation, here made visible across ingestion batches. */
+  val q67 = QueryDef(
+    "q67_incremental_agg",
+    (s, d) => {
+      import s.implicits._
+      val e = Q.events(s, d)
+      def part(pred: org.apache.spark.sql.Column) =
+        e.where(pred)
+          .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+          .agg(count(lit(1)).as("n"), sum($"value".cast(D6)).as("s"))
+      val merged = part($"event_id" % 2 === 0)
+        .unionAll(part($"event_id" % 2 === 1))
+        .groupBy($"hour", $"event_type")
+        .agg(sum($"n").cast("bigint").as("n"),
+          sum($"s").cast("double").as("sum_value"))
+      val full = e
+        .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+        .agg(count(lit(1)).cast("bigint").as("fn"), sumd($"value").as("fs"))
+      merged.join(full, Seq("hour", "event_type"))
+        .select(tsStr($"hour").as("hour"), $"event_type", $"n", $"sum_value",
+          ($"n" === $"fn" && $"sum_value" === $"fs").as("matches_full"))
+    },
+    Some(s"""
+      WITH base AS (SELECT date_trunc('hour', cast(ts AS timestamp)) AS hour,
+                      event_type, CAST(count(*) AS BIGINT) AS n,
+                      sum(cast(value AS DECIMAL(18,6))) AS s
+                    FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2),
+      delta AS (SELECT date_trunc('hour', cast(ts AS timestamp)) AS hour,
+                  event_type, CAST(count(*) AS BIGINT) AS n,
+                  sum(cast(value AS DECIMAL(18,6))) AS s
+                FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2),
+      merged AS (SELECT hour, event_type, CAST(sum(n) AS BIGINT) AS n,
+                   CAST(sum(s) AS DOUBLE) AS sum_value
+                 FROM (SELECT * FROM base UNION ALL SELECT * FROM delta) u
+                 GROUP BY 1, 2),
+      f AS (SELECT date_trunc('hour', cast(ts AS timestamp)) AS hour,
+              event_type, CAST(count(*) AS BIGINT) AS fn,
+              ${oSumd("value")} AS fs
+            FROM events GROUP BY 1, 2)
+      SELECT ${oTsStr("m.hour")} AS hour, m.event_type, m.n, m.sum_value,
+             m.n = f2.fn AND m.sum_value = f2.fs AS matches_full
+      FROM merged m JOIN f f2
+        ON m.hour = f2.hour AND m.event_type = f2.event_type"""))
+
   /** TPC-H Q8-shaped market share: the full 7-table star join (every
     * TPC-H-ish table except events) — the widest plan in the battery;
     * dims broadcast, facts sort-merge, year bucketing, conditional
@@ -666,5 +720,5 @@ object Relational {
     headline = true)
 
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q41)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q41, q67)
 }

@@ -500,6 +500,14 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q67 incremental aggregate maintenance: merged state == full recompute everywhere") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q67_incremental_agg")(spark, dir)
+    val bad = df.filter(!col("matches_full")).count()
+    assert(bad == 0, s"$bad groups diverged between the merged and full aggregates")
+    assert(df.count() > 0)
+  }
+
   test("t18 detokenize: EVERY document round-trips, at 12 AND 256 merge rounds") {
     import org.apache.spark.sql.functions._
     // the gate hash pins the values; this pins the semantic claim — zero
