@@ -327,7 +327,7 @@ object MultimodalOps {
     * ops per pair (the 64× substring lambda this replaced was ~10×
     * slower on fat candidate sets); 32-bit halves keep conv's unsigned
     * result inside BIGINT. */
-  private def sHam64(a: String, b: String): String = {
+  private[graft] def sHam64(a: String, b: String): String = {
     def half(off: Int) =
       s"bit_count(CAST(conv(substring($a, $off, 32), 2, 10) AS BIGINT) ^ " +
         s"CAST(conv(substring($b, $off, 32), 2, 10) AS BIGINT))"

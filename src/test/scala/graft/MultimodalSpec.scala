@@ -421,6 +421,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fpAiff == fps(1L), "re-containered PCM changed the fingerprint")
   }
 
+  test("sHam64 conv/XOR/bit_count expression == driver Hamming on 2000 random pairs") {
+    // the codegen'd two-half Hamming drives m06/m08/m09 candidate scoring;
+    // this randomized audit pins it to a straightforward driver count,
+    // including the all-zeros / all-ones / single-half-difference edges
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def fp(): String = Seq.fill(64)(if (rnd.nextBoolean()) '1' else '0').mkString
+    val cases = Seq("0" * 64, "1" * 64, "1" + "0" * 63, "0" * 63 + "1") ++
+      Seq.fill(1996)(fp())
+    val pairs = cases.map(a => (a, if (rnd.nextBoolean()) fp() else a))
+    val got = pairs.toDF("ha", "hb")
+      .selectExpr(graft.ops.MultimodalOps.sHam64("ha", "hb") + " AS ham")
+      .collect().map(_.getLong(0)).toSeq
+    val want = pairs.map { case (a, b) =>
+      a.zip(b).count { case (x, y) => x != y }.toLong
+    }
+    assert(got == want)
+  }
+
   test("m09: image signal corroborates text near-dups, audio stays diagnostic") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("m09_crossmodal_consensus")(
