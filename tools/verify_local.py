@@ -34,6 +34,11 @@ def canon(rows, cols):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # deep-dial runs (-Dgraft.bpe.rounds=256) unroll one CTE per merge
+    # round; DuckDB's default parser depth guard (1000) trips on the
+    # t15/t18 oracles' 256-round chains. The driver's gate runs at the
+    # default 12 rounds and never needs this.
+    con.execute("SET max_expression_depth TO 10000")
     for t in TABLES:
         con.execute(
             f"create view {t} as select * from read_parquet('{sf_dir}/{t}.parquet')")
