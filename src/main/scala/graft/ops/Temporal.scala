@@ -378,7 +378,8 @@ object Temporal {
     * constants dominate (all four sit in SCALE.md's >2×-at-64× weak set).
     * This variant stages ONE co-partitioned base — the events scan
     * repartitioned on `user_id` and sorted within partitions on
-    * (user_id, ts, event_id), cached via [[Q.staged]] — then runs the
+    * (user_id, ts, event_id), materialized via [[fusedBase]]'s
+    * checkpoint — then runs the
     * FOUR UNCHANGED engine SQL statements ([[q60Sql]]..[[q63Sql]] — one
     * source of truth with the gate rows) against it and unions the tagged
     * JSON-encoded outputs into one job.
