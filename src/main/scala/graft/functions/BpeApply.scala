@@ -63,10 +63,21 @@ case class BpeApply(left: Expression, right: Expression, hexMode: Boolean)
     else TypeCheckSuccess
   }
 
-  /** Merge table parsed ONCE per executor from the foldable literal: flat
-    * array, pairs at (2i, 2i+1), each symbol as raw bytes. */
+  /** Merge table parsed ONCE per (literal, alphabet) per JVM: the
+    * `@transient lazy val` alone re-parses per TASK (the expression
+    * instance is deserialized with each task), which for a 30k-merge
+    * production table is ~60k token splits + hex decodes repeated across
+    * every task of the encode stage — so the parse memoizes in a small
+    * JVM-wide cache keyed by the literal text. Bounded: merge tables are
+    * model artifacts, a JVM sees a handful per session. */
   @transient private lazy val mergeTable: Array[Array[Byte]] = {
-    val raw = right.eval(null)
+    val raw0 = right.eval(null)
+    require(raw0 != null, s"$prettyName merge table must not be null")
+    val key = (raw0.asInstanceOf[UTF8String].toString, hexMode)
+    BpeApply.tableCache.computeIfAbsent(key, _ => parseTable(raw0))
+  }
+
+  private def parseTable(raw: Any): Array[Array[Byte]] = {
     require(raw != null, s"$prettyName merge table must not be null")
     val toks = raw.asInstanceOf[UTF8String].toString
       .split(" ").filter(_.nonEmpty)
@@ -178,4 +189,12 @@ case class BpeApply(left: Expression, right: Expression, hexMode: Boolean)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): BpeApply =
     copy(left = newLeft, right = newRight)
+}
+
+object BpeApply {
+  /** JVM-wide parsed-merge-table cache (see [[BpeApply.mergeTable]]).
+    * Keyed by (literal text, alphabet); values are immutable and shared
+    * read-only across tasks. */
+  private[functions] val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Boolean), Array[Array[Byte]]]()
 }

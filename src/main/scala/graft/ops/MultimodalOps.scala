@@ -504,7 +504,11 @@ object MultimodalOps {
         .start()
       q.awaitTermination()
     }
-    s.read.parquet(outDir)
+    // explicit schema: a zero-hit run leaves only _spark_metadata in the
+    // sink dir, and schema inference would throw on a semantically-empty
+    // (and oracle-matching) result
+    s.read.schema(org.apache.spark.sql.Encoders.product[PerceptualHit].schema)
+      .parquet(outDir)
   }
 
   private[graft] def perceptualStream(

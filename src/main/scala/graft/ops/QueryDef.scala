@@ -142,6 +142,29 @@ object Q {
     }
   }
 
+  /** [[staged]] without the extra `.cache()`: for intermediates that are
+    * ALREADY materialized (checkpoints), where wrapping an
+    * InMemoryRelation on top would discard the checkpoint's preserved
+    * output partitioning (the one property fusedBase exists to keep —
+    * InMemoryRelation.withOutput loses the partitioning attributes on
+    * Spark 4.1). Without memoization every call re-built and
+    * re-checkpointed a fresh copy whose blocks outlived the call; the
+    * memoized copy is shared per (key, dir, session) and its blocks are
+    * swept by [[releaseAllPersisted]] like any checkpoint. */
+  def stagedMaterialized(key: String, dir: String)(build: => DataFrame): DataFrame = {
+    val session = SparkSession.active
+    val k = s"$key|$dir|${System.identityHashCode(session)}"
+    val existing = stagedMemo.get(k)
+    if (existing != null && !existing.sparkSession.sparkContext.isStopped) {
+      existing
+    } else {
+      if (existing != null) stagedMemo.remove(k, existing)
+      val built = build
+      val prev = stagedMemo.putIfAbsent(k, built)
+      if (prev == null) built else prev
+    }
+  }
+
   /** Unpersist and forget every memoized intermediate (cold-cache runs).
     * Blocking: a non-blocking unpersist races the NEXT cold run — the old
     * blocks are still draining while the new run fills the store, and the

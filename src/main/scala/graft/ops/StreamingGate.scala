@@ -485,7 +485,11 @@ object StreamingGate {
           } finally q.stop()
         }
       }
-      s.read.parquet(outDir)
+      // explicit schema: a zero-hit run leaves only _spark_metadata in the
+      // sink dir, and schema inference would throw on a semantically-empty
+      // (and oracle-matching) result
+      s.read.schema(org.apache.spark.sql.Encoders.product[DupHit].schema)
+        .parquet(outDir)
   }
 
   val q58 = QueryDef(

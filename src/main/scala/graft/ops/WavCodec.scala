@@ -77,7 +77,10 @@ object WavCodec extends MediaCodec {
           media_type = s"audio/${aff.getType.toString.toLowerCase}",
           width = f.getSampleRate.toLong,
           height = f.getChannels.toLong,
-          n_frames = aff.getFrameLength.toLong,
+          // streamed-length containers (e.g. AU with data size 0xFFFFFFFF)
+          // report AudioSystem.NOT_SPECIFIED (-1) without throwing; a
+          // negative frame count must not leak into downstream aggregates
+          n_frames = math.max(0L, aff.getFrameLength.toLong),
           size_bytes = in.payload.length.toLong)
       } catch {
         case _: Exception =>

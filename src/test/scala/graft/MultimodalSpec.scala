@@ -274,6 +274,18 @@ class MultimodalSpec extends AnyFunSuite {
     // checked at a tolerance that covers the measured perturbation.
     assert(ham <= 4,
       s"lossy re-encode moved the aHash $ham bits — perturbation model broken")
+    // PRODUCTION-tolerance pin, conditional so other JVMs' encoders don't
+    // flake: when this encoder's perturbation is within the shipped
+    // m06MaxHam (true here), the SHIPPED m06 query must group the pair —
+    // a recall regression at the production threshold fails the build
+    // rather than hiding behind the widened diagnostic tolerance below
+    if (ham <= graft.ops.MultimodalOps.m06MaxHam && ham > 0) {
+      val prod = MultimodalOps.perceptualNeighbors(spark, h)
+        .collect().map(r => r.getAs[String]("ahash") ->
+          r.getAs[Long]("n_neighbor_docs")).toMap
+      assert(prod.values.forall(_ == 1L),
+        "shipped m06 tolerance no longer groups a JPEG re-encode pair")
+    }
     val tol = math.max(graft.ops.MultimodalOps.m06MaxHam, ham)
     val nb = MultimodalOps.perceptualNeighbors(spark, h, maxHam = tol)
       .collect().map(r => r.getAs[String]("ahash") ->
