@@ -68,13 +68,24 @@ case class BpeApply(left: Expression, right: Expression, hexMode: Boolean)
     * instance is deserialized with each task), which for a 30k-merge
     * production table is ~60k token splits + hex decodes repeated across
     * every task of the encode stage — so the parse memoizes in a small
-    * JVM-wide cache keyed by the literal text. Bounded: merge tables are
-    * model artifacts, a JVM sees a handful per session. */
+    * JVM-wide LRU keyed by a SHA-256 digest of the literal (the key does
+    * NOT retain the hundreds-of-KB literal text) and capped at
+    * [[BpeApply.MaxCachedTables]] entries, so deep-dial sweeps that vary
+    * `-Dgraft.bpe.rounds` across a long-lived executor JVM can never
+    * accumulate unbounded parsed copies (round-10 advice item). */
   @transient private lazy val mergeTable: Array[Array[Byte]] = {
     val raw0 = right.eval(null)
     require(raw0 != null, s"$prettyName merge table must not be null")
-    val key = (raw0.asInstanceOf[UTF8String].toString, hexMode)
-    BpeApply.tableCache.computeIfAbsent(key, _ => parseTable(raw0))
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(raw0.asInstanceOf[UTF8String].getBytes)
+    val key = (java.util.Base64.getEncoder.encodeToString(digest), hexMode)
+    val cached = BpeApply.tableCache.get(key)
+    if (cached != null) cached
+    else {
+      val parsed = parseTable(raw0)
+      BpeApply.tableCache.put(key, parsed)
+      parsed
+    }
   }
 
   private def parseTable(raw: Any): Array[Array[Byte]] = {
@@ -192,9 +203,28 @@ case class BpeApply(left: Expression, right: Expression, hexMode: Boolean)
 }
 
 object BpeApply {
-  /** JVM-wide parsed-merge-table cache (see [[BpeApply.mergeTable]]).
-    * Keyed by (literal text, alphabet); values are immutable and shared
-    * read-only across tasks. */
-  private[functions] val tableCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Boolean), Array[Array[Byte]]]()
+  /** A JVM sees a handful of live merge tables per session (one per
+    * trained tokenizer × alphabet); 16 is comfortable headroom while
+    * keeping worst-case retention ~16 parsed tables. */
+  private[functions] val MaxCachedTables = 16
+
+  /** JVM-wide parsed-merge-table LRU (see [[BpeApply.mergeTable]]).
+    * Keyed by (SHA-256 of the literal, alphabet) — no reference to the
+    * literal text itself; values are immutable and shared read-only
+    * across tasks. Access-ordered with eldest-entry eviction; the
+    * synchronized wrapper is uncontended (one lookup per task deserialization,
+    * not per row). */
+  // test-only views (BpeApplySpec pins the bound without reaching into
+  // the synchronized map from another package)
+  private[graft] def maxCachedTablesForTest: Int = MaxCachedTables
+  private[graft] def cacheSizeForTest: Int = tableCache.size()
+
+  private[functions] val tableCache: java.util.Map[(String, Boolean), Array[Array[Byte]]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Boolean), Array[Array[Byte]]](
+        MaxCachedTables, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Boolean), Array[Array[Byte]]]): Boolean =
+          size() > MaxCachedTables
+      })
 }

@@ -51,5 +51,9 @@ object GraftExtensions {
     entry("bpe_apply_bytes", classOf[BpeApply])(
       es => BpeApply(es.head, es(1), hexMode = true)),
     entry("bpe_apply_chars", classOf[BpeApply])(
-      es => BpeApply(es.head, es(1), hexMode = false)))
+      es => BpeApply(es.head, es(1), hexMode = false)),
+    entry("ascii_word_histogram", classOf[TokenHistogram])(
+      es => TokenHistogram(es.head, asciiWordMode = true)),
+    entry("space_token_histogram", classOf[TokenHistogram])(
+      es => TokenHistogram(es.head, asciiWordMode = false)))
 }

@@ -583,23 +583,46 @@ object CorpusOps {
     * Stops early if no adjacent pair remains (every word fused to one
     * symbol); the oracle's CROSS JOIN with the then-empty `b_r` goes empty
     * the same way. */
-  /** FULL per-word counts of the `[a-z]+` token stream, staged once per
-    * run: ONE corpus-scale wordcount shuffle whose output is
-    * vocabulary-sized (cheap to cache), feeding BOTH the train's top-K
-    * head (bpeTrain) and t12's distinct-word frame — without this, the
-    * encode re-ran the scan+explode once per consumer (Catalyst inlines
-    * twice-referenced CTEs — t11's lesson), 3 full passes at 64×. Caching
-    * the exploded token stream instead was measured WORSE (50 M-row cache
-    * round-trips cost more than the explode they saved); the wordcount
-    * aggregate is the metadata-width artifact that caches for free. */
+  /** Per-doc `[a-z]+` token histograms, staged once per ENCODE run (t12
+    * only — the train-only t10 path must not pay this cache, see
+    * [[wordCounts]]). A zero-shuffle projection: the native
+    * [[graft.functions.TokenHistogram]] expression collapses each doc's
+    * token stream to a `word → count` map in one byte pass, and the
+    * cached frame is document-count rows of map values — NOT
+    * token-stream rows (the round-7 measurement that killed the 50 M-row
+    * token-stream cache does not apply; the exploded `(doc_id, word,
+    * cnt)` spelling WAS re-measured this round and lost ~15% to this map
+    * form at 64× — per-row cache overhead beats map serialization
+    * here). t12 derives BOTH its train-side wordcount and its per-doc
+    * aggregate from this one frame, cutting the encode family's corpus
+    * passes from 2 to 1 (round-10 verdict item 1). */
+  private[graft] def docHist(
+      s: org.apache.spark.sql.SparkSession, d: String) =
+    staged("t12_doc_hist", d) {
+      withViews(s, d, "documents")("""
+        SELECT doc_id, ascii_word_histogram(lower(text)) AS h
+        FROM documents""")
+    }
+
+  /** FULL per-word counts of the `[a-z]+` token stream — ONE fused
+    * corpus pass (scan → native histogram → map explode → partial agg →
+    * vocabulary-width shuffle), staged vocabulary-sized. The per-doc
+    * histogram replaces `regexp_extract_all` + per-occurrence explode:
+    * no regex, and the explode emits one row per DISTINCT word per doc
+    * (2.3× fewer at the measured corpus shape). Deliberately does NOT
+    * read [[docHist]]'s cache: for a train-only run (t10/t13) the cache
+    * write+read round-trip measured SLOWER at 64× (0.55 → 0.95 s) than
+    * re-fusing the scan into this one job — encode runs, which need the
+    * per-doc frame anyway, derive their wordcount from [[docHist]]
+    * instead ([[t12Encode]]). */
   private[graft] def wordCounts(
       s: org.apache.spark.sql.SparkSession, d: String) =
     staged("t10_wordcounts_full", d) {
       withViews(s, d, "documents")("""
-        SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
-        FROM (SELECT explode(regexp_extract_all(lower(text), '[a-z]+', 0)) AS w
+        SELECT word, CAST(sum(cnt) AS BIGINT) AS freq
+        FROM (SELECT explode(ascii_word_histogram(lower(text))) AS (word, cnt)
               FROM documents)
-        GROUP BY w""")
+        GROUP BY word""")
     }
 
   private[graft] def bpeTrain(
@@ -607,8 +630,21 @@ object CorpusOps {
       d: String,
       rounds: Int = bpeRounds): Vector[(Int, String, String, Long)] = {
     wordCounts(s, d).createOrReplaceTempView("t10_wc")
+    bpeTrainFromView(s, "t10_wc", rounds)
+  }
+
+  /** The train head over an already-registered full-wordcount view: top-K
+    * vocab cap (deterministic `freq DESC, word` tiebreak) → driver merge
+    * loop. Split out so the encode path can train from the wordcount it
+    * derives from the staged per-doc histograms ([[t12Encode]]) — same
+    * values as [[wordCounts]] (spec-pinned in TokenHistogramSpec), zero
+    * extra corpus scans. */
+  private[graft] def bpeTrainFromView(
+      s: org.apache.spark.sql.SparkSession,
+      wcView: String,
+      rounds: Int): Vector[(Int, String, String, Long)] = {
     val wc = s.sql(
-      s"SELECT word, freq FROM t10_wc ORDER BY freq DESC, word LIMIT $bpeVocab")
+      s"SELECT word, freq FROM $wcView ORDER BY freq DESC, word LIMIT $bpeVocab")
     bpeMergeLoop(
       wc.collect().map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1))),
       rounds)
@@ -701,25 +737,32 @@ object CorpusOps {
   private[graft] def t12Encode(
       s: org.apache.spark.sql.SparkSession, d: String,
       rounds: Int = bpeRounds): org.apache.spark.sql.DataFrame = {
-    val merges = bpeTrain(s, d, rounds)
+    // ONE corpus scan for the whole query: the staged per-doc histograms
+    // feed (a) the train-side wordcount (metadata-width re-aggregation —
+    // identical values to [[wordCounts]], spec-pinned), (b) the
+    // distinct-word encode frame, and (c) the per-doc aggregate, where
+    // every stat is a count-weighted sum over the doc's distinct words
+    // (exact BIGINTs — identical to summing per token occurrence).
+    docHist(s, d).createOrReplaceTempView("t12_dh")
+    staged("t12_wordcounts_derived", d) {
+      s.sql("""
+        SELECT word, CAST(sum(cnt) AS BIGINT) AS freq
+        FROM (SELECT explode(h) AS (word, cnt) FROM t12_dh)
+        GROUP BY word""")
+    }.createOrReplaceTempView("t12_wc")
+    val merges = bpeTrainFromView(s, "t12_wc", rounds)
       .map { case (_, l, r, _) => s"$l $r" }.mkString(" ")
-    // bpeTrain above already staged the full wordcount artifact and
-    // registered it as t10_wc — the distinct-word frame reads it for free
-    // instead of re-exploding the corpus (the old CTE spelling paid the
-    // scan twice more: once for DISTINCT, once here)
     withViews(s, d, "documents")(s"""
       WITH enc AS (SELECT word AS w,
                 CAST(size(bpe_apply_chars(word, '$merges')) AS BIGINT) AS n_sub
-              FROM t10_wc)
+              FROM t12_wc)
       SELECT /*+ BROADCAST(e) */ t.doc_id,
-             CAST(count(*) AS BIGINT) AS n_words,
-             CAST(sum(e.n_sub) AS BIGINT) AS n_subwords,
-             CAST(sum(length(t.w)) AS BIGINT) AS n_chars,
-             CAST(sum(length(t.w)) AS DOUBLE) / CAST(sum(e.n_sub) AS DOUBLE)
-               AS chars_per_subword
-      FROM (SELECT doc_id,
-              explode(regexp_extract_all(lower(text), '[a-z]+', 0)) AS w
-            FROM documents) t
+             CAST(sum(t.cnt) AS BIGINT) AS n_words,
+             CAST(sum(t.cnt * e.n_sub) AS BIGINT) AS n_subwords,
+             CAST(sum(t.cnt * length(t.w)) AS BIGINT) AS n_chars,
+             CAST(sum(t.cnt * length(t.w)) AS DOUBLE)
+               / CAST(sum(t.cnt * e.n_sub) AS DOUBLE) AS chars_per_subword
+      FROM (SELECT doc_id, explode(h) AS (w, cnt) FROM t12_dh) t
       JOIN enc e ON t.w = e.w
       GROUP BY t.doc_id""")
   }
@@ -847,17 +890,31 @@ object CorpusOps {
     * toward GPT-2-style byte-level subwords. Vocab tiebreak orders by
     * `hex(encode(word))` — injective, byte-wise, collation-proof in both
     * engines. */
+  /** Byte-level twin of [[docHist]]: per-doc histograms of the augmented
+    * raw-token stream (maximal non-space byte runs — exactly
+    * `filter(split(text, ' '), x -> x <> '')`), staged only on the
+    * encode path (t14), which derives all three of its frames from it. */
+  private[graft] def docHistBytes(
+      s: org.apache.spark.sql.SparkSession, d: String) =
+    staged("t13_doc_hist", d) {
+      withViews(s, d, "documents")(s"""
+        SELECT doc_id, space_token_histogram($sAugText) AS h
+        FROM documents""")
+    }
+
   /** Byte-level twin of [[wordCounts]]: FULL per-word counts of the
-    * augmented raw-token stream, staged once for both the train head and
-    * t14's distinct-word frame (same one-explode economics). */
+    * augmented raw-token stream as ONE fused corpus pass (native
+    * histogram, no regex split, distinct-per-doc explode), staged for
+    * the train head and t15/t18's encode/decode frames. Same
+    * train-only-runs-stay-lean judgment as [[wordCounts]]. */
   private[graft] def wordCountsBytes(
       s: org.apache.spark.sql.SparkSession, d: String) =
     staged("t13_wordcounts_full", d) {
       withViews(s, d, "documents")(s"""
-        SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
-        FROM (SELECT explode(filter(split($sAugText, ' '), x -> x <> '')) AS w
+        SELECT word, CAST(sum(cnt) AS BIGINT) AS freq
+        FROM (SELECT explode(space_token_histogram($sAugText)) AS (word, cnt)
               FROM documents)
-        GROUP BY w""")
+        GROUP BY word""")
     }
 
   private[graft] def bpeTrainBytes(
@@ -865,8 +922,17 @@ object CorpusOps {
       d: String,
       rounds: Int = bpeRounds): Vector[(Int, String, String, Long)] = {
     wordCountsBytes(s, d).createOrReplaceTempView("t13_wc")
+    bpeTrainBytesFromView(s, "t13_wc", rounds)
+  }
+
+  /** Byte-level twin of [[bpeTrainFromView]] (injective
+    * `hex(encode(word))` vocab tiebreak — collation-proof). */
+  private[graft] def bpeTrainBytesFromView(
+      s: org.apache.spark.sql.SparkSession,
+      wcView: String,
+      rounds: Int): Vector[(Int, String, String, Long)] = {
     val wc = s.sql(s"""
-      SELECT word, freq FROM t13_wc
+      SELECT word, freq FROM $wcView
       ORDER BY freq DESC, hex(encode(word, 'UTF-8')) LIMIT $bpeVocab""")
     bpeMergeLoop(
       wc.collect().map(r => (byteSyms(r.getString(0)), r.getLong(1))), rounds)
@@ -930,23 +996,29 @@ object CorpusOps {
   private[graft] def t14Encode(
       s: org.apache.spark.sql.SparkSession, d: String,
       rounds: Int = bpeRounds): org.apache.spark.sql.DataFrame = {
-    val merges = bpeTrainBytes(s, d, rounds)
+    // ONE corpus scan: per-doc histograms feed the derived wordcount
+    // (train + distinct-word encode frame) and the per-doc aggregate —
+    // [[t12Encode]]'s shape on the byte alphabet.
+    docHistBytes(s, d).createOrReplaceTempView("t13_dh")
+    staged("t14_wordcounts_derived", d) {
+      s.sql("""
+        SELECT word, CAST(sum(cnt) AS BIGINT) AS freq
+        FROM (SELECT explode(h) AS (word, cnt) FROM t13_dh)
+        GROUP BY word""")
+    }.createOrReplaceTempView("t14_wc")
+    val merges = bpeTrainBytesFromView(s, "t14_wc", rounds)
       .map { case (_, l, r, _) => s"$l $r" }.mkString(" ")
-    // bpeTrainBytes above staged the full wordcount artifact as t13_wc —
-    // the distinct-word frame reads it instead of re-exploding the corpus
     withViews(s, d, "documents")(s"""
       WITH enc AS (SELECT word AS w,
                 CAST(size(bpe_apply_bytes(word, '$merges')) AS BIGINT) AS n_sub
-              FROM t13_wc)
+              FROM t14_wc)
       SELECT /*+ BROADCAST(e) */ t.doc_id,
-             CAST(count(*) AS BIGINT) AS n_words,
-             CAST(sum(e.n_sub) AS BIGINT) AS n_subwords,
-             CAST(sum(octet_length(t.w)) AS BIGINT) AS n_bytes,
-             CAST(sum(octet_length(t.w)) AS DOUBLE) / CAST(sum(e.n_sub) AS DOUBLE)
-               AS bytes_per_subword
-      FROM (SELECT doc_id,
-              explode(filter(split($sAugText, ' '), x -> x <> '')) AS w
-            FROM documents) t
+             CAST(sum(t.cnt) AS BIGINT) AS n_words,
+             CAST(sum(t.cnt * e.n_sub) AS BIGINT) AS n_subwords,
+             CAST(sum(t.cnt * octet_length(t.w)) AS BIGINT) AS n_bytes,
+             CAST(sum(t.cnt * octet_length(t.w)) AS DOUBLE)
+               / CAST(sum(t.cnt * e.n_sub) AS DOUBLE) AS bytes_per_subword
+      FROM (SELECT doc_id, explode(h) AS (w, cnt) FROM t13_dh) t
       JOIN enc e ON t.w = e.w
       GROUP BY t.doc_id""")
   }

@@ -77,4 +77,13 @@ class BpeApplySpec extends AnyFunSuite {
       assert(out.mkString == hexSyms.mkString, s"'$w' with [$merges]")
     }
   }
+
+  test("parsed-merge-table cache is bounded (LRU eviction past the cap)") {
+    // deep-dial sweeps create one distinct merge-table literal per rounds
+    // value; the JVM-wide cache must never grow past MaxCachedTables
+    for (i <- 0 until graft.functions.BpeApply.maxCachedTablesForTest + 8)
+      bytes("ab", f"61 ${0x30 + (i % 64)}%02X")
+    assert(graft.functions.BpeApply.cacheSizeForTest
+      <= graft.functions.BpeApply.maxCachedTablesForTest)
+  }
 }
