@@ -27,6 +27,26 @@ object Bench {
     val picked =
       if (args.isEmpty) SparkEntry.headline
       else SparkEntry.registry.filter(q => args.contains(q.name))
+    // Machine-state calibration (round-10 verdict item 3): driver-bench
+    // medians drifted +10% across rounds on IDENTICAL code paths while
+    // the controlled idle-machine protocol improved — so each bench run
+    // self-records (a) the 1-min loadavg at start and (b) the min-of-3
+    // time of a FIXED data-independent calibration job (a codegen'd
+    // range→groupBy→count: same scan/hash-agg/shuffle machinery the
+    // real queries exercise, zero dependence on the code under test).
+    // A round whose aggregate moves >10% with a matching calibration
+    // move is machine-attributed in the artifact itself; a move with a
+    // flat calibration is a real regression.
+    val loadavg1m = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(200000000L).selectExpr("id % 997 AS k")
+        .groupBy("k").count().queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibOnce() // warm the calibration plan's generated code
+    val calibSec = Seq.fill(3)(calibOnce()).min
     // Execute the query's OWN physical plan to completion (toRdd.count
     // consumes every output row in place, nothing ships to the driver).
     // Timing `df.count()` instead is a measurement bug, not a protocol
@@ -85,7 +105,10 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$nRuns,"queries":${fmt(results)},"medians":${fmt(medians)},"spread":${fmt(spread)},"failed":$failed,"sf":"$sfDir"}""")
+    val calib = String.format(java.util.Locale.ROOT,
+      """"loadavg1m":%.2f,"calib_sec":%.4f""",
+      Double.box(loadavg1m), Double.box(calibSec))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$nRuns,$calib,"queries":${fmt(results)},"medians":${fmt(medians)},"spread":${fmt(spread)},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

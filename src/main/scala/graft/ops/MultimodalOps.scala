@@ -659,20 +659,284 @@ object MultimodalOps {
       FROM dh LEFT JOIN nb ON dh.ahash = nb.ahash"""),
     headline = true)
 
+  // ---- content-defined audio granules (m10) ---------------------------
+
+  /** m10 geometry. Landmark pattern: a cut lands after frame i when the
+    * last 5 energy-delta SIGNS read 1,0,1,0,1 — expected spacing 2^5 = 32
+    * frames on sign-balanced content. Granules shorter than
+    * `m10MinFrames` frames are dropped. 33 fingerprint windows → 32 key
+    * bits: the 17-window (16-bit) geometry was measured FIRST and
+    * rejected — at 64× its key space aliased unrelated granule contents
+    * 8:1 (9,376 distinct keys for 74,444 distinct granule CONTENTS) and
+    * blew the candidate-pair load to 940 M where the content-true floor
+    * is 82 M; 32 bits restores content-level selectivity (for granules
+    * shorter than 33 frames some windows are zero-width — lower entropy,
+    * still deterministic and content-exact on both engines).
+    * `m10MaxKeyClasses` is the skew backstop (the stop-landmark idea
+    * production audio matchers apply to over-common landmarks): a key
+    * held by more classes is dropped as non-identifying before the pair
+    * join, bounding any single bucket's quadratic cost. At the measured
+    * 64× corpus the cap drops 25 of 74 k keys and none of the ~64-class
+    * sibling groups the salted corpus plants (SCALE.md m10). */
+  private[graft] val m10MinFrames = 17
+  private[graft] val m10FpWindows = 33
+  private[graft] val m10MaxKeyClasses = 512
+
+  /** Content-defined audio granule keys: the alignment-robust matching
+    * signal the round-10 verdict asked for. The proportional-grid global
+    * fingerprint ([[audioFingerprint]]) decorrelates under a one-token
+    * edit because EVERY window boundary is a fraction of total length
+    * (measured min Hamming 19 on true pairs, SCALE.md) — and a single
+    * best-offset search cannot repair a MIDDLE insertion either (the
+    * prefix aligns at offset 0, the suffix at ±k; no global shift fits
+    * both). Production matchers anchor analysis to CONTENT landmarks, so
+    * an edit stays local: here a granule boundary is cut wherever the
+    * last 5 delta-sign bits of the frame-energy stream match `10101`
+    * (delta SIGNS, not raw energies, so boundaries — like the granule
+    * fingerprints — are invariant to uniform gain). An insertion
+    * corrupts only the granule containing it (and possibly its
+    * neighbor); every other granule's bytes, boundaries, and fingerprint
+    * are untouched, so near-dups keep a majority of granule keys in
+    * common no matter WHERE the edit lands.
+    *
+    * Per granule (≥ [[m10MinFrames]] frames): 17 proportional 50%-overlap
+    * windows within the granule → 16 energy-delta sign bits; key =
+    * `"<frameLen>:<bits>"`. Keys are exact-join tokens — candidate
+    * generation is an equi-join (banding degenerates to exact matching;
+    * no Hamming search, no cross join). Returns the payload's decoded
+    * content digest (class key) plus the DISTINCT granule keys.
+    *
+    * Semantics are frame-aligned through the [[MediaCodec]] seam (frame
+    * energies via `feature` over single frames of the decoded plane) —
+    * the stub's byte==frame identity makes the whole chain one SQL
+    * spelling ([[oGranuleCtes]]). */
+  private[graft] def granuleKeys(
+      sess: MediaCodec.Session, payload: Array[Byte]): (String, Array[String]) = {
+    val fb = sess.frameBytes
+    val planeLen = sess.planeLength(payload)
+    val (plane, digest) = sess.slice(payload, 0, planeLen)
+    val nf = plane.length / fb
+    val scratch = new Array[Byte](fb)
+    val e = new Array[Long](nf)
+    var i = 0
+    while (i < nf) {
+      System.arraycopy(plane, i * fb, scratch, 0, fb)
+      e(i) = sess.feature(scratch)
+      i += 1
+    }
+    @inline def dSign(j: Int): Boolean = e(j + 1) > e(j)
+    val keys = scala.collection.mutable.LinkedHashSet.empty[String]
+    def emit(gs: Int, ge: Int): Unit = {
+      val gl = ge - gs + 1
+      if (gl >= m10MinFrames) {
+        val en = new Array[Long](m10FpWindows)
+        var wi = 0
+        while (wi < m10FpWindows) {
+          val s0 = wi * gl / m10FpWindows
+          val e0 = math.min((wi + 2) * gl / m10FpWindows, gl)
+          val span = new Array[Byte]((e0 - s0) * fb)
+          System.arraycopy(plane, (gs + s0) * fb, span, 0, span.length)
+          en(wi) = sess.feature(span)
+          wi += 1
+        }
+        val bits = new java.lang.StringBuilder(m10FpWindows - 1)
+        var k = 0
+        while (k < m10FpWindows - 1) {
+          bits.append(if (en(k + 1) > en(k)) '1' else '0')
+          k += 1
+        }
+        keys += s"$gl:$bits"
+      }
+    }
+    var start = 0
+    i = 4 // first frame where 5 delta bits exist behind it
+    while (i <= nf - 2) {
+      if (dSign(i - 4) && !dSign(i - 3) && dSign(i - 2) && !dSign(i - 1) &&
+          dSign(i)) {
+        emit(start, i)
+        start = i + 1
+      }
+      i += 1
+    }
+    if (nf > 0) emit(start, nf - 1)
+    (digest, keys.toArray)
+  }
+
+  /** Binary-payload frame → `(doc_id, dg, gkeys)`: content digest (the
+    * duplicate-class key) plus distinct granule keys, one row per doc.
+    * ZERO shuffles — same row-wise economics (and small-scan spread) as
+    * [[audioFingerprint]]. */
+  def audioGranules(spark: SparkSession, media: DataFrame,
+      codec: MediaCodec = MediaCodec.Stub): DataFrame = {
+    import spark.implicits._
+    val spread =
+      if (media.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
+        media.repartition(spark.sparkContext.defaultParallelism)
+      else media
+    spread.as[MediaIn].mapPartitions { it =>
+      val sess = codec.open()
+      it.map { m =>
+        val (dg, keys) = granuleKeys(sess, m.payload)
+        (m.doc_id, dg, keys)
+      }
+    }.toDF("doc_id", "dg", "gkeys")
+  }
+
+  /** DuckDB spelling of the granule chain over the stub's byte==frame
+    * identity, ending at `gkName(doc_id, gkey)` (DISTINCT keys per doc) —
+    * ONE spelling shared by the m10 and m09 oracles so they cannot
+    * drift. 1-based byte positions mirror the engine's 0-based frames
+    * (engine frame i ↔ byte p = i+1); cut after byte p ∈ [5, n-1] iff
+    * delta signs d[p-4..p] = 1,0,1,0,1 with d[k] = (ascii(k+1) >
+    * ascii(k)); final cut at n. */
+  private def oGranuleCtes(pfx: String, gkName: String): String = s"""
+      ${pfx}d AS (SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS n,
+               list_transform(range(1, CAST(strlen(text) AS BIGINT)), p ->
+                 CASE WHEN ascii(substring(text, CAST(p + 1 AS INT), 1)) >
+                           ascii(substring(text, CAST(p AS INT), 1))
+                      THEN 1 ELSE 0 END) AS dl
+             FROM documents),
+      ${pfx}c AS (SELECT doc_id, text,
+               list_append(list_filter(range(5, n), p ->
+                 dl[CAST(p - 4 AS INT)] = 1 AND dl[CAST(p - 3 AS INT)] = 0 AND
+                 dl[CAST(p - 2 AS INT)] = 1 AND dl[CAST(p - 1 AS INT)] = 0 AND
+                 dl[CAST(p AS INT)] = 1), n) AS cuts
+             FROM ${pfx}d),
+      ${pfx}g AS (SELECT doc_id, text,
+               CASE WHEN k = 1 THEN CAST(1 AS BIGINT)
+                    ELSE cuts[CAST(k - 1 AS INT)] + 1 END AS gs,
+               cuts[CAST(k AS INT)] AS ge
+             FROM (SELECT doc_id, text, cuts,
+                     unnest(range(1, len(cuts) + 1)) AS k
+                   FROM ${pfx}c)),
+      ${pfx}e AS (SELECT doc_id, ge - gs + 1 AS gl,
+               list_transform(range(0, $m10FpWindows), wi ->
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(
+                     range(gs + (wi * (ge - gs + 1)) // $m10FpWindows,
+                           gs + least(((wi + 2) * (ge - gs + 1)) // $m10FpWindows,
+                                      ge - gs + 1)),
+                     p -> CAST(ascii(substring(text, CAST(p AS INT), 1)) AS BIGINT))),
+                   (a, c) -> a + c)) AS en
+             FROM ${pfx}g WHERE ge - gs + 1 >= $m10MinFrames),
+      $gkName AS (SELECT DISTINCT doc_id,
+               gl || ':' || array_to_string(
+                 list_transform(range(0, ${m10FpWindows - 1}), i ->
+                   CASE WHEN en[CAST(i + 2 AS INT)] > en[CAST(i + 1 AS INT)]
+                        THEN '1' ELSE '0' END), '') AS gkey
+             FROM ${pfx}e)"""
+
+  /** m10 match rule (engine and oracle): classes match when they share at
+    * least 2 granule keys AND at least half of the smaller side's keys. */
+  private[graft] def granuleMatched(shared: Long, na: Long, nb: Long): Boolean =
+    shared >= 2 && 2 * shared >= math.min(na, nb)
+
+  /** Alignment-robust audio near-dup via content-defined granules — the
+    * production answer to [[audioFingerprint]]'s measured alignment
+    * sensitivity (a one-token edit decorrelates the proportional global
+    * grid; SCALE.md m09). Per duplicate-class (decoded-content digest):
+    * its size, canonical doc, granule count, and the classes it matches
+    * under [[granuleMatched]] — matching is a granule-key EQUI-join
+    * (distinct-class collapse first, exact keys, no Hamming search), so
+    * candidates stay bucketed at any corpus size. The DuckDB oracle
+    * re-derives granules from the byte==frame identity and counts the
+    * same shared keys — an independent end-to-end derivation. */
+  val m10 = QueryDef(
+    "m10_audio_granule_neardup",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val media = table(s, d, "documents")
+        .select($"doc_id", $"text".cast("binary").as("payload"), $"source")
+      // class collapse BEFORE the key join (m06's rule): one row per
+      // distinct decoded content, metadata-width, checkpointed so the
+      // three consumers below never re-run the scan+granulate pass
+      val cls = roundCheckpoint(audioGranules(s, media)
+        .groupBy($"dg")
+        .agg(min($"doc_id").as("canonical_doc"),
+          count(lit(1)).as("n_docs"), first($"gkeys").as("gkeys")))
+      // pin the exchange key + count: the key frame is tiny but the join
+      // OUTPUT is the candidate explosion (m08's AQE coalesce trap)
+      val ck0 = cls.select($"dg", explode($"gkeys").as("gkey"))
+        .repartition(s.sparkContext.defaultParallelism, $"gkey")
+      // stop-landmark skew backstop: keys held by > m10MaxKeyClasses
+      // classes are non-identifying; dropping them bounds the worst
+      // bucket's quadratic pair cost (metadata-width window count —
+      // ck0 is already partitioned by gkey, so no extra exchange)
+      val ck = ck0.withColumn("kc",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy($"gkey")))
+        .where($"kc" <= m10MaxKeyClasses).drop("kc")
+      // denominators count INFORMATIVE (kept) keys, consistently with
+      // the shared counts the rule compares them to
+      val ng = ck.groupBy($"dg").agg(count(lit(1)).as("n_g"))
+      val sh = ck.as("a")
+        .join(ck.as("b"), $"a.gkey" === $"b.gkey" && $"a.dg" < $"b.dg")
+        .groupBy($"a.dg".as("da"), $"b.dg".as("db"))
+        .agg(count(lit(1)).as("c"))
+      val mt = sh
+        .join(ng.select($"dg".as("da"), $"n_g".as("na")), "da")
+        .join(ng.select($"dg".as("db"), $"n_g".as("nb")), "db")
+        .where($"c" >= 2 && $"c" * 2 >= least($"na", $"nb"))
+        .select($"da", $"db")
+      val ed = mt.union(mt.select($"db", $"da")).toDF("dg", "other")
+      val nbv = ed
+        .join(cls.select($"dg".as("other"), $"n_docs".as("od")), "other")
+        .groupBy($"dg")
+        .agg(count(lit(1)).as("n_matched_classes"),
+          sum($"od").as("n_matched_docs"))
+      cls.join(ng, Seq("dg"), "left").join(nbv, Seq("dg"), "left")
+        .select($"canonical_doc", $"n_docs",
+          coalesce($"n_g", lit(0L)).as("n_granules"),
+          coalesce($"n_matched_classes", lit(0L)).as("n_matched_classes"),
+          coalesce($"n_matched_docs", lit(0L)).as("n_matched_docs"))
+    },
+    Some(s"""
+      WITH ${oGranuleCtes("g", "gk")},
+      cls AS (SELECT md5(text) AS dg, min(doc_id) AS canonical_doc,
+                CAST(count(*) AS BIGINT) AS n_docs
+              FROM documents GROUP BY md5(text)),
+      ck0 AS (SELECT c.dg, g.gkey
+              FROM cls c JOIN gk g ON g.doc_id = c.canonical_doc),
+      ck AS (SELECT dg, gkey FROM (SELECT dg, gkey,
+               count(*) OVER (PARTITION BY gkey) AS kc FROM ck0)
+             WHERE kc <= $m10MaxKeyClasses),
+      ng AS (SELECT dg, CAST(count(*) AS BIGINT) AS n_g FROM ck GROUP BY dg),
+      sh AS (SELECT a.dg AS da, b.dg AS db, CAST(count(*) AS BIGINT) AS c
+             FROM ck a JOIN ck b ON a.gkey = b.gkey AND a.dg < b.dg
+             GROUP BY 1, 2),
+      mt AS (SELECT da, db FROM sh
+             JOIN ng na ON sh.da = na.dg JOIN ng nb ON sh.db = nb.dg
+             WHERE c >= 2 AND 2 * c >= least(na.n_g, nb.n_g)),
+      ed AS (SELECT da AS dg, db AS other FROM mt
+             UNION ALL SELECT db, da FROM mt),
+      nbv AS (SELECT ed.dg, CAST(count(*) AS BIGINT) AS n_matched_classes,
+                CAST(sum(c2.n_docs) AS BIGINT) AS n_matched_docs
+              FROM ed JOIN cls c2 ON ed.other = c2.dg GROUP BY ed.dg)
+      SELECT cls.canonical_doc, cls.n_docs,
+             CAST(coalesce(ng.n_g, 0) AS BIGINT) AS n_granules,
+             CAST(coalesce(nbv.n_matched_classes, 0) AS BIGINT) AS n_matched_classes,
+             CAST(coalesce(nbv.n_matched_docs, 0) AS BIGINT) AS n_matched_docs
+      FROM cls LEFT JOIN ng ON cls.dg = ng.dg
+               LEFT JOIN nbv ON cls.dg = nbv.dg"""),
+    headline = true)
+
   /** Cross-modal consensus dedup — the multi-signal verdict a production
     * dedup pipeline ships to cut false positives: every text near-dup
     * CANDIDATE pair (d02's MinHash/LSH, jaccard ≥ 0.8) is corroborated
     * against two independent perceptual signals on the same payloads —
-    * the image aHash (alignment-robust: 88% of true text near-dups land
-    * within m06MaxHam bits, measured at sf0.01) and the m08 audio
-    * energy-delta fingerprint, whose Hamming is reported as a DIAGNOSTIC
-    * but not gated: proportional-grid fingerprints are
-    * alignment-sensitive (a single-token edit shifts every window span
-    * by a content fraction larger than one hop, decorrelating the
-    * deltas — measured min Hamming 19 across all true near-dup pairs),
-    * which is exactly why production audio matchers search over offsets
-    * rather than compare one global fingerprint. `consensus` = the text
-    * signal AND the image signal agree.
+    * the image aHash (88% of true text near-dups within m06MaxHam bits,
+    * measured at sf0.01) and, since round 11, the AUDIO signal as a
+    * GATING input: content-defined granule overlap ([[granuleKeys]] —
+    * 84% of true pairs matched at sf0.01), which is alignment-robust
+    * where the m08 global fingerprint is not. The global fingerprint's
+    * Hamming stays reported as `ham_audio` (the m08 grouping signal and
+    * the measured illustration of WHY granules are needed: a
+    * single-token edit shifts every proportional window span,
+    * decorrelating the deltas — min Hamming 19 across true pairs).
+    * `consensus` = image within tolerance AND audio granule match
+    * (same decoded content, or ≥ 2 shared granule keys covering ≥ half
+    * of the smaller side — [[granuleMatched]]).
     *
     * Scale shape: the candidate set is d02's (band-joined, small
     * relative to the corpus but DATA-DEPENDENT — a duplication-heavy
@@ -694,39 +958,70 @@ object MultimodalOps {
       val feats = roundCheckpoint(
         perceptualHash(s, media).withColumnRenamed("ahash", "ihash")
           .join(audioFingerprint(s, media).withColumnRenamed("ahash", "afp"),
-            "doc_id"))
+            "doc_id")
+          .join(audioGranules(s, media), "doc_id"))
       val pairs = graft.ops.DedupOps.d02.run(s, d)
         .select($"doc_a", $"doc_b", $"jaccard")
       val withA = feats.as("fa")
         .join(pairs.as("p"), $"fa.doc_id" === $"p.doc_a")
         .select($"p.doc_a", $"p.doc_b", $"p.jaccard",
-          $"fa.ihash".as("ia"), $"fa.afp".as("aa"))
+          $"fa.ihash".as("ia"), $"fa.afp".as("aa"),
+          $"fa.dg".as("dga"), $"fa.gkeys".as("ga"))
       val withB = feats.as("fb")
         .join(withA.as("x"), $"fb.doc_id" === $"x.doc_b")
         .select($"x.doc_a", $"x.doc_b", $"x.jaccard",
           expr(sHam64("x.ia", "fb.ihash")).as("ham_image"),
-          expr(sHam64("x.aa", "fb.afp")).as("ham_audio"))
-      withB.withColumn("consensus", $"ham_image" <= lit(m06MaxHam))
+          expr(sHam64("x.aa", "fb.afp")).as("ham_audio"),
+          ($"x.dga" === $"fb.dg").as("same_audio"),
+          size(array_intersect($"x.ga", $"fb.gkeys")).cast("long")
+            .as("audio_shared"),
+          least(size($"x.ga"), size($"fb.gkeys")).cast("long").as("min_g"))
+      withB
+        .withColumn("audio_match", $"same_audio" ||
+          ($"audio_shared" >= 2 && $"audio_shared" * 2 >= $"min_g"))
+        .withColumn("consensus",
+          $"ham_image" <= lit(m06MaxHam) && $"audio_match")
+        .drop("same_audio", "min_g")
     },
     Some(s"""
       WITH pairs AS (SELECT * FROM (${graft.ops.DedupOps.d02.oracle.get})),
       $oAHashCtes,
       ${oAudioFpCtes("ab", "aen", "ah", "afp")},
+      ${oGranuleCtes("cg", "cgk")},
+      ddg AS (SELECT doc_id, md5(text) AS dg FROM documents),
+      ngd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_g
+              FROM cgk GROUP BY doc_id),
+      sh2 AS (SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS c
+              FROM pairs p
+              JOIN cgk ga2 ON ga2.doc_id = p.doc_a
+              JOIN cgk gb2 ON gb2.doc_id = p.doc_b AND ga2.gkey = gb2.gkey
+              GROUP BY 1, 2),
       j AS (SELECT p.doc_a, p.doc_b, p.jaccard,
               CAST(len(list_filter(range(1, 65),
                 i -> substring(ia.ahash, i, 1) <> substring(ib.ahash, i, 1)))
                 AS BIGINT) AS ham_image,
               CAST(len(list_filter(range(1, 65),
                 i -> substring(aa.afp, i, 1) <> substring(bb.afp, i, 1)))
-                AS BIGINT) AS ham_audio
+                AS BIGINT) AS ham_audio,
+              CAST(coalesce(s.c, 0) AS BIGINT) AS audio_shared,
+              (da.dg = db.dg) OR (coalesce(s.c, 0) >= 2 AND
+                2 * coalesce(s.c, 0) >=
+                  least(coalesce(na.n_g, 0), coalesce(nb.n_g, 0)))
+                AS audio_match
             FROM pairs p
             JOIN h ia ON p.doc_a = ia.doc_id
             JOIN h ib ON p.doc_b = ib.doc_id
             JOIN ah aa ON p.doc_a = aa.doc_id
-            JOIN ah bb ON p.doc_b = bb.doc_id)
-      SELECT doc_a, doc_b, jaccard, ham_image, ham_audio,
-             ham_image <= $m06MaxHam AS consensus
+            JOIN ah bb ON p.doc_b = bb.doc_id
+            JOIN ddg da ON p.doc_a = da.doc_id
+            JOIN ddg db ON p.doc_b = db.doc_id
+            LEFT JOIN sh2 s ON p.doc_a = s.doc_a AND p.doc_b = s.doc_b
+            LEFT JOIN ngd na ON p.doc_a = na.doc_id
+            LEFT JOIN ngd nb ON p.doc_b = nb.doc_id)
+      SELECT doc_a, doc_b, jaccard, ham_image, ham_audio, audio_shared,
+             audio_match,
+             ham_image <= $m06MaxHam AND audio_match AS consensus
       FROM j"""))
 
-  val all: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09)
+  val all: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10)
 }

@@ -171,9 +171,9 @@ object Temporal {
   /** Engine SQL of q60-q63, named so the fused one-shuffle pass
     * ([[fusedEventSuite]]) can run the IDENTICAL statements over a shared
     * co-partitioned base — one source of truth, zero drift. */
-  private[graft] val q60Sql: String = s"""
+  private[graft] def q60Sql(view: String = "events"): String = s"""
       WITH e AS (SELECT user_id, unix_micros(ts) AS t, event_type AS et
-                 FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+                 FROM $view WHERE event_type IN ('view', 'click', 'purchase')),
       w1 AS (SELECT user_id, t, et,
                min(CASE WHEN et = 'view' THEN t END) OVER
                  (PARTITION BY user_id ORDER BY t
@@ -202,7 +202,7 @@ object Temporal {
 
   val q60 = QueryDef(
     "q60_conversion_funnel",
-    (s, d) => withViews(s, d, "events")(q60Sql),
+    (s, d) => withViews(s, d, "events")(q60Sql()),
     Some(s"""
       WITH e AS (SELECT user_id, epoch_us(cast(ts AS timestamp)) AS t,
                         event_type AS et
@@ -248,10 +248,10 @@ object Temporal {
     * a `count(DISTINCT)` would add an Expand pass (q50's lesson) for the
     * same number. Week truncation is Monday-start in both engines;
     * week offsets are exact integer day arithmetic. */
-  private[graft] val q61Sql: String = s"""
+  private[graft] def q61Sql(view: String = "events"): String = s"""
       WITH e AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk,
                         event_type
-                 FROM events),
+                 FROM $view),
       sg AS (SELECT user_id, min(wk) AS cw FROM e
              WHERE event_type = 'signup' GROUP BY user_id),
       a AS (SELECT DISTINCT user_id, wk FROM e WHERE event_type = 'purchase'),
@@ -270,7 +270,7 @@ object Temporal {
 
   val q61 = QueryDef(
     "q61_cohort_retention",
-    (s, d) => withViews(s, d, "events")(q61Sql),
+    (s, d) => withViews(s, d, "events")(q61Sql()),
     Some(s"""
       WITH e AS (SELECT user_id,
                         CAST(date_trunc('week', cast(ts AS timestamp)) AS DATE) AS wk,
@@ -305,11 +305,11 @@ object Temporal {
     * regardless of N, and the row-total join broadcasts. The same
     * skew-proof argument as q60: a 10⁸-event power user is just a longer
     * sorted run, never a collected list. */
-  private[graft] val q62Sql: String = s"""
+  private[graft] def q62Sql(view: String = "events"): String = s"""
       WITH p AS (SELECT event_type AS a,
                lead(event_type) OVER
                  (PARTITION BY user_id ORDER BY ts, event_id) AS b
-             FROM events),
+             FROM $view),
       t AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n
             FROM p WHERE b IS NOT NULL GROUP BY a, b),
       ta AS (SELECT a, CAST(sum(n) AS BIGINT) AS na FROM t GROUP BY a)
@@ -319,7 +319,7 @@ object Temporal {
 
   val q62 = QueryDef(
     "q62_transition_matrix",
-    (s, d) => withViews(s, d, "events")(q62Sql),
+    (s, d) => withViews(s, d, "events")(q62Sql()),
     Some("""
       WITH p AS (SELECT event_type AS a,
                lead(event_type) OVER
@@ -341,12 +341,12 @@ object Temporal {
     * both engines agree bitwise. Same skew-proof single-shuffle shape as
     * q60/q62: O(1) lag state per (user, type) run, spillable sort, and a
     * ≤|event_types|-row output at any N. */
-  private[graft] val q63Sql: String = s"""
+  private[graft] def q63Sql(view: String = "events"): String = s"""
       WITH g AS (SELECT event_type,
                unix_micros(ts) - lag(unix_micros(ts)) OVER
                  (PARTITION BY user_id, event_type
                   ORDER BY ts, event_id) AS gap_us
-             FROM events)
+             FROM $view)
       SELECT event_type, CAST(count(gap_us) AS BIGINT) AS n_gaps,
              CAST(min(gap_us) AS BIGINT) AS min_us,
              CAST(max(gap_us) AS BIGINT) AS max_us,
@@ -357,7 +357,7 @@ object Temporal {
 
   val q63 = QueryDef(
     "q63_interarrival_stats",
-    (s, d) => withViews(s, d, "events")(q63Sql),
+    (s, d) => withViews(s, d, "events")(q63Sql()),
     Some("""
       WITH g AS (SELECT event_type,
                epoch_us(cast(ts AS timestamp)) - lag(epoch_us(cast(ts AS timestamp))) OVER
@@ -401,10 +401,10 @@ object Temporal {
       df.select(lit(tag).as("q"),
         to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("payload"))
     }
-    tagged("q60", q60Sql)
-      .unionAll(tagged("q61", q61Sql))
-      .unionAll(tagged("q62", q62Sql))
-      .unionAll(tagged("q63", q63Sql))
+    tagged("q60", q60Sql(fusedView))
+      .unionAll(tagged("q61", q61Sql(fusedView)))
+      .unionAll(tagged("q62", q62Sql(fusedView)))
+      .unionAll(tagged("q63", q63Sql(fusedView)))
   }
 
   /** Build + register the shared co-partitioned events base for the fused
@@ -434,8 +434,18 @@ object Temporal {
           .sortWithinPartitions(col("user_id"), col("ts"), col("event_id")))
       finally s.conf.set(key, prev)
     }
-    base.createOrReplaceTempView("events")
+    // SCOPED view name (round-10 verdict item 5): registering the
+    // repartitioned+sorted base as the session-wide `events` view meant
+    // any later query reading `events` without re-registering silently
+    // inherited the co-partitioned variant (call-order coupling). The
+    // four branch SQL statements are parameterized over the view name
+    // and read `events_fused` inside the fused pass only; a gate query
+    // run AFTER q65 sees pristine `events` (spec-pinned in ScaleSpec).
+    base.createOrReplaceTempView(fusedView)
   }
+
+  /** The fused pass's scoped view name for the co-partitioned base. */
+  private[graft] val fusedView = "events_fused"
 
   /** The fused pass as a first-class, oracle-gated query: the four branch
     * outputs land in one typed frame — `q` tags the branch; `k1`/`k2`
@@ -453,20 +463,20 @@ object Temporal {
     (s, d) => {
       fusedBase(s, d)
       val nl = lit(null).cast("bigint")
-      s.sql(q60Sql).select(lit("q60").as("q"), lit("").as("k1"), lit("").as("k2"),
+      s.sql(q60Sql(fusedView)).select(lit("q60").as("q"), lit("").as("k1"), lit("").as("k2"),
           col("n_view").as("c1"), col("n_click").as("c2"),
           col("n_purchase").as("c3"), col("sum_click_us").as("c4"),
           col("sum_purchase_us").as("c5"), col("conversion").as("r"))
-        .unionAll(s.sql(q61Sql).select(lit("q61").as("q"),
+        .unionAll(s.sql(q61Sql(fusedView)).select(lit("q61").as("q"),
           col("cohort_week").as("k1"), lit("").as("k2"),
           col("wk_offset").as("c1"), col("n_active").as("c2"),
           col("cohort_size").as("c3"), nl.as("c4"), nl.as("c5"),
           col("retention").as("r")))
-        .unionAll(s.sql(q62Sql).select(lit("q62").as("q"),
+        .unionAll(s.sql(q62Sql(fusedView)).select(lit("q62").as("q"),
           col("a").as("k1"), col("b").as("k2"), col("n").as("c1"),
           nl.as("c2"), nl.as("c3"), nl.as("c4"), nl.as("c5"),
           col("prob").as("r")))
-        .unionAll(s.sql(q63Sql).select(lit("q63").as("q"),
+        .unionAll(s.sql(q63Sql(fusedView)).select(lit("q63").as("q"),
           col("event_type").as("k1"), lit("").as("k2"),
           col("n_gaps").as("c1"), col("min_us").as("c2"),
           col("max_us").as("c3"), col("sum_us").as("c4"), nl.as("c5"),

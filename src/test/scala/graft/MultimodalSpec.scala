@@ -452,22 +452,97 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == want)
   }
 
-  test("m09: image signal corroborates text near-dups, audio stays diagnostic") {
+  test("m09: image AND audio granule signals both corroborate text near-dups") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("m09_crossmodal_consensus")(
       spark, "/root/testdata/sf0.001").cache()
     try {
       val n = df.count()
       assert(n > 0, "no d02 candidate pairs at sf0.001")
-      // the documented asymmetry: the alignment-robust aHash lands most
-      // true near-dups inside the tolerance; the alignment-sensitive
-      // audio grid does not (its Hamming exceeds the image's on average)
       val agg = df.agg(
         sum(when(col("consensus"), 1L).otherwise(0L)),
+        sum(when(col("audio_match"), 1L).otherwise(0L)),
         avg(col("ham_image")), avg(col("ham_audio"))).head()
-      assert(agg.getLong(0) * 2 > n, "image corroboration below majority")
-      assert(agg.getDouble(2) > agg.getDouble(1),
-        "audio Hamming should exceed image Hamming on near-dup pairs")
+      // audio is now a GATING signal: the granule overlap must land a
+      // majority of true near-dup pairs (measured 84% at sf0.01), and
+      // the two-signal consensus must too
+      assert(agg.getLong(1) * 2 > n, "audio granule corroboration below majority")
+      assert(agg.getLong(0) * 2 > n, "two-signal consensus below majority")
+      // the documented reason granules replaced the global fp as the
+      // gate: its alignment-sensitive Hamming exceeds the image's
+      assert(agg.getDouble(3) > agg.getDouble(2),
+        "global-fp audio Hamming should exceed image Hamming on near-dups")
     } finally df.unpersist()
+  }
+
+  test("m10: granule keys survive a middle-token edit that breaks the global fp") {
+    // the round-10 measured failure: a single-token edit decorrelates the
+    // proportional global fingerprint (min Hamming 19 on true pairs). A
+    // MIDDLE insertion is the hard case — no single offset aligns both
+    // the prefix (offset 0) and the shifted suffix — which is why the fix
+    // is content-defined granule boundaries, not best-offset search.
+    val sess = graft.ops.MediaCodec.Stub.open()
+    val dir = "/root/testdata/sf0.001"
+    val texts = graft.ops.Q.table(spark, dir, "documents")
+      .selectExpr("text").limit(8).collect().map(_.getString(0))
+      .filter(_.length > 100)
+    assert(texts.nonEmpty)
+    var matched = 0
+    for (orig <- texts) {
+      val mid = orig.length / 2
+      val cut = orig.indexOf(' ', mid).max(mid) // token boundary near middle
+      val edited = orig.substring(0, cut) + " extra" + orig.substring(cut)
+      val (_, ka) = graft.ops.MultimodalOps.granuleKeys(sess, orig.getBytes)
+      val (_, kb) = graft.ops.MultimodalOps.granuleKeys(sess, edited.getBytes)
+      val shared = ka.toSet.intersect(kb.toSet).size.toLong
+      if (graft.ops.MultimodalOps.granuleMatched(shared, ka.length.toLong,
+          kb.length.toLong)) matched += 1
+      // contrast: the global proportional fingerprint loses the pair
+      import spark.implicits._
+      val fps = graft.ops.MultimodalOps.audioFingerprint(spark,
+        Seq((1L, orig.getBytes, "a"), (2L, edited.getBytes, "a"))
+          .toDF("doc_id", "payload", "source"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val ham = fps(1L).zip(fps(2L)).count { case (x, y) => x != y }
+      assert(ham > graft.ops.MultimodalOps.m06MaxHam,
+        s"global fp unexpectedly robust (ham=$ham) — the granule gate " +
+          "would be redundant")
+    }
+    // the granule signal must recover a clear majority of edited pairs
+    assert(matched * 2 > texts.length,
+      s"granule matching recovered only $matched of ${texts.length} edited pairs")
+  }
+
+  test("m10: granule keys are gain- and container-invariant on real WAVs") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def containerOf(samples: Array[Short],
+        typ: AudioFileFormat.Type, bigEndian: Boolean): Array[Byte] = {
+      val pcm = new Array[Byte](2 * samples.length)
+      for (i <- samples.indices) {
+        val (lo, hi) = if (bigEndian) (2 * i + 1, 2 * i) else (2 * i, 2 * i + 1)
+        pcm(lo) = (samples(i) & 0xff).toByte
+        pcm(hi) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, bigEndian)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+        typ, bos)
+      bos.toByteArray
+    }
+    // even samples -> exact integer halving preserves every delta sign;
+    // granule boundaries are delta-sign landmarks, so they must not move
+    val base = Array.tabulate(900)(i => (((i * 37) % 10000 - 5000) * 2).toShort)
+    val half = base.map(s => (s / 2).toShort)
+    val sess = graft.ops.WavCodec.open()
+    val (_, kBase) = graft.ops.MultimodalOps.granuleKeys(sess,
+      containerOf(base, AudioFileFormat.Type.WAVE, bigEndian = false))
+    val (_, kHalf) = graft.ops.MultimodalOps.granuleKeys(sess,
+      containerOf(half, AudioFileFormat.Type.WAVE, bigEndian = false))
+    val (_, kAiff) = graft.ops.MultimodalOps.granuleKeys(sess,
+      containerOf(base, AudioFileFormat.Type.AIFF, bigEndian = true))
+    assert(kBase.nonEmpty, "no granules on a 900-sample signal")
+    assert(kBase.toSeq == kHalf.toSeq, "uniform 0.5x gain moved granules")
+    assert(kBase.toSeq == kAiff.toSeq, "re-containered PCM changed granules")
   }
 }

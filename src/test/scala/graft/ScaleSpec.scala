@@ -142,6 +142,29 @@ class ScaleSpec extends AnyFunSuite {
         s"q65 branch $tag lost or duplicated rows")
   }
 
+  test("a gate query run AFTER q65 sees pristine events (fused view is scoped)") {
+    // round-10 verdict item 5: fusedBase used to register the
+    // repartitioned+sorted checkpoint as the session-wide `events` view;
+    // it now registers `events_fused` and the branch SQL is parameterized
+    // over the view name. Proof: run q65, then read `events` WITHOUT
+    // re-registering — the plan must be a pristine parquet scan (no
+    // inherited user_id hashpartitioning / LogicalRDD checkpoint), and
+    // the scoped view must exist separately.
+    val dir = "/root/testdata/sf0.001"
+    // a prior gate query's registration of the raw view...
+    graft.ops.Q.events(spark, dir).createOrReplaceTempView("events")
+    // ...must survive the fused pass untouched
+    SparkEntry.queries("q65_fused_event_suite")(spark, dir).collect()
+    assert(spark.catalog.tableExists("events_fused"),
+      "fused pass did not register its scoped view")
+    val ev = spark.table("events")
+    val plan = ev.queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan ExistingRDD") && !plan.contains("LogicalRDD"),
+      s"`events` inherited the fused checkpointed base:\n$plan")
+    assert(plan.contains("Scan parquet") || plan.contains("FileScan"),
+      s"`events` is no longer the raw parquet view:\n$plan")
+  }
+
   test("d18 BIGINT headroom bound matches the documented ~10^8 n-gram limit") {
     // pins the CurationOps d18 docstring to the arithmetic: the scaled
     // ratio numerator (ct+1)·(R+B)·10^6 must stay under 2^63. Under
