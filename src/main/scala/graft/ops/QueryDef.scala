@@ -161,20 +161,42 @@ object Q {
       if (existing != null) stagedMemo.remove(k, existing)
       val built = build
       val prev = stagedMemo.putIfAbsent(k, built)
-      if (prev == null) built else prev
+      if (prev == null) { materializedKeys.add(k); built } else prev
     }
   }
+
+  /** Keys of [[stagedMaterialized]] entries: their frames are backed by
+    * (local)checkpoint RDD BLOCKS, which `DataFrame.unpersist` does not
+    * release — [[clearStaged]] unpersists the underlying LogicalRDD for
+    * these so a clear never orphans a full checkpointed copy (round-10
+    * advice item). */
+  private val materializedKeys =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The checkpoint RDD behind a materialized frame (LogicalRDD leaf),
+    * if any. */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
 
   /** Unpersist and forget every memoized intermediate (cold-cache runs).
     * Blocking: a non-blocking unpersist races the NEXT cold run — the old
     * blocks are still draining while the new run fills the store, and the
     * eviction/GC churn showed up as an unattributable 60% bench swing. */
   def clearStaged(): Unit = {
-    stagedMemo.forEach { (_, df) =>
-      try if (!df.sparkSession.sparkContext.isStopped) df.unpersist(blocking = true)
+    stagedMemo.forEach { (k, df) =>
+      try if (!df.sparkSession.sparkContext.isStopped) {
+        df.unpersist(blocking = true)
+        // checkpointed frames: the blocks live on the LogicalRDD, which
+        // plan-level unpersist cannot see
+        if (materializedKeys.contains(k))
+          checkpointRdd(df).foreach(_.unpersist(blocking = true))
+      }
       catch { case _: Throwable => () }
     }
     stagedMemo.clear()
+    materializedKeys.clear()
   }
 
   /** Drop EVERY persisted RDD still registered with the context — staged

@@ -592,7 +592,7 @@ object StreamingGate {
         .option("maxFilesPerTrigger", "1")
         .parquet(inDir.toString)
         .writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           // the micro-batch Dataset lives in a session CLONED at stream
           // start (temp views + functions inherited) — register and query
           // there, not on the outer session, or the view is invisible
@@ -627,16 +627,25 @@ object StreamingGate {
                     row_number() OVER (PARTITION BY query_id
                                        ORDER BY cos DESC, neighbor_id) AS rn
                   FROM sc)
-            SELECT query_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rn
+            SELECT query_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rn,
+                   CAST($batchId AS BIGINT) AS batch_id
             FROM r WHERE rn <= 5""")
-            .write.mode("append").parquet(outDir)
+            // foreachBatch is at-least-once: a replayed micro-batch must
+            // not duplicate rows in the sink. Standard idempotence
+            // pattern — partition by batchId + dynamic-partition
+            // overwrite, so a retry REPLACES its own batch's output and
+            // never touches other batches' (round-10 advice item).
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outDir)
           ()
         }
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(outDir)
+      s.read.parquet(outDir).drop("batch_id")
     },
     // the streaming pipeline must reproduce the batch result exactly
     SimilarityOps.s03.oracle)

@@ -21,11 +21,14 @@ import javax.sound.sampled.{AudioFormat, AudioSystem}
   *    throwing would kill the task over one bad blob — ImageIoCodec's
   *    rule).
   *  - `slice(start, len)`: a byte range of the DECODED canonical plane —
-  *    the stream converted once to 16-bit signed little-endian PCM with
-  *    the source rate and channel count (the canonical form a DSP stage
-  *    consumes; conversion from any PCM encoding is exact integer work,
-  *    deterministic across platforms). m02's fixed-size frames become
-  *    sample blocks; m03's overlapping windows become analysis frames.
+  *    the stream converted once to 16-bit signed little-endian MONO PCM
+  *    at the source rate (multi-channel input downmixed by exact integer
+  *    channel averaging), the canonical form a DSP stage consumes;
+  *    conversion from any PCM encoding is exact integer work,
+  *    deterministic across platforms. One frame = one 2-byte sample, so
+  *    the `frameBytes = 2` contract holds for ANY channel count. m02's
+  *    fixed-size frames become sample blocks; m03's overlapping windows
+  *    become analysis frames.
   *  - `feature`: sum of |sample| over the slice's 16-bit LE samples — an
   *    exact integer "frame energy", the stand-in a real spectral feature
   *    replaces.
@@ -44,7 +47,13 @@ object WavCodec extends MediaCodec {
     private var lastPayload: Array[Byte] = _
     private var lastPlane: Array[Byte] = _
 
-    /** Decode once per payload: canonical 16-bit signed LE PCM. */
+    /** Decode once per payload: canonical 16-bit signed LE MONO PCM.
+      * Multi-channel input is downmixed (average of channel samples,
+      * truncating division — exact integer work, deterministic) so the
+      * advertised `frameBytes = 2` holds for ANY input: before this,
+      * stereo planes kept 2 bytes × channels per frame and every
+      * analysis window the contract promised frame-aligned landed on
+      * sample (not frame) boundaries (round-10 advice item). */
     private def decodePlane(payload: Array[Byte]): Array[Byte] = {
       if (payload eq lastPayload) return lastPlane
       val plane =
@@ -53,13 +62,32 @@ object WavCodec extends MediaCodec {
             new ByteArrayInputStream(payload))
           try {
             val f = in.getFormat
+            val ch = f.getChannels
             val canon = new AudioFormat(
               AudioFormat.Encoding.PCM_SIGNED, f.getSampleRate, 16,
-              f.getChannels, 2 * f.getChannels, f.getSampleRate,
-              /* bigEndian = */ false)
+              ch, 2 * ch, f.getSampleRate, /* bigEndian = */ false)
             val conv = AudioSystem.getAudioInputStream(canon, in)
-            try conv.readAllBytes()
-            finally conv.close()
+            val multi = try conv.readAllBytes() finally conv.close()
+            if (ch <= 1) multi
+            else {
+              val frames = multi.length / (2 * ch)
+              val mono = new Array[Byte](2 * frames)
+              var fIdx = 0
+              while (fIdx < frames) {
+                var acc = 0L
+                var c = 0
+                while (c < ch) {
+                  val o = 2 * (fIdx * ch + c)
+                  acc += ((multi(o) & 0xff) | (multi(o + 1) << 8)).toShort.toInt
+                  c += 1
+                }
+                val s = (acc / ch).toInt // truncating average, exact
+                mono(2 * fIdx) = (s & 0xff).toByte
+                mono(2 * fIdx + 1) = ((s >> 8) & 0xff).toByte
+                fIdx += 1
+              }
+              mono
+            }
           } finally in.close()
         } catch { case _: Exception => Array.emptyByteArray }
       lastPayload = payload
@@ -96,7 +124,7 @@ object WavCodec extends MediaCodec {
       (bytes, md.digest(bytes).map("%02x".format(_)).mkString)
     }
 
-    override def frameBytes: Int = 2 // 16-bit mono PCM
+    override def frameBytes: Int = 2 // canonical plane is 16-bit MONO
 
     override def planeLength(payload: Array[Byte]): Int =
       decodePlane(payload).length

@@ -513,6 +513,48 @@ class MultimodalSpec extends AnyFunSuite {
       s"granule matching recovered only $matched of ${texts.length} edited pairs")
   }
 
+  test("WavCodec: stereo input downmixes to the mono plane frameBytes promises") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def wavBytes(pcm: Array[Byte], channels: Int, frames: Int): Array[Byte] = {
+      val fmt = new AudioFormat(8000f, 16, channels, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val frames = 400
+    val left = Array.tabulate(frames)(i => ((i * 53) % 8000 - 4000).toShort)
+    val right = Array.tabulate(frames)(i => ((i * 91 + 17) % 8000 - 4000).toShort)
+    val stereoPcm = new Array[Byte](4 * frames)
+    for (i <- 0 until frames; (s, c) <- Seq((left(i), 0), (right(i), 1))) {
+      stereoPcm(4 * i + 2 * c) = (s & 0xff).toByte
+      stereoPcm(4 * i + 2 * c + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val mix = Array.tabulate(frames)(i => ((left(i) + right(i)) / 2).toShort)
+    val mixPcm = new Array[Byte](2 * frames)
+    for (i <- 0 until frames) {
+      mixPcm(2 * i) = (mix(i) & 0xff).toByte
+      mixPcm(2 * i + 1) = ((mix(i) >> 8) & 0xff).toByte
+    }
+    val sess = graft.ops.WavCodec.open()
+    val stereoWav = wavBytes(stereoPcm, 2, frames)
+    // the round-10 advice bug: stereo planes kept 2 bytes x channels per
+    // frame while frameBytes promised 2 — window boundaries landed on
+    // sample, not frame, boundaries. The canonical plane is now MONO:
+    assert(sess.planeLength(stereoWav) == 2 * frames,
+      "stereo plane is not one 2-byte frame per sample frame")
+    // and the downmix is the exact integer channel average: the stereo
+    // container and the pre-mixed mono signal fingerprint identically
+    import spark.implicits._
+    val df = Seq((1L, stereoWav, "wav"), (2L, wavBytes(mixPcm, 1, frames), "wav"))
+      .toDF("doc_id", "payload", "source")
+    val fps = graft.ops.MultimodalOps.audioFingerprint(spark, df,
+      codec = graft.ops.WavCodec)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L), "stereo downmix diverged from channel average")
+  }
+
   test("m10: granule keys are gain- and container-invariant on real WAVs") {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     def containerOf(samples: Array[Short],

@@ -142,6 +142,22 @@ class ScaleSpec extends AnyFunSuite {
         s"q65 branch $tag lost or duplicated rows")
   }
 
+  test("clearStaged releases stagedMaterialized checkpoint blocks (no leak)") {
+    // round-10 advice: clearStaged unpersisted InMemoryRelations but not
+    // the localCheckpoint RDD blocks behind stagedMaterialized frames
+    // (fused_base) — each clear orphaned a full checkpointed events copy
+    val dir = "/root/testdata/sf0.001"
+    graft.ops.Q.clearStaged()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    SparkEntry.queries("q65_fused_event_suite")(spark, dir).collect()
+    val during = spark.sparkContext.getPersistentRDDs.keySet
+    assert((during -- before).nonEmpty, "q65 left no checkpoint to test against")
+    graft.ops.Q.clearStaged()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"clearStaged leaked persisted RDDs: ids ${(after -- before).mkString(",")}")
+  }
+
   test("a gate query run AFTER q65 sees pristine events (fused view is scoped)") {
     // round-10 verdict item 5: fusedBase used to register the
     // repartitioned+sorted checkpoint as the session-wide `events` view;
