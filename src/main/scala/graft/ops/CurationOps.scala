@@ -115,6 +115,91 @@ object CurationOps {
       FROM j GROUP BY doc_id"""),
     headline = true)
 
+  /** Variable-length EXACT substring dedup (Lee et al. 2022 shape — the
+    * production dedup mode d11's fixed grid doesn't cover): any exact
+    * token run of length ≥ W shared by ≥ 2 distinct documents is removed
+    * from every document, whatever its LENGTH and whatever its ALIGNMENT.
+    * d11 hashes non-overlapping W-token grid cells, so a repeat that
+    * straddles cell boundaries (or starts mid-cell) survives; here a
+    * shingle is hashed at EVERY token offset, and a maximal repeated run
+    * of length L ≥ W is exactly a run of L−W+1 consecutive repeated
+    * shingle starts — so marking covered tokens via a window MAX over the
+    * last W−1 shingle flags reconstructs the full variable-length
+    * interval in ONE linear pass (no suffix array needed; the suffix
+    * array in the reference recipe finds the same intervals).
+    *
+    * Scale shape: the shingle-frequency count shuffles (md5, doc_id) —
+    * metadata-width, token text never rides it; the repeated-hash set is
+    * joined back with NO broadcast hint (m09's lesson: the set size is a
+    * property of corpus duplication — AQE broadcasts it when it is
+    * actually small and shuffle-joins when it is not); the coverage
+    * window + per-doc reassembly shuffle token-width rows once on doc_id
+    * (t15's accepted regime). Within-doc repeats do not count (the
+    * ≥ 2 DISTINCT docs rule, d11's semantics). */
+  val d19 = QueryDef(
+    "d19_substring_dedup",
+    (s, d) => withViews(s, d, "documents")(s"""
+      WITH toks AS (SELECT doc_id, split($sNorm, ' ') AS t FROM documents
+                    WHERE length(text) >= 1),
+      pr AS (SELECT doc_id, pos AS p, tok,
+               CASE WHEN pos + $W <= size(t)
+                    THEN md5(array_join(slice(t, pos + 1, $W), ' ')) END AS h
+             FROM toks LATERAL VIEW posexplode(t) x AS pos, tok),
+      rep AS (SELECT h FROM pr WHERE h IS NOT NULL
+              GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      mk AS (SELECT pr.doc_id, pr.p, pr.tok,
+               CASE WHEN r.h IS NOT NULL THEN 1 ELSE 0 END AS sb
+             FROM pr LEFT JOIN rep r ON pr.h = r.h),
+      cov AS (SELECT doc_id, p, tok,
+                max(sb) OVER (PARTITION BY doc_id ORDER BY p
+                  ROWS BETWEEN ${W - 1} PRECEDING AND CURRENT ROW) AS covered
+              FROM mk),
+      tr AS (SELECT doc_id, p, tok, covered,
+               CASE WHEN covered = 1 AND coalesce(lag(covered) OVER
+                 (PARTITION BY doc_id ORDER BY p), 0) = 0
+                 THEN 1 ELSE 0 END AS spanhead
+             FROM cov)
+      SELECT doc_id,
+             array_join(transform(array_sort(collect_list(
+               CASE WHEN covered = 0 THEN struct(p, tok) END)),
+               x -> x.tok), ' ') AS kept_text,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(covered) AS BIGINT) AS n_removed,
+             CAST(sum(spanhead) AS BIGINT) AS n_spans
+      FROM tr GROUP BY doc_id"""),
+    Some(s"""
+      WITH toks AS (SELECT doc_id, string_split($oNorm, ' ') AS t
+                    FROM documents WHERE length(text) >= 1),
+      pr AS (SELECT doc_id, CAST(p1 - 1 AS BIGINT) AS p, t[CAST(p1 AS INT)] AS tok,
+               CASE WHEN p1 + $W - 1 <= len(t)
+                    THEN md5(array_to_string(
+                      list_slice(t, CAST(p1 AS INT), CAST(p1 + $W - 1 AS INT)), ' '))
+               END AS h
+             FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p1
+                   FROM toks)),
+      rep AS (SELECT h FROM pr WHERE h IS NOT NULL
+              GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      mk AS (SELECT pr.doc_id, pr.p, pr.tok,
+               CASE WHEN r.h IS NOT NULL THEN 1 ELSE 0 END AS sb
+             FROM pr LEFT JOIN rep r ON pr.h = r.h),
+      cov AS (SELECT doc_id, p, tok,
+                max(sb) OVER (PARTITION BY doc_id ORDER BY p
+                  ROWS BETWEEN ${W - 1} PRECEDING AND CURRENT ROW) AS covered
+              FROM mk),
+      tr AS (SELECT doc_id, p, tok, covered,
+               CASE WHEN covered = 1 AND coalesce(lag(covered) OVER
+                 (PARTITION BY doc_id ORDER BY p), 0) = 0
+                 THEN 1 ELSE 0 END AS spanhead
+             FROM cov)
+      SELECT doc_id,
+             coalesce(string_agg(tok, ' ' ORDER BY p)
+               FILTER (WHERE covered = 0), '') AS kept_text,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(covered) AS BIGINT) AS n_removed,
+             CAST(sum(spanhead) AS BIGINT) AS n_spans
+      FROM tr GROUP BY doc_id"""),
+    headline = true)
+
   /** N-gram overlap decontamination, Bloom-prefiltered — the GPT-3/PaLM
     * hygiene recipe: a training document is contaminated if it shares any
     * 8-token span with the eval set (source = 'src0' stands in). The eval
@@ -748,5 +833,5 @@ object CurationOps {
     headline = true)
 
   val all: Seq[QueryDef] =
-    Seq(d10, d11, d12, q51, t09, d13, q52, d15, q54, d14, q57, t11, d18)
+    Seq(d10, d11, d19, d12, q51, t09, d13, q52, d15, q54, d14, q57, t11, d18)
 }

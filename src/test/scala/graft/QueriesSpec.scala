@@ -508,6 +508,31 @@ class QueriesSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("d19 removes any-length, any-alignment exact repeats d11's grid misses") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a 13-token run shared by two docs at DIFFERENT offsets (0 vs 3):
+    // d11's non-overlapping 8-token grid cells never coincide, so it
+    // removes nothing; d19's sliding shingles mark the full run in both
+    val run = (1 to 13).map(i => s"run$i").mkString(" ")
+    val a = s"$run alpha beta gamma delta epsi zeta eta theta"
+    val b = s"pre1 pre2 pre3 $run tail1 tail2 tail3 tail4 tail5"
+    val tmp = graft.ops.StreamingGate.tempDir("graft-d19").toString
+    Seq((1L, a, "s"), (2L, b, "s")).toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val d19 = SparkEntry.queries("d19_substring_dedup")(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(3), r.getLong(4))).toMap
+    // exactly the 13 run tokens removed from each doc, as ONE span
+    assert(d19(1L) == ("alpha beta gamma delta epsi zeta eta theta", 13L, 1L))
+    assert(d19(2L)._2 == 13L && d19(2L)._3 == 1L)
+    assert(d19(2L)._1 == "pre1 pre2 pre3 tail1 tail2 tail3 tail4 tail5")
+    // the fixed-grid spelling misses the misaligned repeat entirely
+    val d11 = SparkEntry.queries("d11_span_dedup")(spark, tmp)
+      .agg(sum("n_removed")).head().getLong(0)
+    assert(d11 == 0L, s"d11 unexpectedly removed $d11 grid chunks")
+  }
+
   test("t18 detokenize: EVERY document round-trips, at 12 AND 256 merge rounds") {
     import org.apache.spark.sql.functions._
     // the gate hash pins the values; this pins the semantic claim — zero
