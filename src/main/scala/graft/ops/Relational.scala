@@ -121,7 +121,22 @@ object Relational {
     * in the hot partial aggregation instead of 128-bit decimal(18,6)
     * arithmetic over the full fact table. The exchange already carries
     * only (orderkey, date, partial-sum) — the long sums shrink the
-    * per-row agg cost, not the (correct) shuffle shape. */
+    * per-row agg cost, not the (correct) shuffle shape.
+    *
+    * Scale note (round 11, StageProfile + measured A/B — SCALE.md "q03
+    * profile"): the 64× residual is the lineitem exchange itself (279 MB
+    * / 18.7 M filtered rows into the sort-merge join; stages: 0.80 s
+    * lineitem shuffle, 0.66 s orders⋈customer, 0.55 s join+agg+top-K).
+    * An aggregate-below-join rewrite (pre-sum revenue per l_orderkey on
+    * the scan; o_orderdate is functionally dependent, so the join output
+    * needs no re-aggregation, and the join reuses the agg's
+    * partitioning) cut the exchange 3× to 99 MB / 8.2 M partial rows —
+    * and LOST 11% wall-clock at local[32] (1.58 → 1.75 s min-of-5): a
+    * memory-backed local shuffle is cheaper than the extra hash-agg pass
+    * over 18.7 M rows. Kept spelling = join-then-aggregate (the local
+    * winner); on a network-bound cluster the pre-agg variant's 3×
+    * byte reduction is the dial to flip. The remaining gap to DuckDB is
+    * the exchange a single-node hash join never pays — q18's regime. */
   val q03 = QueryDef(
     "q03_shipping_priority",
     (s, d) => {
