@@ -284,4 +284,23 @@ object StageRuntime {
     thread.start()
     new Tether(anchor)
   }
+
+  /** [[spawn]] with the stage's own metric registry handed to the worker
+    * factory — the reference pattern of workers registering their
+    * counters against the stage runtime in bootstrap
+    * (`/root/reference/gasket/src/metrics.rs:4-111`), so custom counters
+    * surface through the SAME Tether/Prometheus path as the runtime's
+    * built-in ticks. */
+  def spawnInstrumented[U](name: String,
+      mkWorker: Registry => Worker[U], policy: Policy = Policy()): Tether = {
+    val anchor = new Anchor(name, policy)
+    val worker = mkWorker(anchor.registry)
+    val thread = new Thread(
+      () => new StageMachine(worker, policy, anchor).run(),
+      s"graft-stage-$name")
+    thread.setDaemon(true)
+    anchor.thread = thread
+    thread.start()
+    new Tether(anchor)
+  }
 }
