@@ -1050,5 +1050,131 @@ object SimilarityOps {
       SELECT query_id, neighbor_id, score, CAST(rn AS BIGINT) AS rn
       FROM rr WHERE rn <= 5"""))
 
-  val all: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10)
+  /** s12's delta slice: the "new vectors since the last index build". */
+  private[graft] val s12DeltaPred = "vec_id % 16 = 5"
+
+  /** Incremental IVF index maintenance — q67's materialized-view pattern
+    * applied to the ANN index (the round-10 capability list's next rung:
+    * a 100 TB corpus grows daily; rebuilding the IVF index per batch is
+    * the full-recompute anti-pattern). The quantizer is FROZEN (centroids
+    * drawn from the BASE slice only — an index build artifact), so
+    * assigning a vector is a pure per-row function of the centroid set:
+    * the MAINTAINED path scans only the delta slice and unions with the
+    * stored base assignment, and the gate PROVES maintained ≡ full
+    * recompute per cluster (`matches_full` compares exact counts and
+    * decimal-routed cosine sums — computed, never asserted). Per-cluster
+    * output doubles as the retrain trigger a deployment monitors: delta
+    * counts vs base counts and each side's mean member-to-centroid
+    * cosine (drift in either says the frozen quantizer no longer fits
+    * the distribution).
+    *
+    * Scale shape: both maintained legs are one broadcast (|C| ≤ 64
+    * capped, an artifact not a corpus function) assignment pass over
+    * their slice + a cluster-keyed metadata-width aggregate; the refresh
+    * economics are RefreshBench's — delta-bound, while full recompute
+    * grows with the corpus. */
+  val s12 = QueryDef(
+    "s12_ivf_incremental",
+    (s, d) => {
+      withViews(s, d, "embeddings")(s"""
+        WITH e AS (SELECT vec_id,
+                     transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                     ($s12DeltaPred) AS is_delta
+                   FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm, is_delta
+              FROM e),
+        c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
+              WHERE vec_id % 50 = 7 AND vec_id < 3200 AND NOT is_delta),
+        ab AS (SELECT /*+ BROADCAST(c) */ vec_id, cid,
+                 dot_product(v, cv) / (nrm * cn) AS cos,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dot_product(v, cv) / (nrm * cn) DESC, cid) AS rn
+               FROM n CROSS JOIN c WHERE NOT is_delta),
+        ad AS (SELECT /*+ BROADCAST(c) */ vec_id, cid,
+                 dot_product(v, cv) / (nrm * cn) AS cos,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dot_product(v, cv) / (nrm * cn) DESC, cid) AS rn
+               FROM n CROSS JOIN c WHERE is_delta),
+        af AS (SELECT /*+ BROADCAST(c) */ vec_id, cid,
+                 dot_product(v, cv) / (nrm * cn) AS cos,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dot_product(v, cv) / (nrm * cn) DESC, cid) AS rn
+               FROM n CROSS JOIN c),
+        mb AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_base,
+                 sum(CAST(cos AS DECIMAL(18,6))) AS sb
+               FROM ab WHERE rn = 1 GROUP BY cid),
+        md AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_delta,
+                 sum(CAST(cos AS DECIMAL(18,6))) AS sd
+               FROM ad WHERE rn = 1 GROUP BY cid),
+        mf AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_full,
+                 sum(CAST(cos AS DECIMAL(18,6))) AS sf
+               FROM af WHERE rn = 1 GROUP BY cid)
+        SELECT mf.cid AS cluster,
+               coalesce(mb.n_base, 0L) AS n_base,
+               coalesce(md.n_delta, 0L) AS n_delta,
+               mf.n_full AS n_total,
+               CAST(coalesce(mb.sb, CAST(0 AS DECIMAL(18,6)))
+                 AS DOUBLE) / CAST(greatest(coalesce(mb.n_base, 0L), 1L)
+                 AS DOUBLE) AS base_mean_cos,
+               CAST(coalesce(md.sd, CAST(0 AS DECIMAL(18,6)))
+                 AS DOUBLE) / CAST(greatest(coalesce(md.n_delta, 0L), 1L)
+                 AS DOUBLE) AS delta_mean_cos,
+               (coalesce(mb.n_base, 0L) + coalesce(md.n_delta, 0L) = mf.n_full
+                AND coalesce(mb.sb, CAST(0 AS DECIMAL(18,6)))
+                    + coalesce(md.sd, CAST(0 AS DECIMAL(18,6))) = mf.sf)
+                 AS matches_full
+        FROM mf LEFT JOIN mb ON mf.cid = mb.cid
+                LEFT JOIN md ON mf.cid = md.cid""")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                   ($s12DeltaPred) AS is_delta
+                 FROM embeddings),
+      n AS (SELECT vec_id, v,
+              sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm,
+              is_delta
+            FROM e),
+      c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
+            WHERE vec_id % 50 = 7 AND vec_id < 3200 AND NOT is_delta),
+      sc0 AS (SELECT t.vec_id, t.is_delta, cid,
+                list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(list_zip(t.v, cv), s -> s[1] * s[2])),
+                  (acc, z) -> acc + z) / (t.nrm * cn) AS cos
+              FROM n t CROSS JOIN c),
+      ranked AS (SELECT vec_id, is_delta, cid, cos,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, cid) AS rn
+                 FROM sc0),
+      m AS (SELECT cid, is_delta, cos FROM ranked WHERE rn = 1),
+      mb AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_base,
+               sum(CAST(cos AS DECIMAL(18,6))) AS sb
+             FROM m WHERE NOT is_delta GROUP BY cid),
+      md AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_delta,
+               sum(CAST(cos AS DECIMAL(18,6))) AS sd
+             FROM m WHERE is_delta GROUP BY cid),
+      mf AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_full,
+               sum(CAST(cos AS DECIMAL(18,6))) AS sf
+             FROM m GROUP BY cid)
+      SELECT mf.cid AS cluster,
+             coalesce(mb.n_base, 0) AS n_base,
+             coalesce(md.n_delta, 0) AS n_delta,
+             mf.n_full AS n_total,
+             CAST(coalesce(mb.sb, CAST(0 AS DECIMAL(18,6)))
+               AS DOUBLE) / CAST(greatest(coalesce(mb.n_base, 0), 1)
+               AS DOUBLE) AS base_mean_cos,
+             CAST(coalesce(md.sd, CAST(0 AS DECIMAL(18,6)))
+               AS DOUBLE) / CAST(greatest(coalesce(md.n_delta, 0), 1)
+               AS DOUBLE) AS delta_mean_cos,
+             (coalesce(mb.n_base, 0) + coalesce(md.n_delta, 0) = mf.n_full
+              AND coalesce(mb.sb, CAST(0 AS DECIMAL(18,6)))
+                  + coalesce(md.sd, CAST(0 AS DECIMAL(18,6))) = mf.sf)
+               AS matches_full
+      FROM mf LEFT JOIN mb ON mf.cid = mb.cid
+              LEFT JOIN md ON mf.cid = md.cid"""),
+    headline = true)
+
+  val all: Seq[QueryDef] =
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s12)
 }

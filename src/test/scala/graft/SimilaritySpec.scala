@@ -141,4 +141,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(idxRows == n * graft.ops.SimilarityOps.lshTables,
       s"index carries $idxRows rows, want ${n * graft.ops.SimilarityOps.lshTables}")
   }
+
+  test("s12 incremental IVF: maintained union == full recompute, every cluster") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("s12_ivf_incremental")(spark, "/root/testdata/sf0.001")
+      .cache()
+    try {
+      val n = df.count()
+      assert(n > 0, "no clusters")
+      assert(df.filter(!col("matches_full")).count() == 0,
+        "a cluster diverged between the maintained union and the full recompute")
+      // the delta slice is genuinely present (the incremental pass has work)
+      assert(df.agg(sum("n_delta")).head().getLong(0) > 0L)
+      // partition sanity: base + delta == total everywhere (also implied
+      // by matches_full, asserted separately for a readable failure)
+      assert(df.filter(col("n_base") + col("n_delta") =!= col("n_total"))
+        .count() == 0)
+    } finally df.unpersist()
+  }
 }
