@@ -268,9 +268,43 @@ object Temporal {
                AS retention
       FROM r JOIN cs ON r.cw = cs.cw"""
 
+  /** Standalone q61 runs a SINGLE-SCAN spelling (round 11,
+    * StageProfile-driven): the SQL's `e` CTE is referenced by both `sg`
+    * and `a`, and `sg` again by `j` and `cs` — Catalyst inlines
+    * multiply-referenced CTEs (t11's lesson), so the SQL pays THREE full
+    * event scans standalone (measured 2.29 s at 64×, 14.5× of DuckDB —
+    * the round-10 weak set's worst entry). Here one scan + one user_id
+    * shuffle aggregates signup week AND the distinct purchase-week set
+    * per user; the resulting frame is metadata-width (one row per
+    * signed-up user), checkpointed, and both the cohort-size and
+    * retention aggregates derive from its blocks. Inside the fused q65
+    * pass the SQL spelling stays correct-by-construction: its triple
+    * reference hits the already-materialized co-partitioned base, not
+    * the parquet scan. Both spellings are independently oracle-gated. */
   val q61 = QueryDef(
     "q61_cohort_retention",
-    (s, d) => withViews(s, d, "events")(q61Sql()),
+    (s, d) => {
+      import s.implicits._
+      val e = Q.events(s, d)
+        .where($"event_type".isin("signup", "purchase"))
+        .select($"user_id",
+          date_trunc("week", $"ts").cast("date").as("wk"), $"event_type")
+      val u = roundCheckpoint(
+        e.groupBy($"user_id")
+          .agg(min(when($"event_type" === "signup", $"wk")).as("cw"),
+            collect_set(when($"event_type" === "purchase", $"wk")).as("pws"))
+          .where($"cw".isNotNull))
+      val cs = u.groupBy($"cw").agg(count(lit(1)).as("cohort_size"))
+      val r = u.select($"cw", explode($"pws").as("wk"))
+        .where($"wk" >= $"cw")
+        .select($"cw", expr("CAST(datediff(wk, cw) div 7 AS BIGINT)").as("wk_offset"))
+        .groupBy($"cw", $"wk_offset").agg(count(lit(1)).as("n_active"))
+      r.join(cs, "cw")
+        .select(date_format($"cw", "yyyy-MM-dd").as("cohort_week"),
+          $"wk_offset", $"n_active", $"cohort_size",
+          ($"n_active".cast("double") / $"cohort_size".cast("double"))
+            .as("retention"))
+    },
     Some(s"""
       WITH e AS (SELECT user_id,
                         CAST(date_trunc('week', cast(ts AS timestamp)) AS DATE) AS wk,
