@@ -17,7 +17,7 @@ import Q._
   */
 object CurationOps {
 
-  private val W = 8
+  private[graft] val W = 8
 
   /** Spark SQL for (doc_id, source, i, chunk) over normalized text. */
   private[graft] val sChunks = s"""

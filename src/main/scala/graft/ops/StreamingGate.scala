@@ -650,5 +650,145 @@ object StreamingGate {
     // the streaming pipeline must reproduce the batch result exactly
     SimilarityOps.s03.oracle)
 
-  val all: Seq[QueryDef] = Seq(q42, q43, q49, q53, q58, q64, s11)
+  private[graft] case class SpanRow(doc_id: Long, p: Long, h: String)
+  private[graft] case class SpanHit(doc_id: Long, p: Long)
+
+  /** Streaming ingest-time SUBSTRING dedup — d19's variable-length exact
+    * span removal at the point of ingest (the place a production pipeline
+    * actually wants it: strip boilerplate from NEW documents against the
+    * corpus already admitted, not in a nightly batch). q58's
+    * bucket-registry FSM on shingle hashes: per arriving document, a
+    * shingle hash at every token offset; the first batch to present a
+    * hash registers as its owner (state = one row per distinct live
+    * shingle, metadata-width); later batches' occurrences emit
+    * `(doc_id, position)` hits. A batch post-pass then replays d19's
+    * linear coverage machinery (window MAX over the last W−1 hit flags +
+    * `lag` span heads) to reassemble each later-batch document with its
+    * owned spans stripped.
+    *
+    * Hits are strictly cross-batch (batch-internal repeats are d19's
+    * batch job), and batch membership is a pure function of the data
+    * ([[stageParityBatches]]: even docs then odd docs), so the DuckDB
+    * oracle derives the identical result in batch SQL: repeated-hash set
+    * = the EVEN docs' shingles, coverage over the ODD docs.
+    *
+    * Scale: state is one entry per distinct live shingle (539 k at 64× —
+    * the q49 RocksDB seam + q58's TTL pattern are the unbounded dials);
+    * per batch only the NEW documents' shingles shuffle. */
+  private[graft] def spanDedupStream(
+      s: SparkSession, d: String, provider: Option[String]): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val W = CurationOps.W
+    val sch = Q.table(s, d, "documents").schema
+    val inDir = stageParityBatches(s, d, "documents")
+    val outDir = tempDir("graft-d20-out").toString
+    val ckpt = tempDir("graft-d20-ckpt").toString
+    val hits = s.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      .where("length(text) >= 1")
+      .selectExpr("doc_id", s"split(${Q.sNorm}, ' ') AS t")
+      .where(s"size(t) >= $W")
+      .selectExpr("doc_id", "t",
+        s"explode(sequence(0, size(t) - $W)) AS p")
+      .selectExpr("doc_id", "CAST(p AS BIGINT) AS p",
+        s"md5(array_join(slice(t, p + 1, $W), ' ')) AS h")
+      .as[SpanRow]
+      .groupByKey(_.h)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[SpanRow],
+         st: org.apache.spark.sql.streaming.GroupState[BucketOwner]) =>
+          val rs = rows.toSeq
+          if (st.exists)
+            rs.sortBy(r => (r.doc_id, r.p)).iterator
+              .map(r => SpanHit(r.doc_id, r.p))
+          else {
+            st.update(BucketOwner(rs.map(_.doc_id).min))
+            Iterator.empty
+          }
+      }
+    graft.streaming.StateStores.withProvider(s, provider) {
+      val q = hits.toDF().writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.schema(org.apache.spark.sql.Encoders.product[SpanHit].schema)
+      .parquet(outDir)
+      .createOrReplaceTempView("d20_hits")
+    // batch post-pass: d19's coverage + reassembly over the LATER batch
+    Q.withViews(s, d, "documents")(s"""
+      WITH toks AS (SELECT doc_id, split(${Q.sNorm}, ' ') AS t
+                    FROM documents
+                    WHERE length(text) >= 1 AND doc_id % 2 = 1),
+      pr AS (SELECT doc_id, pos AS p, tok
+             FROM toks LATERAL VIEW posexplode(t) x AS pos, tok),
+      sh AS (SELECT DISTINCT doc_id, p FROM d20_hits),
+      mk AS (SELECT pr.doc_id, pr.p, pr.tok,
+               CASE WHEN sh.p IS NOT NULL THEN 1 ELSE 0 END AS sb
+             FROM pr LEFT JOIN sh
+               ON pr.doc_id = sh.doc_id AND pr.p = sh.p),
+      cov AS (SELECT doc_id, p, tok,
+                max(sb) OVER (PARTITION BY doc_id ORDER BY p
+                  ROWS BETWEEN ${W - 1} PRECEDING AND CURRENT ROW) AS covered
+              FROM mk),
+      tr AS (SELECT doc_id, p, tok, covered,
+               CASE WHEN covered = 1 AND coalesce(lag(covered) OVER
+                 (PARTITION BY doc_id ORDER BY p), 0) = 0
+                 THEN 1 ELSE 0 END AS spanhead
+             FROM cov)
+      SELECT doc_id,
+             array_join(transform(array_sort(collect_list(
+               CASE WHEN covered = 0 THEN struct(p, tok) END)),
+               x -> x.tok), ' ') AS kept_text,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(covered) AS BIGINT) AS n_removed,
+             CAST(sum(spanhead) AS BIGINT) AS n_spans
+      FROM tr GROUP BY doc_id""")
+  }
+
+  val d20 = QueryDef(
+    "d20_streaming_span_dedup",
+    (s, d) => spanDedupStream(s, d, None),
+    Some {
+      val W = CurationOps.W
+      s"""
+      WITH toks AS (SELECT doc_id, string_split(${Q.oNorm}, ' ') AS t
+                    FROM documents WHERE length(text) >= 1),
+      pr AS (SELECT doc_id, CAST(p1 - 1 AS BIGINT) AS p, t[CAST(p1 AS INT)] AS tok,
+               CASE WHEN p1 + $W - 1 <= len(t)
+                    THEN md5(array_to_string(
+                      list_slice(t, CAST(p1 AS INT), CAST(p1 + $W - 1 AS INT)), ' '))
+               END AS h
+             FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p1
+                   FROM toks)),
+      rep AS (SELECT DISTINCT h FROM pr
+              WHERE h IS NOT NULL AND doc_id % 2 = 0),
+      mk AS (SELECT pr.doc_id, pr.p, pr.tok,
+               CASE WHEN r.h IS NOT NULL THEN 1 ELSE 0 END AS sb
+             FROM pr LEFT JOIN rep r ON pr.h = r.h
+             WHERE pr.doc_id % 2 = 1),
+      cov AS (SELECT doc_id, p, tok,
+                max(sb) OVER (PARTITION BY doc_id ORDER BY p
+                  ROWS BETWEEN ${W - 1} PRECEDING AND CURRENT ROW) AS covered
+              FROM mk),
+      tr AS (SELECT doc_id, p, tok, covered,
+               CASE WHEN covered = 1 AND coalesce(lag(covered) OVER
+                 (PARTITION BY doc_id ORDER BY p), 0) = 0
+                 THEN 1 ELSE 0 END AS spanhead
+             FROM cov)
+      SELECT doc_id,
+             coalesce(string_agg(tok, ' ' ORDER BY p)
+               FILTER (WHERE covered = 0), '') AS kept_text,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(covered) AS BIGINT) AS n_removed,
+             CAST(sum(spanhead) AS BIGINT) AS n_spans
+      FROM tr GROUP BY doc_id"""
+    })
+
+  val all: Seq[QueryDef] = Seq(q42, q43, q49, q53, q58, q64, s11, d20)
 }

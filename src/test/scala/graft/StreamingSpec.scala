@@ -265,6 +265,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(runWith(Some(graft.streaming.StateStores.RocksDB)) == hits)
   }
 
+  test("d20 streaming span dedup: later-batch docs only, removal real; RocksDB agrees") {
+    val dir = "/root/testdata/sf0.001"
+    def runWith(p: Option[String]): Seq[(Long, String, Long, Long, Long)] =
+      graft.ops.StreamingGate.spanDedupStream(spark, dir, p)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    val out = runWith(None)
+    assert(out.nonEmpty)
+    // output covers exactly the later (odd) batch — the ingest side
+    out.foreach { case (id, _, _, _, _) =>
+      assert(id % 2 == 1, s"doc $id is not a later-batch document") }
+    // the registry genuinely stripped spans owned by the earlier batch
+    assert(out.exists(_._4 > 0L), "no cross-batch span was removed")
+    // removed spans are >= W tokens by construction: every removed-span
+    // doc lost at least W tokens per span head
+    out.filter(_._5 > 0).foreach { case (id, _, _, rem, spans) =>
+      assert(rem >= spans * graft.ops.CurationOps.W,
+        s"doc $id removed $rem tokens across $spans spans (< W per span)") }
+    // same pipeline with state in RocksDB: identical output
+    assert(runWith(Some(graft.streaming.StateStores.RocksDB)) == out)
+  }
+
   test("m07 streaming perceptual near-dup: cross-batch, Hamming-verified; RocksDB agrees") {
     // q58's bucket-registry contract on the image key: owners claim in
     // batch 0 (even doc_ids), hits are later-batch collisions only, and
