@@ -72,9 +72,12 @@ object Verify {
       while (!tether.waitEnded(timeout =
           scala.concurrent.duration.Duration(60, "s")) &&
         tether.checkState() != graft.runtime.StageState.Dropped) ()
-      // drain the async listener bus: every succeeded query must have its
-      // observed row gauge before the final snapshot (bounded wait)
-      val okCount = total - errors.size
+      // drain the async listener bus: every query that SUCCEEDED must
+      // have its observed row gauge before the final snapshot (bounded
+      // wait). Count from the stage's own ok counter, not total−errors —
+      // a Dropped stage leaves un-attempted queries that would otherwise
+      // force the full deadline sleep on every fatal-error path.
+      val okCount = tether.readMetrics().getOrElse("counter.queries_ok", 0L)
       val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
       while (tether.readMetrics().keys.count(_.startsWith("gauge.verify_"))
           < okCount && System.nanoTime() < deadline)

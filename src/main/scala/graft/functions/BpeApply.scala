@@ -79,13 +79,10 @@ case class BpeApply(left: Expression, right: Expression, hexMode: Boolean)
     val digest = java.security.MessageDigest.getInstance("SHA-256")
       .digest(raw0.asInstanceOf[UTF8String].getBytes)
     val key = (java.util.Base64.getEncoder.encodeToString(digest), hexMode)
-    val cached = BpeApply.tableCache.get(key)
-    if (cached != null) cached
-    else {
-      val parsed = parseTable(raw0)
-      BpeApply.tableCache.put(key, parsed)
-      parsed
-    }
+    // atomic on the synchronized wrapper (its computeIfAbsent holds the
+    // mutex), so 32 tasks hitting a fresh table parse it ONCE; parseTable
+    // never touches the map, so the CHM-recursion caveat doesn't apply
+    BpeApply.tableCache.computeIfAbsent(key, _ => parseTable(raw0))
   }
 
   private def parseTable(raw: Any): Array[Array[Byte]] = {

@@ -19,6 +19,50 @@ object CurationOps {
 
   private[graft] val W = 8
 
+  /** Coverage + reassembly tail over a CTE `mk(doc_id, p, tok, sb)` —
+    * the window-MAX over the last W−1 shingle flags (reconstructing each
+    * variable-length repeated interval), `lag`-based span heads, and the
+    * per-doc kept-text regroup. ONE spelling per dialect, shared by d19
+    * and d20's post-pass (the oGranuleCtes no-drift rule: the coverage
+    * logic must not be editable in one consumer without the other). */
+  private[graft] val sCoverageTail: String = s"""
+      cov AS (SELECT doc_id, p, tok,
+                max(sb) OVER (PARTITION BY doc_id ORDER BY p
+                  ROWS BETWEEN ${W - 1} PRECEDING AND CURRENT ROW) AS covered
+              FROM mk),
+      tr AS (SELECT doc_id, p, tok, covered,
+               CASE WHEN covered = 1 AND coalesce(lag(covered) OVER
+                 (PARTITION BY doc_id ORDER BY p), 0) = 0
+                 THEN 1 ELSE 0 END AS spanhead
+             FROM cov)
+      SELECT doc_id,
+             array_join(transform(array_sort(collect_list(
+               CASE WHEN covered = 0 THEN struct(p, tok) END)),
+               x -> x.tok), ' ') AS kept_text,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(covered) AS BIGINT) AS n_removed,
+             CAST(sum(spanhead) AS BIGINT) AS n_spans
+      FROM tr GROUP BY doc_id"""
+
+  /** DuckDB spelling of [[sCoverageTail]]. */
+  private[graft] val oCoverageTail: String = s"""
+      cov AS (SELECT doc_id, p, tok,
+                max(sb) OVER (PARTITION BY doc_id ORDER BY p
+                  ROWS BETWEEN ${W - 1} PRECEDING AND CURRENT ROW) AS covered
+              FROM mk),
+      tr AS (SELECT doc_id, p, tok, covered,
+               CASE WHEN covered = 1 AND coalesce(lag(covered) OVER
+                 (PARTITION BY doc_id ORDER BY p), 0) = 0
+                 THEN 1 ELSE 0 END AS spanhead
+             FROM cov)
+      SELECT doc_id,
+             coalesce(string_agg(tok, ' ' ORDER BY p)
+               FILTER (WHERE covered = 0), '') AS kept_text,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(covered) AS BIGINT) AS n_removed,
+             CAST(sum(spanhead) AS BIGINT) AS n_spans
+      FROM tr GROUP BY doc_id"""
+
   /** Spark SQL for (doc_id, source, i, chunk) over normalized text. */
   private[graft] val sChunks = s"""
     toks AS (SELECT doc_id, source, split($sNorm, ' ') AS t FROM documents
@@ -150,23 +194,7 @@ object CurationOps {
       mk AS (SELECT pr.doc_id, pr.p, pr.tok,
                CASE WHEN r.h IS NOT NULL THEN 1 ELSE 0 END AS sb
              FROM pr LEFT JOIN rep r ON pr.h = r.h),
-      cov AS (SELECT doc_id, p, tok,
-                max(sb) OVER (PARTITION BY doc_id ORDER BY p
-                  ROWS BETWEEN ${W - 1} PRECEDING AND CURRENT ROW) AS covered
-              FROM mk),
-      tr AS (SELECT doc_id, p, tok, covered,
-               CASE WHEN covered = 1 AND coalesce(lag(covered) OVER
-                 (PARTITION BY doc_id ORDER BY p), 0) = 0
-                 THEN 1 ELSE 0 END AS spanhead
-             FROM cov)
-      SELECT doc_id,
-             array_join(transform(array_sort(collect_list(
-               CASE WHEN covered = 0 THEN struct(p, tok) END)),
-               x -> x.tok), ' ') AS kept_text,
-             CAST(count(*) AS BIGINT) AS n_tokens,
-             CAST(sum(covered) AS BIGINT) AS n_removed,
-             CAST(sum(spanhead) AS BIGINT) AS n_spans
-      FROM tr GROUP BY doc_id"""),
+      $sCoverageTail"""),
     Some(s"""
       WITH toks AS (SELECT doc_id, string_split($oNorm, ' ') AS t
                     FROM documents WHERE length(text) >= 1),
@@ -182,22 +210,7 @@ object CurationOps {
       mk AS (SELECT pr.doc_id, pr.p, pr.tok,
                CASE WHEN r.h IS NOT NULL THEN 1 ELSE 0 END AS sb
              FROM pr LEFT JOIN rep r ON pr.h = r.h),
-      cov AS (SELECT doc_id, p, tok,
-                max(sb) OVER (PARTITION BY doc_id ORDER BY p
-                  ROWS BETWEEN ${W - 1} PRECEDING AND CURRENT ROW) AS covered
-              FROM mk),
-      tr AS (SELECT doc_id, p, tok, covered,
-               CASE WHEN covered = 1 AND coalesce(lag(covered) OVER
-                 (PARTITION BY doc_id ORDER BY p), 0) = 0
-                 THEN 1 ELSE 0 END AS spanhead
-             FROM cov)
-      SELECT doc_id,
-             coalesce(string_agg(tok, ' ' ORDER BY p)
-               FILTER (WHERE covered = 0), '') AS kept_text,
-             CAST(count(*) AS BIGINT) AS n_tokens,
-             CAST(sum(covered) AS BIGINT) AS n_removed,
-             CAST(sum(spanhead) AS BIGINT) AS n_spans
-      FROM tr GROUP BY doc_id"""),
+      $oCoverageTail"""),
     headline = true)
 
   /** N-gram overlap decontamination, Bloom-prefiltered — the GPT-3/PaLM

@@ -725,6 +725,16 @@ object MultimodalOps {
       i += 1
     }
     @inline def dSign(j: Int): Boolean = e(j + 1) > e(j)
+    // window energy = SUM of per-frame energies over the window's frames
+    // (frame-additive by DEFINITION of this chain — both shipped codec
+    // features, byte sum and |sample| sum, are additive across frames,
+    // and the DuckDB oracle spells window energy as the same plain sum),
+    // so one prefix-sum array answers every window in O(1) instead of
+    // re-reading each granule's bytes ~2× through 33 allocated copies
+    // (review finding: this is m09/m10's per-row hot path)
+    val pre = new Array[Long](nf + 1)
+    i = 0
+    while (i < nf) { pre(i + 1) = pre(i) + e(i); i += 1 }
     val keys = scala.collection.mutable.LinkedHashSet.empty[String]
     def emit(gs: Int, ge: Int): Unit = {
       val gl = ge - gs + 1
@@ -734,9 +744,7 @@ object MultimodalOps {
         while (wi < m10FpWindows) {
           val s0 = wi * gl / m10FpWindows
           val e0 = math.min((wi + 2) * gl / m10FpWindows, gl)
-          val span = new Array[Byte]((e0 - s0) * fb)
-          System.arraycopy(plane, (gs + s0) * fb, span, 0, span.length)
-          en(wi) = sess.feature(span)
+          en(wi) = pre(gs + e0) - pre(gs + s0)
           wi += 1
         }
         val bits = new java.lang.StringBuilder(m10FpWindows - 1)
@@ -826,10 +834,17 @@ object MultimodalOps {
                         THEN '1' ELSE '0' END), '') AS gkey
              FROM ${pfx}e)"""
 
-  /** m10 match rule (engine and oracle): classes match when they share at
-    * least 2 granule keys AND at least half of the smaller side's keys. */
+  /** m10 match rule: classes match when they share at least 2 granule
+    * keys AND at least half of the smaller side's keys. ONE spelling —
+    * [[oGranuleMatchSql]] — drives the engine SQL, both oracles, and
+    * (via this Scala twin, spec-pinned) the test-side checks, so the
+    * shipped threshold cannot drift from the documented rule. */
   private[graft] def granuleMatched(shared: Long, na: Long, nb: Long): Boolean =
     shared >= 2 && 2 * shared >= math.min(na, nb)
+
+  /** SQL spelling of [[granuleMatched]], valid in Spark SQL and DuckDB. */
+  private[graft] def oGranuleMatchSql(c: String, na: String, nb: String): String =
+    s"($c >= 2 AND 2 * $c >= least($na, $nb))"
 
   /** Alignment-robust audio near-dup via content-defined granules — the
     * production answer to [[audioFingerprint]]'s measured alignment
@@ -877,7 +892,8 @@ object MultimodalOps {
       val mt = sh
         .join(ng.select($"dg".as("da"), $"n_g".as("na")), "da")
         .join(ng.select($"dg".as("db"), $"n_g".as("nb")), "db")
-        .where($"c" >= 2 && $"c" * 2 >= least($"na", $"nb"))
+        .where(org.apache.spark.sql.functions.expr(
+          oGranuleMatchSql("c", "na", "nb")))
         .select($"da", $"db")
       val ed = mt.union(mt.select($"db", $"da")).toDF("dg", "other")
       val nbv = ed
@@ -907,7 +923,7 @@ object MultimodalOps {
              GROUP BY 1, 2),
       mt AS (SELECT da, db FROM sh
              JOIN ng na ON sh.da = na.dg JOIN ng nb ON sh.db = nb.dg
-             WHERE c >= 2 AND 2 * c >= least(na.n_g, nb.n_g)),
+             WHERE ${oGranuleMatchSql("c", "na.n_g", "nb.n_g")}),
       ed AS (SELECT da AS dg, db AS other FROM mt
              UNION ALL SELECT db, da FROM mt),
       nbv AS (SELECT ed.dg, CAST(count(*) AS BIGINT) AS n_matched_classes,
@@ -978,7 +994,7 @@ object MultimodalOps {
           least(size($"x.ga"), size($"fb.gkeys")).cast("long").as("min_g"))
       withB
         .withColumn("audio_match", $"same_audio" ||
-          ($"audio_shared" >= 2 && $"audio_shared" * 2 >= $"min_g"))
+          expr(oGranuleMatchSql("audio_shared", "min_g", "min_g")))
         .withColumn("consensus",
           $"ham_image" <= lit(m06MaxHam) && $"audio_match")
         .drop("same_audio", "min_g")
@@ -1004,9 +1020,8 @@ object MultimodalOps {
                 i -> substring(aa.afp, i, 1) <> substring(bb.afp, i, 1)))
                 AS BIGINT) AS ham_audio,
               CAST(coalesce(s.c, 0) AS BIGINT) AS audio_shared,
-              (da.dg = db.dg) OR (coalesce(s.c, 0) >= 2 AND
-                2 * coalesce(s.c, 0) >=
-                  least(coalesce(na.n_g, 0), coalesce(nb.n_g, 0)))
+              (da.dg = db.dg) OR ${oGranuleMatchSql("coalesce(s.c, 0)",
+                "coalesce(na.n_g, 0)", "coalesce(nb.n_g, 0)")}
                 AS audio_match
             FROM pairs p
             JOIN h ia ON p.doc_a = ia.doc_id

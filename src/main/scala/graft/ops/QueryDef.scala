@@ -161,7 +161,16 @@ object Q {
       if (existing != null) stagedMemo.remove(k, existing)
       val built = build
       val prev = stagedMemo.putIfAbsent(k, built)
-      if (prev == null) { materializedKeys.add(k); built } else prev
+      if (prev == null) { materializedKeys.add(k); built }
+      else {
+        // lost a benign race: the loser was eagerly checkpointed and is
+        // tracked by NOTHING — release its blocks now (staged()'s rule;
+        // without this a concurrent fusedBase pair pins a full events
+        // copy until releaseAllPersisted)
+        try checkpointRdd(built).foreach(_.unpersist(blocking = false))
+        catch { case _: Throwable => () }
+        prev
+      }
     }
   }
 

@@ -732,23 +732,7 @@ object StreamingGate {
                CASE WHEN sh.p IS NOT NULL THEN 1 ELSE 0 END AS sb
              FROM pr LEFT JOIN sh
                ON pr.doc_id = sh.doc_id AND pr.p = sh.p),
-      cov AS (SELECT doc_id, p, tok,
-                max(sb) OVER (PARTITION BY doc_id ORDER BY p
-                  ROWS BETWEEN ${W - 1} PRECEDING AND CURRENT ROW) AS covered
-              FROM mk),
-      tr AS (SELECT doc_id, p, tok, covered,
-               CASE WHEN covered = 1 AND coalesce(lag(covered) OVER
-                 (PARTITION BY doc_id ORDER BY p), 0) = 0
-                 THEN 1 ELSE 0 END AS spanhead
-             FROM cov)
-      SELECT doc_id,
-             array_join(transform(array_sort(collect_list(
-               CASE WHEN covered = 0 THEN struct(p, tok) END)),
-               x -> x.tok), ' ') AS kept_text,
-             CAST(count(*) AS BIGINT) AS n_tokens,
-             CAST(sum(covered) AS BIGINT) AS n_removed,
-             CAST(sum(spanhead) AS BIGINT) AS n_spans
-      FROM tr GROUP BY doc_id""")
+      ${CurationOps.sCoverageTail}""")
   }
 
   val d20 = QueryDef(
@@ -772,22 +756,7 @@ object StreamingGate {
                CASE WHEN r.h IS NOT NULL THEN 1 ELSE 0 END AS sb
              FROM pr LEFT JOIN rep r ON pr.h = r.h
              WHERE pr.doc_id % 2 = 1),
-      cov AS (SELECT doc_id, p, tok,
-                max(sb) OVER (PARTITION BY doc_id ORDER BY p
-                  ROWS BETWEEN ${W - 1} PRECEDING AND CURRENT ROW) AS covered
-              FROM mk),
-      tr AS (SELECT doc_id, p, tok, covered,
-               CASE WHEN covered = 1 AND coalesce(lag(covered) OVER
-                 (PARTITION BY doc_id ORDER BY p), 0) = 0
-                 THEN 1 ELSE 0 END AS spanhead
-             FROM cov)
-      SELECT doc_id,
-             coalesce(string_agg(tok, ' ' ORDER BY p)
-               FILTER (WHERE covered = 0), '') AS kept_text,
-             CAST(count(*) AS BIGINT) AS n_tokens,
-             CAST(sum(covered) AS BIGINT) AS n_removed,
-             CAST(sum(spanhead) AS BIGINT) AS n_spans
-      FROM tr GROUP BY doc_id"""
+      ${CurationOps.oCoverageTail}"""
     })
 
   val all: Seq[QueryDef] = Seq(q42, q43, q49, q53, q58, q64, s11, d20)

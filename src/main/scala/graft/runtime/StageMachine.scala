@@ -274,16 +274,8 @@ final class StageMachine[U](worker: Worker[U], policy: Policy, anchor: Anchor) {
   * `spawn_stage` (`runtime.rs:454-478`): one OS thread per stage, state
   * shared with the supervisor only through the [[Anchor]] atomics. */
 object StageRuntime {
-  def spawn[U](name: String, worker: Worker[U], policy: Policy = Policy()): Tether = {
-    val anchor = new Anchor(name, policy)
-    val thread = new Thread(
-      () => new StageMachine(worker, policy, anchor).run(),
-      s"graft-stage-$name")
-    thread.setDaemon(true)
-    anchor.thread = thread
-    thread.start()
-    new Tether(anchor)
-  }
+  def spawn[U](name: String, worker: Worker[U], policy: Policy = Policy()): Tether =
+    spawnInstrumented(name, _ => worker, policy)
 
   /** [[spawn]] with the stage's own metric registry handed to the worker
     * factory — the reference pattern of workers registering their
