@@ -108,7 +108,20 @@ object Bench {
     val calib = String.format(java.util.Locale.ROOT,
       """"loadavg1m":%.2f,"calib_sec":%.4f""",
       Double.box(loadavg1m), Double.box(calibSec))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$nRuns,$calib,"queries":${fmt(results)},"medians":${fmt(medians)},"spread":${fmt(spread)},"failed":$failed,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$nRuns,$calib,"queries":${fmt(results)},"medians":${fmt(medians)},"spread":${fmt(spread)},"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // Round-11 verdict item 6: the driver's BENCH_r{N}.json captured only
+    // a truncated stdout tail ("parsed": null two rounds running), so the
+    // medians were not machine-comparable across rounds. Write the full
+    // metric object to files too: a fixed /tmp path the driver can pick
+    // up whole, plus a repo-root copy the builder commits each round.
+    for (p <- Seq(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_out.json"),
+                  "BENCH_SELF.json")) {
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $p: ${e.getMessage}") }
+    }
     spark.stop()
   }
 }

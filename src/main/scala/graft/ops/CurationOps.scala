@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.udf
 
 import Q._
@@ -19,30 +20,39 @@ object CurationOps {
 
   private[graft] val W = 8
 
-  /** Coverage + reassembly tail over a CTE `mk(doc_id, p, tok, sb)` —
+  /** Coverage + reassembly tail over a frame `mk(doc_id, p, tok, sb)` —
     * the window-MAX over the last W−1 shingle flags (reconstructing each
     * variable-length repeated interval), `lag`-based span heads, and the
-    * per-doc kept-text regroup. ONE spelling per dialect, shared by d19
-    * and d20's post-pass (the oGranuleCtes no-drift rule: the coverage
-    * logic must not be editable in one consumer without the other). */
-  private[graft] val sCoverageTail: String = s"""
-      cov AS (SELECT doc_id, p, tok,
-                max(sb) OVER (PARTITION BY doc_id ORDER BY p
-                  ROWS BETWEEN ${W - 1} PRECEDING AND CURRENT ROW) AS covered
-              FROM mk),
-      tr AS (SELECT doc_id, p, tok, covered,
-               CASE WHEN covered = 1 AND coalesce(lag(covered) OVER
-                 (PARTITION BY doc_id ORDER BY p), 0) = 0
-                 THEN 1 ELSE 0 END AS spanhead
-             FROM cov)
-      SELECT doc_id,
-             array_join(transform(array_sort(collect_list(
+    * per-doc kept-text regroup. ONE spelling, shared by d19 and d20's
+    * post-pass (the oGranuleCtes no-drift rule: the coverage logic must
+    * not be editable in one consumer without the other).
+    *
+    * A DataFrame function, NOT a SQL CTE string: d19 stages its shingle
+    * frame once via [[Q.staged]], and a `createOrReplaceTempView` hop
+    * over any plan containing the posexplode Generate defeats the
+    * CacheManager's fragment match on Spark 4.1 (verified empirically —
+    * the view-wrapped consumer re-plans the full FileScan and the corpus
+    * pays the explode+md5 twice, the exact defect this round removes),
+    * while DataFrame composition on the cached frame substitutes the
+    * InMemoryRelation as expected. */
+  private[graft] def coverageTail(mk: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    mk.selectExpr("doc_id", "p", "tok",
+        s"""max(sb) OVER (PARTITION BY doc_id ORDER BY p
+            ROWS BETWEEN ${W - 1} PRECEDING AND CURRENT ROW) AS covered""")
+      .selectExpr("doc_id", "p", "tok", "covered",
+        """CASE WHEN covered = 1 AND coalesce(lag(covered) OVER
+             (PARTITION BY doc_id ORDER BY p), 0) = 0
+           THEN 1 ELSE 0 END AS spanhead""")
+      .groupBy("doc_id")
+      .agg(
+        expr("""array_join(transform(array_sort(collect_list(
                CASE WHEN covered = 0 THEN struct(p, tok) END)),
-               x -> x.tok), ' ') AS kept_text,
-             CAST(count(*) AS BIGINT) AS n_tokens,
-             CAST(sum(covered) AS BIGINT) AS n_removed,
-             CAST(sum(spanhead) AS BIGINT) AS n_spans
-      FROM tr GROUP BY doc_id"""
+               x -> x.tok), ' ')""").as("kept_text"),
+        expr("CAST(count(*) AS BIGINT)").as("n_tokens"),
+        expr("CAST(sum(covered) AS BIGINT)").as("n_removed"),
+        expr("CAST(sum(spanhead) AS BIGINT)").as("n_spans"))
+  }
 
   /** DuckDB spelling of [[sCoverageTail]]. */
   private[graft] val oCoverageTail: String = s"""
@@ -179,22 +189,40 @@ object CurationOps {
     * actually small and shuffle-joins when it is not); the coverage
     * window + per-doc reassembly shuffle token-width rows once on doc_id
     * (t15's accepted regime). Within-doc repeats do not count (the
-    * ≥ 2 DISTINCT docs rule, d11's semantics). */
+    * ≥ 2 DISTINCT docs rule, d11's semantics).
+    *
+    * The shingle frame `pr` (tokenize + posexplode + md5 over the full
+    * corpus) feeds BOTH the frequency aggregate and the coverage join;
+    * as a CTE Catalyst inlined it into each consumer and the physical
+    * plan paid the corpus explode + md5 TWICE (two posexplode Generates
+    * — q61's disease, confirmed by Explain in the round-11 verdict; at
+    * 64× that was 2 × 15.4 M shingle md5s). Staging it once (d12's
+    * pattern) leaves ONE Generate in the plan. */
   val d19 = QueryDef(
     "d19_substring_dedup",
-    (s, d) => withViews(s, d, "documents")(s"""
-      WITH toks AS (SELECT doc_id, split($sNorm, ' ') AS t FROM documents
-                    WHERE length(text) >= 1),
-      pr AS (SELECT doc_id, pos AS p, tok,
-               CASE WHEN pos + $W <= size(t)
-                    THEN md5(array_join(slice(t, pos + 1, $W), ' ')) END AS h
-             FROM toks LATERAL VIEW posexplode(t) x AS pos, tok),
-      rep AS (SELECT h FROM pr WHERE h IS NOT NULL
-              GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
-      mk AS (SELECT pr.doc_id, pr.p, pr.tok,
-               CASE WHEN r.h IS NOT NULL THEN 1 ELSE 0 END AS sb
-             FROM pr LEFT JOIN rep r ON pr.h = r.h),
-      $sCoverageTail"""),
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{countDistinct, when}
+      val pr = staged("d19_pr", d) {
+        withViews(s, d, "documents")(s"""
+          WITH toks AS (SELECT doc_id, split($sNorm, ' ') AS t FROM documents
+                        WHERE length(text) >= 1)
+          SELECT doc_id, pos AS p, tok,
+                 CASE WHEN pos + $W <= size(t)
+                      THEN md5(array_join(slice(t, pos + 1, $W), ' ')) END AS h
+          FROM toks LATERAL VIEW posexplode(t) x AS pos, tok""")
+      }
+      // DataFrame composition, NOT a temp-view hop: see [[coverageTail]] —
+      // a view wrap here defeats the cache substitution and re-explodes
+      // the corpus in both consumers
+      val rep = pr.where($"h".isNotNull)
+        .groupBy($"h").agg(countDistinct($"doc_id").as("nd"))
+        .where($"nd" >= 2).select($"h".as("rh"))
+      val mk = pr.join(rep, pr("h") === rep("rh"), "left")
+        .select(pr("doc_id"), pr("p"), pr("tok"),
+          when($"rh".isNotNull, 1).otherwise(0).as("sb"))
+      coverageTail(mk)
+    },
     Some(s"""
       WITH toks AS (SELECT doc_id, string_split($oNorm, ' ') AS t
                     FROM documents WHERE length(text) >= 1),

@@ -699,9 +699,12 @@ object MultimodalOps {
     * are untouched, so near-dups keep a majority of granule keys in
     * common no matter WHERE the edit lands.
     *
-    * Per granule (≥ [[m10MinFrames]] frames): 17 proportional 50%-overlap
-    * windows within the granule → 16 energy-delta sign bits; key =
-    * `"<frameLen>:<bits>"`. Keys are exact-join tokens — candidate
+    * Per granule (≥ [[m10MinFrames]] frames): [[m10FpWindows]] (33)
+    * proportional 50%-overlap windows within the granule → 32
+    * energy-delta sign bits; key = `"<frameLen>:<bits>"` (the 17-window/
+    * 16-bit variant was measured and REJECTED — 8:1 key aliasing, 940 M
+    * candidate pairs; see the constants' doc block). Keys are
+    * exact-join tokens — candidate
     * generation is an equi-join (banding degenerates to exact matching;
     * no Hamming search, no cross join). Returns the payload's decoded
     * content digest (class key) plus the DISTINCT granule keys.

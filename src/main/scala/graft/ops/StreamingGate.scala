@@ -721,18 +721,17 @@ object StreamingGate {
       .parquet(outDir)
       .createOrReplaceTempView("d20_hits")
     // batch post-pass: d19's coverage + reassembly over the LATER batch
-    Q.withViews(s, d, "documents")(s"""
+    CurationOps.coverageTail(Q.withViews(s, d, "documents")(s"""
       WITH toks AS (SELECT doc_id, split(${Q.sNorm}, ' ') AS t
                     FROM documents
                     WHERE length(text) >= 1 AND doc_id % 2 = 1),
       pr AS (SELECT doc_id, pos AS p, tok
              FROM toks LATERAL VIEW posexplode(t) x AS pos, tok),
-      sh AS (SELECT DISTINCT doc_id, p FROM d20_hits),
-      mk AS (SELECT pr.doc_id, pr.p, pr.tok,
-               CASE WHEN sh.p IS NOT NULL THEN 1 ELSE 0 END AS sb
-             FROM pr LEFT JOIN sh
-               ON pr.doc_id = sh.doc_id AND pr.p = sh.p),
-      ${CurationOps.sCoverageTail}""")
+      sh AS (SELECT DISTINCT doc_id, p FROM d20_hits)
+      SELECT pr.doc_id, pr.p, pr.tok,
+             CASE WHEN sh.p IS NOT NULL THEN 1 ELSE 0 END AS sb
+      FROM pr LEFT JOIN sh
+        ON pr.doc_id = sh.doc_id AND pr.p = sh.p"""))
   }
 
   val d20 = QueryDef(
