@@ -793,6 +793,60 @@ object MultimodalOps {
     }.toDF("doc_id", "dg", "gkeys")
   }
 
+  /** ONE corpus decode for m09: image aHash + audio fingerprint +
+    * granule class/keys computed in a single `mapPartitions` pass.
+    * Round-11's m09 ran [[perceptualHash]], [[audioFingerprint]] and
+    * [[audioGranules]] as three independent passes and re-joined them on
+    * doc_id — three corpus scans/decodes (~5.5 s EACH at 64×, and the
+    * image pass inherited the scan's 1–2 partitions, serializing its
+    * compute) plus two join shuffles, all to rebuild a frame this pass
+    * emits directly. Feature spellings are byte-for-byte those of the
+    * three standalone helpers (their oracles pin them); the standalone
+    * helpers stay the single-signal building blocks for m05/m06/m08/m10. */
+  private[graft] def mediaFeatures(spark: SparkSession, media: DataFrame,
+      srcW: Int = 32, horizon: Int = 65,
+      codec: MediaCodec = MediaCodec.Stub): DataFrame = {
+    import spark.implicits._
+    val spread =
+      if (media.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
+        media.repartition(spark.sparkContext.defaultParallelism)
+      else media
+    spread.as[MediaIn].mapPartitions { it =>
+      val sess = codec.open()
+      val fb = sess.frameBytes
+      it.map { m =>
+        // image aHash ([[perceptualHash]]'s spelling)
+        val px = sess.resize(m.payload, srcW, 8, 8)
+        var sum = 0L
+        var i = 0
+        while (i < px.length) { sum += px(i); i += 1 }
+        val ibits = new Array[Char](px.length)
+        i = 0
+        while (i < px.length) {
+          ibits(i) = if (px(i).toLong * 64L > sum) '1' else '0'
+          i += 1
+        }
+        // audio fingerprint ([[audioFingerprint]]'s spelling)
+        val nf = sess.planeLength(m.payload).toLong / fb
+        val energies = Array.tabulate(horizon) { wi =>
+          val startF = wi * nf / horizon
+          val endF = ((wi + 2) * nf / horizon).min(nf)
+          sess.feature(sess.slice(m.payload,
+            (startF * fb).toInt, ((endF - startF) * fb).toInt)._1)
+        }
+        val abits = new java.lang.StringBuilder(horizon - 1)
+        i = 0
+        while (i < horizon - 1) {
+          abits.append(if (energies(i + 1) > energies(i)) '1' else '0')
+          i += 1
+        }
+        // content class + granule keys ([[granuleKeys]])
+        val (dg, keys) = granuleKeys(sess, m.payload)
+        (m.doc_id, new String(ibits), abits.toString, dg, keys)
+      }
+    }.toDF("doc_id", "ihash", "afp", "dg", "gkeys")
+  }
+
   /** DuckDB spelling of the granule chain over the stub's byte==frame
     * identity, ending at `gkName(doc_id, gkey)` (DISTINCT keys per doc) —
     * ONE spelling shared by the m10 and m09 oracles so they cannot
@@ -974,11 +1028,9 @@ object MultimodalOps {
       import org.apache.spark.sql.functions._
       val media = table(s, d, "documents")
         .select($"doc_id", $"text".cast("binary").as("payload"), $"source")
-      val feats = roundCheckpoint(
-        perceptualHash(s, media).withColumnRenamed("ahash", "ihash")
-          .join(audioFingerprint(s, media).withColumnRenamed("ahash", "afp"),
-            "doc_id")
-          .join(audioGranules(s, media), "doc_id"))
+      // ONE decode pass for all three signals (see [[mediaFeatures]]) —
+      // round 11 paid three corpus passes plus two doc_id join shuffles
+      val feats = roundCheckpoint(mediaFeatures(s, media))
       val pairs = graft.ops.DedupOps.d02.run(s, d)
         .select($"doc_a", $"doc_b", $"jaccard")
       val withA = feats.as("fa")
