@@ -653,6 +653,31 @@ object StreamingGate {
   private[graft] case class SpanRow(doc_id: Long, p: Long, h: String)
   private[graft] case class SpanHit(doc_id: Long, p: Long)
 
+  /** d20's per-shingle FSM body, extracted so the spec pins its ONE
+    * load-bearing memory property: per-group memory is O(1) in the
+    * batch, NEVER O(occurrences). The round-11 spelling did
+    * `rows.toSeq.sortBy(...)` — a universal-boilerplate shingle
+    * occurring millions of times in one batch landed in one in-memory
+    * Seq in one task (round-11 verdict item 3). Now: a hash already
+    * owned (state exists) streams its occurrences out LAZILY without
+    * touching the iterator up front (the sort existed only for
+    * deterministic output order, which the parquet sink + sorted oracle
+    * compare never needed); an unseen hash folds the iterator into a
+    * running min — one Long of state, no buffering either way. State
+    * updates stay inside the function call (the lazy branch performs
+    * none), as `flatMapGroupsWithState` requires. */
+  private[graft] def spanFsm(
+      rows: Iterator[SpanRow],
+      st: org.apache.spark.sql.streaming.GroupState[BucketOwner])
+      : Iterator[SpanHit] =
+    if (st.exists) rows.map(r => SpanHit(r.doc_id, r.p))
+    else {
+      var mn = Long.MaxValue
+      while (rows.hasNext) { val r = rows.next(); if (r.doc_id < mn) mn = r.doc_id }
+      st.update(BucketOwner(mn))
+      Iterator.empty
+    }
+
   /** Streaming ingest-time SUBSTRING dedup — d19's variable-length exact
     * span removal at the point of ingest (the place a production pipeline
     * actually wants it: strip boilerplate from NEW documents against the
@@ -700,14 +725,7 @@ object StreamingGate {
         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
         (_: String, rows: Iterator[SpanRow],
          st: org.apache.spark.sql.streaming.GroupState[BucketOwner]) =>
-          val rs = rows.toSeq
-          if (st.exists)
-            rs.sortBy(r => (r.doc_id, r.p)).iterator
-              .map(r => SpanHit(r.doc_id, r.p))
-          else {
-            st.update(BucketOwner(rs.map(_.doc_id).min))
-            Iterator.empty
-          }
+          spanFsm(rows, st)
       }
     graft.streaming.StateStores.withProvider(s, provider) {
       val q = hits.toDF().writeStream.format("parquet")

@@ -55,6 +55,55 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("collect_list"), "q60 regressed to the array spelling")
   }
 
+  test("d19/d20 substring dedup are skew-proof: 300k-token doc + universal boilerplate shingle") {
+    // the two worst keys a 100 TB corpus throws at substring dedup, in one
+    // fixture: (a) ONE document with 300k tokens (its coverage window is a
+    // single doc_id partition) and (b) ONE boilerplate shingle carried by
+    // ~95% of documents (its hash is the hottest frequency-count key and,
+    // for d20, the hottest FSM group). All filler tokens are globally
+    // unique, so the boilerplate span is provably the ONLY repeat and the
+    // exact expected output is known per document.
+    val W = graft.ops.CurationOps.W
+    val boiler = (0 until W).map(i => s"boiler$i")
+    def filler(doc: Long, n: Int, tag: String): Seq[String] =
+      (0 until n).map(i => s"u${doc}x$tag$i")
+    val docs = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    for (id <- 1L to 2000L) // carriers, boilerplate at varying offsets
+      docs += id -> (filler(id, (id % 5).toInt + 2, "a") ++ boiler ++
+        filler(id, 3, "b")).mkString(" ")
+    for (id <- 2001L to 2100L) // clean docs
+      docs += id -> filler(id, 10, "c").mkString(" ")
+    val giantId = 2101L // odd, so d20 routes it through the later batch
+    docs += giantId -> (filler(giantId, 150000, "g") ++ boiler ++
+      filler(giantId, 150000, "h")).mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-d19-skew").toString
+    docs.toSeq.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src1"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def expect(id: Long): (Long, Long, Long) =
+      if (id <= 2000L) ((id % 5) + 2 + W + 3, W.toLong, 1L)
+      else if (id <= 2100L) (10L, 0L, 0L)
+      else (300000L + W, W.toLong, 1L)
+    // d19 batch: exactly the boilerplate span is removed from every carrier
+    val got19 = SparkEntry.queries("d19_substring_dedup")(spark, tmp)
+      .select($"doc_id", $"n_tokens", $"n_removed", $"n_spans").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got19.size == 2101)
+    for (id <- 1L to giantId)
+      assert(got19(id) == expect(id), s"d19 doc $id")
+    // d20 streaming: even docs own the boilerplate hash; every ODD carrier
+    // (1000 docs + the giant) hits the same owned group in one batch
+    val got20 = graft.ops.StreamingGate.spanDedupStream(spark, tmp, None)
+      .select($"doc_id", $"n_tokens", $"n_removed", $"n_spans").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got20.size == 1051 && got20.keySet.forall(_ % 2 == 1))
+    for (id <- got20.keys)
+      assert(got20(id) == expect(id), s"d20 doc $id")
+  }
+
   test("salted join == plain join on skewed data (90% hot key)") {
     val skewed = spark.range(0, 10000)
       .select((when($"id" % 10 < 9, 1L).otherwise($"id")).as("k"),

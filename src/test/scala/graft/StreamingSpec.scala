@@ -287,6 +287,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(runWith(Some(graft.streaming.StateStores.RocksDB)) == out)
   }
 
+  test("d20 FSM: hot-shingle batch streams lazily — per-group memory O(1), not O(occurrences)") {
+    import graft.ops.StreamingGate.{spanFsm, BucketOwner, SpanRow}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    // a universal-boilerplate shingle: 300k occurrences of ONE hash in one
+    // batch (the round-11 spelling buffered all of them into a Seq and
+    // sorted it — one task's heap scaled with the batch). The FSM must
+    // (a) not touch the iterator before returning when the hash is owned,
+    // (b) emit in lockstep with downstream consumption (no buffering),
+    // (c) fold the unseen-hash case into one running Long.
+    val n = 300000
+    var served = 0
+    def rows: Iterator[SpanRow] = new Iterator[SpanRow] {
+      private var i = 0
+      def hasNext: Boolean = i < n
+      def next(): SpanRow = { served += 1; i += 1; SpanRow(1000L + i % 7, i.toLong, "h") }
+    }
+    val owned = TestGroupState.create[BucketOwner](
+      org.apache.spark.api.java.Optional.of(BucketOwner(2L)),
+      GroupStateTimeout.NoTimeout, 0L,
+      org.apache.spark.api.java.Optional.empty[Long](), false)
+    val out = spanFsm(rows, owned)
+    assert(served == 0, s"FSM consumed $served rows up front on an owned hash")
+    var pulled = 0
+    while (out.hasNext) {
+      out.next(); pulled += 1
+      assert(served == pulled, s"FSM buffered ahead: served $served, emitted $pulled")
+    }
+    assert(pulled == n)
+    // unseen hash: full fold, one Long of state, zero emissions
+    served = 0
+    val fresh = TestGroupState.create[BucketOwner](
+      org.apache.spark.api.java.Optional.empty[BucketOwner](),
+      GroupStateTimeout.NoTimeout, 0L,
+      org.apache.spark.api.java.Optional.empty[Long](), false)
+    assert(spanFsm(rows, fresh).isEmpty)
+    assert(served == n)
+    assert(fresh.get == BucketOwner(1000L)) // min doc_id across the batch
+  }
+
   test("m07 streaming perceptual near-dup: cross-batch, Hamming-verified; RocksDB agrees") {
     // q58's bucket-registry contract on the image key: owners claim in
     // batch 0 (even doc_ids), hits are later-batch collisions only, and
