@@ -73,54 +73,8 @@ case class BpeApply(left: Expression, right: Expression, hexMode: Boolean)
     * [[BpeApply.MaxCachedTables]] entries, so deep-dial sweeps that vary
     * `-Dgraft.bpe.rounds` across a long-lived executor JVM can never
     * accumulate unbounded parsed copies (round-10 advice item). */
-  @transient private lazy val mergeTable: Array[Array[Byte]] = {
-    val raw0 = right.eval(null)
-    require(raw0 != null, s"$prettyName merge table must not be null")
-    val digest = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(raw0.asInstanceOf[UTF8String].getBytes)
-    val key = (java.util.Base64.getEncoder.encodeToString(digest), hexMode)
-    // atomic on the synchronized wrapper (its computeIfAbsent holds the
-    // mutex), so 32 tasks hitting a fresh table parse it ONCE; parseTable
-    // never touches the map, so the CHM-recursion caveat doesn't apply
-    BpeApply.tableCache.computeIfAbsent(key, _ => parseTable(raw0))
-  }
-
-  private def parseTable(raw: Any): Array[Array[Byte]] = {
-    require(raw != null, s"$prettyName merge table must not be null")
-    val toks = raw.asInstanceOf[UTF8String].toString
-      .split(" ").filter(_.nonEmpty)
-    require(toks.length % 2 == 0,
-      s"$prettyName merge table must hold lhs/rhs pairs, got ${toks.length} symbols")
-    toks.map { t =>
-      if (hexMode) {
-        require(t.length % 2 == 0, s"odd hex symbol '$t'")
-        val out = new Array[Byte](t.length / 2)
-        var i = 0
-        while (i < out.length) {
-          out(i) = java.lang.Integer
-            .parseInt(t.substring(2 * i, 2 * i + 2), 16).toByte
-          i += 1
-        }
-        out
-      } else {
-        val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        require(b.forall(_ >= 0),
-          s"bpe_apply_chars merge symbol '$t' is not ASCII")
-        b
-      }
-    }
-  }
-
-  private def regionEq(
-      bytes: Array[Byte], from: Int, to: Int, sym: Array[Byte]): Boolean = {
-    if (to - from != sym.length) return false
-    var i = 0
-    while (i < sym.length) {
-      if (bytes(from + i) != sym(i)) return false
-      i += 1
-    }
-    true
-  }
+  @transient private lazy val mergeTable: Array[Array[Byte]] =
+    BpeApply.tableFor(right.eval(null), hexMode, prettyName)
 
   private final val HexDigits = "0123456789ABCDEF".toCharArray
 
@@ -134,40 +88,7 @@ case class BpeApply(left: Expression, right: Expression, hexMode: Boolean)
         i += 1
       }
     }
-    val table = mergeTable
-
-    // Symbols are contiguous byte slices: state = boundary array b(0..m),
-    // symbol i = bytes[b(i), b(i+1)). Two buffers ping-pong per round.
-    var b = new Array[Int](bytes.length + 1)
-    var nb = new Array[Int](bytes.length + 1)
-    var m = bytes.length
-    var i = 0
-    while (i <= m) { b(i) = i; i += 1 }
-
-    var r = 0
-    while (r + 1 < table.length && m >= 2) {
-      val lhs = table(r)
-      val rhs = table(r + 1)
-      // one leftmost-greedy scan: tail-fuse-or-append
-      nb(0) = b(0)
-      var out = 1
-      var s = 0
-      while (s < m) {
-        val cs = b(s)
-        val ce = b(s + 1)
-        if (out >= 2 && regionEq(bytes, nb(out - 2), nb(out - 1), lhs) &&
-            regionEq(bytes, cs, ce, rhs)) {
-          nb(out - 1) = ce // fuse into tail
-        } else {
-          nb(out) = ce
-          out += 1
-        }
-        s += 1
-      }
-      m = out - 1
-      val t = b; b = nb; nb = t
-      r += 2
-    }
+    val (b, m) = BpeApply.fold(bytes, mergeTable)
 
     val syms = new Array[AnyRef](m)
     var k = 0
@@ -200,6 +121,98 @@ case class BpeApply(left: Expression, right: Expression, hexMode: Boolean)
 }
 
 object BpeApply {
+  /** Merge table parsed ONCE per (literal, alphabet) per JVM (see the
+    * cache note on [[BpeApply.mergeTable]]); shared by [[BpeApply]] and
+    * [[BpeDocStats]] so the two expressions can never parse the same
+    * artifact differently. Atomic on the synchronized wrapper (its
+    * computeIfAbsent holds the mutex), so 32 tasks hitting a fresh table
+    * parse it ONCE; parseTable never touches the map, so the
+    * CHM-recursion caveat doesn't apply. */
+  private[functions] def tableFor(
+      raw: Any, hexMode: Boolean, who: String): Array[Array[Byte]] = {
+    require(raw != null, s"$who merge table must not be null")
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(raw.asInstanceOf[UTF8String].getBytes)
+    val key = (java.util.Base64.getEncoder.encodeToString(digest), hexMode)
+    tableCache.computeIfAbsent(key, _ => parseTable(raw, hexMode, who))
+  }
+
+  private def parseTable(
+      raw: Any, hexMode: Boolean, who: String): Array[Array[Byte]] = {
+    val toks = raw.asInstanceOf[UTF8String].toString
+      .split(" ").filter(_.nonEmpty)
+    require(toks.length % 2 == 0,
+      s"$who merge table must hold lhs/rhs pairs, got ${toks.length} symbols")
+    toks.map { t =>
+      if (hexMode) {
+        require(t.length % 2 == 0, s"odd hex symbol '$t'")
+        val out = new Array[Byte](t.length / 2)
+        var i = 0
+        while (i < out.length) {
+          out(i) = java.lang.Integer
+            .parseInt(t.substring(2 * i, 2 * i + 2), 16).toByte
+          i += 1
+        }
+        out
+      } else {
+        val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        require(b.forall(_ >= 0),
+          s"bpe_apply_chars merge symbol '$t' is not ASCII")
+        b
+      }
+    }
+  }
+
+  private def regionEq(
+      bytes: Array[Byte], from: Int, to: Int, sym: Array[Byte]): Boolean = {
+    if (to - from != sym.length) return false
+    var i = 0
+    while (i < sym.length) {
+      if (bytes(from + i) != sym(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** The greedy merge fold, shared by [[BpeApply]] (symbol
+    * materialization) and [[BpeDocStats]] (symbol COUNT only): symbols
+    * are contiguous byte slices, state = boundary array b(0..m), symbol
+    * i = bytes[b(i), b(i+1)); two buffers ping-pong per round; each
+    * merge is one leftmost-greedy tail-fuse-or-append scan. Returns the
+    * final boundary array and symbol count. */
+  private[functions] def fold(
+      bytes: Array[Byte], table: Array[Array[Byte]]): (Array[Int], Int) = {
+    var b = new Array[Int](bytes.length + 1)
+    var nb = new Array[Int](bytes.length + 1)
+    var m = bytes.length
+    var i = 0
+    while (i <= m) { b(i) = i; i += 1 }
+    var r = 0
+    while (r + 1 < table.length && m >= 2) {
+      val lhs = table(r)
+      val rhs = table(r + 1)
+      nb(0) = b(0)
+      var out = 1
+      var s = 0
+      while (s < m) {
+        val cs = b(s)
+        val ce = b(s + 1)
+        if (out >= 2 && regionEq(bytes, nb(out - 2), nb(out - 1), lhs) &&
+            regionEq(bytes, cs, ce, rhs)) {
+          nb(out - 1) = ce // fuse into tail
+        } else {
+          nb(out) = ce
+          out += 1
+        }
+        s += 1
+      }
+      m = out - 1
+      val t = b; b = nb; nb = t
+      r += 2
+    }
+    (b, m)
+  }
+
   /** A JVM sees a handful of live merge tables per session (one per
     * trained tokenizer × alphabet); 16 is comfortable headroom while
     * keeping worst-case retention ~16 parsed tables. */

@@ -52,6 +52,10 @@ object GraftExtensions {
       es => BpeApply(es.head, es(1), hexMode = true)),
     entry("bpe_apply_chars", classOf[BpeApply])(
       es => BpeApply(es.head, es(1), hexMode = false)),
+    entry("bpe_doc_stats_bytes", classOf[BpeDocStats])(
+      es => BpeDocStats(es.head, es(1), hexMode = true)),
+    entry("bpe_doc_stats_chars", classOf[BpeDocStats])(
+      es => BpeDocStats(es.head, es(1), hexMode = false)),
     entry("ascii_word_histogram", classOf[TokenHistogram])(
       es => TokenHistogram(es.head, asciiWordMode = true)),
     entry("space_token_histogram", classOf[TokenHistogram])(

@@ -752,19 +752,22 @@ object CorpusOps {
     }.createOrReplaceTempView("t12_wc")
     val merges = bpeTrainFromView(s, "t12_wc", rounds)
       .map { case (_, l, r, _) => s"$l $r" }.mkString(" ")
-    withViews(s, d, "documents")(s"""
-      WITH enc AS (SELECT word AS w,
-                CAST(size(bpe_apply_chars(word, '$merges')) AS BIGINT) AS n_sub
-              FROM t12_wc)
-      SELECT /*+ BROADCAST(e) */ t.doc_id,
-             CAST(sum(t.cnt) AS BIGINT) AS n_words,
-             CAST(sum(t.cnt * e.n_sub) AS BIGINT) AS n_subwords,
-             CAST(sum(t.cnt * length(t.w)) AS BIGINT) AS n_chars,
-             CAST(sum(t.cnt * length(t.w)) AS DOUBLE)
-               / CAST(sum(t.cnt * e.n_sub) AS DOUBLE) AS chars_per_subword
-      FROM (SELECT doc_id, explode(h) AS (w, cnt) FROM t12_dh) t
-      JOIN enc e ON t.w = e.w
-      GROUP BY t.doc_id""")
+    // round 12: the tail is ONE zero-shuffle row-wise pass over the
+    // staged map frame (native [[graft.functions.BpeDocStats]]) — the
+    // prior explode + broadcast-join + re-aggregate spelling
+    // materialized a (doc, distinct word) row per map entry and
+    // re-grouped rows that started out grouped by document. `size(h)>0`
+    // keeps the old explode semantics: a token-free document emitted no
+    // rows there and must stay absent here.
+    s.sql(s"""
+      SELECT doc_id,
+             st.n_words AS n_words,
+             st.n_subwords AS n_subwords,
+             st.n_len AS n_chars,
+             CAST(st.n_len AS DOUBLE) / CAST(st.n_subwords AS DOUBLE)
+               AS chars_per_subword
+      FROM (SELECT doc_id, bpe_doc_stats_chars(h, '$merges') AS st
+            FROM t12_dh WHERE size(h) > 0)""")
   }
 
   /** BPE tokenizer APPLICATION — the other half of t10's train step:
@@ -1008,19 +1011,16 @@ object CorpusOps {
     }.createOrReplaceTempView("t14_wc")
     val merges = bpeTrainBytesFromView(s, "t14_wc", rounds)
       .map { case (_, l, r, _) => s"$l $r" }.mkString(" ")
-    withViews(s, d, "documents")(s"""
-      WITH enc AS (SELECT word AS w,
-                CAST(size(bpe_apply_bytes(word, '$merges')) AS BIGINT) AS n_sub
-              FROM t14_wc)
-      SELECT /*+ BROADCAST(e) */ t.doc_id,
-             CAST(sum(t.cnt) AS BIGINT) AS n_words,
-             CAST(sum(t.cnt * e.n_sub) AS BIGINT) AS n_subwords,
-             CAST(sum(t.cnt * octet_length(t.w)) AS BIGINT) AS n_bytes,
-             CAST(sum(t.cnt * octet_length(t.w)) AS DOUBLE)
-               / CAST(sum(t.cnt * e.n_sub) AS DOUBLE) AS bytes_per_subword
-      FROM (SELECT doc_id, explode(h) AS (w, cnt) FROM t13_dh) t
-      JOIN enc e ON t.w = e.w
-      GROUP BY t.doc_id""")
+    // round 12: zero-shuffle row-wise tail — see [[t12Encode]]'s note
+    s.sql(s"""
+      SELECT doc_id,
+             st.n_words AS n_words,
+             st.n_subwords AS n_subwords,
+             st.n_len AS n_bytes,
+             CAST(st.n_len AS DOUBLE) / CAST(st.n_subwords AS DOUBLE)
+               AS bytes_per_subword
+      FROM (SELECT doc_id, bpe_doc_stats_bytes(h, '$merges') AS st
+            FROM t13_dh WHERE size(h) > 0)""")
   }
 
   /** Byte-level BPE encode — t12's plan shape (merge table applied over

@@ -44,6 +44,35 @@ class MultimodalSpec extends AnyFunSuite {
       .select($"doc_id", $"text".cast("binary").as("payload"), $"source")
   }
 
+  test("mediaFeatures == the three standalone passes, column for column (no-drift pin)") {
+    import spark.implicits._
+    // m09's fused single-decode pass duplicates the perceptualHash /
+    // audioFingerprint / granuleKeys spellings; this pin makes the fused
+    // copy uneditable without the standalone one (and vice versa)
+    def keyed(df: org.apache.spark.sql.DataFrame, cols: String*) =
+      df.select("doc_id", cols: _*).collect()
+        .map(r => r.getLong(0) -> cols.map(c => r.get(r.fieldIndex(c)) match {
+          case a: scala.collection.Seq[_] => a.toVector
+          case x => x
+        }).toVector).toMap
+    val fused = MultimodalOps.mediaFeatures(spark, media)
+      .withColumn("gkeys", $"gkeys".cast("array<string>"))
+    val f = keyed(fused, "ihash", "afp", "dg", "gkeys")
+    val ih = keyed(MultimodalOps.perceptualHash(spark, media)
+      .withColumnRenamed("ahash", "ihash"), "ihash")
+    val af = keyed(MultimodalOps.audioFingerprint(spark, media)
+      .withColumnRenamed("ahash", "afp"), "afp")
+    val gr = keyed(MultimodalOps.audioGranules(spark, media)
+      .withColumn("gkeys", $"gkeys".cast("array<string>")), "dg", "gkeys")
+    assert(f.keySet == ih.keySet && f.keySet == af.keySet && f.keySet == gr.keySet)
+    f.foreach { case (id, v) =>
+      assert(v(0) == ih(id)(0), s"ihash drift at doc $id")
+      assert(v(1) == af(id)(0), s"afp drift at doc $id")
+      assert(v(2) == gr(id)(0), s"dg drift at doc $id")
+      assert(v(3) == gr(id)(1), s"gkeys drift at doc $id")
+    }
+  }
+
   test("a custom codec drops into every operator without plumbing changes") {
     import spark.implicits._
     val codec = new ReversingCodec

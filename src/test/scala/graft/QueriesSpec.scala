@@ -184,6 +184,45 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe_doc_stats == explode + bpe_apply per word, both alphabets (tail-fusion pin)") {
+    // round 12 fused the t12/t14 encode tails into one row-wise
+    // expression (no explode, no join, no aggregate); this pins the
+    // fused stats bit-identical to the spelling they replaced, per doc,
+    // driven by the SAME gate merge tables — and through a multi-task
+    // plan so the per-task memo path is the one exercised
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    for ((mode, hist, train) <- Seq(
+        ("chars", "ascii_word_histogram(lower(text))",
+          () => graft.ops.CorpusOps.bpeTrain(spark, dir)),
+        ("bytes", "space_token_histogram(concat(text, ' Ωδ', source))",
+          () => graft.ops.CorpusOps.bpeTrainBytes(spark, dir)))) {
+      val flat = train().map { case (_, l, r, _) => s"$l $r" }.mkString(" ")
+      val docs = graft.ops.Q.table(spark, dir, "documents")
+        .repartition(4).selectExpr("doc_id", s"$hist AS h")
+        .where("size(h) > 0")
+      docs.createOrReplaceTempView(s"pin_dh_$mode")
+      val fused = spark.sql(s"""
+        SELECT doc_id, st.n_words, st.n_subwords, st.n_len
+        FROM (SELECT doc_id, bpe_doc_stats_$mode(h, '$flat') AS st
+              FROM pin_dh_$mode)""")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val lenFn = if (mode == "bytes") "octet_length(w)" else "length(w)"
+      val legacy = spark.sql(s"""
+        SELECT doc_id,
+               CAST(sum(cnt) AS BIGINT),
+               CAST(sum(cnt * size(bpe_apply_$mode(w, '$flat'))) AS BIGINT),
+               CAST(sum(cnt * $lenFn) AS BIGINT)
+        FROM (SELECT doc_id, explode(h) AS (w, cnt) FROM pin_dh_$mode)
+        GROUP BY doc_id""")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(fused == legacy, s"bpe_doc_stats_$mode drifted from the explode spelling")
+      assert(fused.nonEmpty)
+    }
+  }
+
   test("t14 deep-dial: 256 merges run through the DISTRIBUTED expression path") {
     // the round-9 gap: deep-round evidence only ever ran encodeBytesLocal
     // on the driver. Here the SAME 256-merge table rides the SQL literal
