@@ -537,6 +537,16 @@ object Relational {
     "q18_large_orders",
     (s, d) => {
       import s.implicits._
+      // Round-12 note (measured, SCALE.md "q18 Bloom semi-join"): the
+      // HAVING makes bigOrders tiny (TPC-H Q18's point), but AQE sizes
+      // the join from the PRE-aggregate exchange (82 MB at 64×) and
+      // keeps a sort-merge join, shuffling the full orders table against
+      // a frame about to shrink 1000×. A staged-aggregate + Bloom
+      // prefilter on the orders scan (d12's pattern) removes the orders
+      // exchange entirely (881 MB → 0 at 256×, profiled) — and LOST at
+      // gate scale (+0.28 s of cache/bloom job constants at sf0.1,
+      // −5% at 256×), so the plain spelling stays, q03's precedent: on a
+      // network-bound cluster the Bloom variant is the dial to flip.
       val bigOrders = li(s, d).groupBy($"l_orderkey")
         .agg((sumLong6($"l_quantity").cast("double") / lit(1000000d)).as("sum_qty"))
         .where($"sum_qty" > 300.0)
