@@ -93,15 +93,27 @@ object DedupOps {
           SELECT doc_id, bj, concat_ws(',', $rowRefs) AS bkey
           FROM sig LATERAL VIEW explode(sequence(0, ${minhashBands - 1})) x AS bj""")
       }
-      bands.createOrReplaceTempView("d02_bands")
-      s.sql("""
-        WITH cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-                 FROM d02_bands a JOIN d02_bands b
-                   ON a.bj = b.bj AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-        ver AS (SELECT ida, idb, jaccard_sim(sa.sset, sb.sset) AS jaccard
-                FROM cand JOIN d02_sh sa ON cand.ida = sa.doc_id
-                          JOIN d02_sh sb ON cand.idb = sb.doc_id)
-        SELECT ida AS doc_a, idb AS doc_b, jaccard FROM ver WHERE jaccard >= 0.8""")
+      // DataFrame composition for the self-join, NOT a `d02_bands` temp
+      // view: the bands plan carries the explode Generate, and a view hop
+      // over a cached Generate-bearing frame defeats CacheManager's
+      // fragment match on Spark 4.1 (d19's round-12 lesson) — PlanAudit
+      // caught this spelling recomputing minhash_sig over the corpus
+      // TWICE, one live copy per self-join side, with the staged cache
+      // never substituted.
+      import s.implicits._
+      import org.apache.spark.sql.functions.expr
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          $"a.bj" === $"b.bj" && $"a.bkey" === $"b.bkey" &&
+            $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("ida"), $"b.doc_id".as("idb"))
+        .distinct()
+      cand
+        .join(sh.as("sa"), $"ida" === $"sa.doc_id")
+        .join(sh.as("sb"), $"idb" === $"sb.doc_id")
+        .select($"ida".as("doc_a"), $"idb".as("doc_b"),
+          expr("jaccard_sim(sa.sset, sb.sset)").as("jaccard"))
+        .where($"jaccard" >= 0.8)
     },
     Some(s"""
       WITH $oracleBandsCte,
@@ -172,12 +184,12 @@ object DedupOps {
   val d04 = QueryDef(
     "d04_ngram_jaccard",
     (s, d) => {
-      val g = staged("d04_g", d) {
-        withViews(s, d, "documents")("""
+      val g = stagedMaterialized("d04_g", d) {
+        roundCheckpoint(withViews(s, d, "documents")("""
           SELECT doc_id, lang, source, grams, minhash_sig(grams, 16) AS sg FROM
             (SELECT doc_id, lang, source, shingle_set(text, 2) AS grams
              FROM documents)
-          WHERE size(grams) >= 1""")
+          WHERE size(grams) >= 1"""))
       }
       g.createOrReplaceTempView("d04_g")
       s.sql("""
@@ -238,13 +250,16 @@ object DedupOps {
   /** Normalized double-precision embeddings + L2 norms, staged once and
     * shared by d05 and d16 (one copy of the corpus in memory even when a
     * capstone composes both). */
+  // checkpointed leaf, not a lazy cache: see SimilarityOps.normalized —
+  // the view-hop consumers (d05/d16/d17) were re-normalizing per
+  // reference (PlanAudit: 6 live embeddings scans in d05)
   private def normEmbeddings(s: org.apache.spark.sql.SparkSession, d: String) =
-    staged("d05_n", d) {
-      withViews(s, d, "embeddings")("""
+    stagedMaterialized("d05_n", d) {
+      roundCheckpoint(withViews(s, d, "embeddings")("""
         WITH e AS (SELECT vec_id, label,
                      transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                    FROM embeddings)
-        SELECT vec_id, label, v, sqrt(dot_product(v, v)) AS nrm FROM e""")
+        SELECT vec_id, label, v, sqrt(dot_product(v, v)) AS nrm FROM e"""))
     }
 
   val d05 = QueryDef(

@@ -87,12 +87,19 @@ object SimilarityOps {
   /** Normalized double vectors with norms, staged once per data dir and
     * shared by every similarity query (s01 broadcast side + corpus side,
     * s05 centroid seeding + assignment). */
+  // stagedMaterialized + checkpoint, NOT staged: these frames are
+  // consumed through temp views by SQL that references them 2-13x, and
+  // a view hop over a cached lambda/Generate-bearing plan defeats
+  // CacheManager's fragment match on Spark 4.1 (PlanAudit round 12: the
+  // "cached" normalization recomputed per reference — s10 re-normalized
+  // the corpus 13x). A checkpointed LogicalRDD is a LEAF: nothing to
+  // re-derive, nothing for DeduplicateRelations to trip over.
   private def normalized(s: org.apache.spark.sql.SparkSession, d: String) =
-    staged("s01_n", d) {
-      withViews(s, d, "embeddings")("""
+    stagedMaterialized("s01_n", d) {
+      roundCheckpoint(withViews(s, d, "embeddings")("""
         WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                    FROM embeddings)
-        SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM e""")
+        SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM e"""))
     }
 
   val s01 = QueryDef(
@@ -256,14 +263,14 @@ object SimilarityOps {
     * by the batch gate row and the s11 streaming twin, ONE definition. */
   private[graft] def s03Statics(
       s: org.apache.spark.sql.SparkSession, d: String): Unit = {
-    val n = staged("s03_n", d) {
-      withViews(s, d, "embeddings")("""
+    val n = stagedMaterialized("s03_n", d) {
+      roundCheckpoint(withViews(s, d, "embeddings")("""
         WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                    FROM embeddings)
-        SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM e""")
+        SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM e"""))
     }
     n.createOrReplaceTempView("s03_n")
-    val assign = staged("s03_assign", d) {
+    val assign = stagedMaterialized("s03_assign", d) {
       s.sql(s"""
         WITH c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM s03_n
                    WHERE vec_id % 50 = 7 AND vec_id < 3200),
@@ -274,6 +281,7 @@ object SimilarityOps {
                                              cid) AS rn
                FROM s03_n t CROSS JOIN c)
         SELECT vec_id, cid AS cluster, rn FROM sc WHERE rn <= $ivfProbes""")
+        .transform(roundCheckpoint)
     }
     assign.createOrReplaceTempView("s03_assign")
   }
@@ -967,13 +975,22 @@ object SimilarityOps {
 
   val s10 = QueryDef(
     "s10_knn_pq",
-    (s, d) => withViews(s, d, "embeddings")(s"""
-      WITH v0 AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                  FROM embeddings),
-      v AS (SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM v0),
-      e AS (SELECT vec_id,
-              transform(v, x -> CAST(floor(x / nrm * 1000000.0) AS BIGINT)) AS x6
-            FROM v WHERE nrm > 0),
+    (s, d) => {
+      // checkpointed leaf: the quantized-vector frame `e` is referenced
+      // SEVEN times below (codebooks, codes, queries, both exact-rerank
+      // sides) and as an inlined CTE the corpus was re-normalized and
+      // re-quantized per reference (PlanAudit: 13 live embeddings scans)
+      stagedMaterialized("s10_e", d) {
+        roundCheckpoint(withViews(s, d, "embeddings")("""
+          WITH v0 AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                      FROM embeddings),
+          v AS (SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM v0)
+          SELECT vec_id,
+                 transform(v, x -> CAST(floor(x / nrm * 1000000.0) AS BIGINT)) AS x6
+          FROM v WHERE nrm > 0"""))
+      }.createOrReplaceTempView("s10_e")
+      s.sql(s"""
+      WITH e AS (SELECT vec_id, x6 FROM s10_e),
       c AS (SELECT vec_id AS cid, x6 AS cv FROM e WHERE $pqSeeds),
       sc AS (SELECT /*+ BROADCAST(c) */ t.vec_id,
                ${(0 until pqSub).map(sPqDist).mkString(",\n               ")}
@@ -1005,7 +1022,8 @@ object SimilarityOps {
                                   ORDER BY score DESC, neighbor_id) AS rn
              FROM ex)
       SELECT query_id, neighbor_id, score, CAST(rn AS BIGINT) AS rn
-      FROM rr WHERE rn <= 5"""),
+      FROM rr WHERE rn <= 5""")
+    },
     Some(s"""
       WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                   FROM embeddings),
@@ -1076,13 +1094,20 @@ object SimilarityOps {
   val s12 = QueryDef(
     "s12_ivf_incremental",
     (s, d) => {
-      withViews(s, d, "embeddings")(s"""
-        WITH e AS (SELECT vec_id,
-                     transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-                     ($s12DeltaPred) AS is_delta
-                   FROM embeddings),
-        n AS (SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm, is_delta
-              FROM e),
+      // checkpointed leaf: `n` feeds the centroid set and THREE
+      // assignment passes (base/delta/full — the full pass is the
+      // operator's own recompute proof, deliberate); as an inlined CTE
+      // the corpus re-normalized per reference (PlanAudit: 6 live scans)
+      stagedMaterialized("s12_n", d) {
+        roundCheckpoint(withViews(s, d, "embeddings")(s"""
+          WITH e AS (SELECT vec_id,
+                       transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                       ($s12DeltaPred) AS is_delta
+                     FROM embeddings)
+          SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm, is_delta FROM e"""))
+      }.createOrReplaceTempView("s12_n")
+      s.sql(s"""
+        WITH n AS (SELECT vec_id, v, nrm, is_delta FROM s12_n),
         c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
               WHERE vec_id % 50 = 7 AND vec_id < 3200 AND NOT is_delta),
         ab AS (SELECT /*+ BROADCAST(c) */ vec_id, cid,
