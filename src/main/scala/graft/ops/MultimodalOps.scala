@@ -385,8 +385,16 @@ object MultimodalOps {
       .distinct()
       .withColumn("ham", expr(sHam64("ha", "hb")))
       .where($"ham" <= maxHam)
-    val edges = near.select($"ha".as("ahash"), $"hb".as("other"))
-      .union(near.select($"hb".as("ahash"), $"ha".as("other")))
+    // both edge directions from ONE pass over `near`: the
+    // union-of-two-projections spelling referenced `near` twice, and a
+    // multiply-referenced non-materialized frame re-executes per
+    // reference — PlanAudit caught the band join + Hamming verify
+    // running twice. An explode of the two directions is a row-local
+    // rewrite of the same rows.
+    val edges = near.select(explode(expr(
+        "array(struct(ha AS ahash, hb AS other), " +
+        "struct(hb AS ahash, ha AS other))")).as("e"))
+      .select($"e.ahash", $"e.other")
     val nb = edges
       .join(dh.select($"ahash".as("other"), $"n_docs".as("other_docs")), "other")
       .groupBy($"ahash")
@@ -935,10 +943,13 @@ object MultimodalOps {
       // classes are non-identifying; dropping them bounds the worst
       // bucket's quadratic pair cost (metadata-width window count —
       // ck0 is already partitioned by gkey, so no extra exchange)
-      val ck = ck0.withColumn("kc",
+      // checkpointed: ck feeds the denominators and BOTH self-join
+      // sides; left lazy, the explode + pinned exchange + skew-cap
+      // window re-ran per reference (PlanAudit: 9 live Generates)
+      val ck = roundCheckpoint(ck0.withColumn("kc",
           count(lit(1)).over(org.apache.spark.sql.expressions.Window
             .partitionBy($"gkey")))
-        .where($"kc" <= m10MaxKeyClasses).drop("kc")
+        .where($"kc" <= m10MaxKeyClasses).drop("kc"))
       // denominators count INFORMATIVE (kept) keys, consistently with
       // the shared counts the rule compares them to
       val ng = ck.groupBy($"dg").agg(count(lit(1)).as("n_g"))
@@ -952,7 +963,11 @@ object MultimodalOps {
         .where(org.apache.spark.sql.functions.expr(
           oGranuleMatchSql("c", "na", "nb")))
         .select($"da", $"db")
-      val ed = mt.union(mt.select($"db", $"da")).toDF("dg", "other")
+      // both directions in one pass over mt (see perceptualNeighbors)
+      val ed = mt.select(explode(expr(
+          "array(struct(da AS dg, db AS other), " +
+          "struct(db AS dg, da AS other))")).as("e"))
+        .select($"e.dg", $"e.other")
       val nbv = ed
         .join(cls.select($"dg".as("other"), $"n_docs".as("od")), "other")
         .groupBy($"dg")
