@@ -1113,16 +1113,24 @@ object CorpusOps {
       val candHashes = (0 until cmDepth).map { j =>
         s"named_struct('j', $j, 'h', ${cmHash("word", j, sFold)})"
       }.mkString(",\n               ")
+      // ONE corpus pass: the `toks` occurrence CTE fed both the sketch
+      // build and the exact top-K and ran the corpus tokenize twice
+      // (PlanAudit round 12). Both derive from the shared per-doc token
+      // histogram instead — hash rows and exact counts weight each
+      // DISTINCT word by its count (identical integers; the histogram's
+      // byte-level tokenizer is regexp_extract_all('[a-z]+')-exact,
+      // property-pinned in TokenHistogramSpec).
+      docHist(s, d).createOrReplaceTempView("q59_dh")
       withViews(s, d, "documents")(s"""
-        WITH toks AS (SELECT explode(regexp_extract_all(lower(text), '[a-z]+', 0)) AS w
-                      FROM documents),
-        cm AS (SELECT pr.j AS j, pr.h AS h, CAST(count(*) AS BIGINT) AS cnt
-               FROM (SELECT explode(array(
+        WITH dw AS (SELECT w, cnt
+                    FROM (SELECT explode(h) AS (w, cnt) FROM q59_dh)),
+        cm AS (SELECT pr.j AS j, pr.h AS h, CAST(sum(cnt) AS BIGINT) AS cnt
+               FROM (SELECT cnt, explode(array(
                $hashes)) AS pr
-                     FROM toks)
+                     FROM dw)
                GROUP BY pr.j, pr.h),
-        top AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS exact_cnt
-                FROM toks GROUP BY w ORDER BY exact_cnt DESC, word LIMIT 25),
+        top AS (SELECT w AS word, CAST(sum(cnt) AS BIGINT) AS exact_cnt
+                FROM dw GROUP BY w ORDER BY exact_cnt DESC, word LIMIT 25),
         ch AS (SELECT word, exact_cnt, pr.j AS j, pr.h AS h
                FROM top LATERAL VIEW explode(array(
                $candHashes)) x AS pr),

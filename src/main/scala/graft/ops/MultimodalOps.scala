@@ -290,7 +290,11 @@ object MultimodalOps {
       import s.implicits._
       val media = table(s, d, "documents")
         .select($"doc_id", $"text".cast("binary").as("payload"), $"source")
-      val h = perceptualHash(s, media)
+      // checkpointed: h feeds the group aggregate AND the join back —
+      // left lazy, the payload scan + decode + hash pass ran twice
+      // (PlanAudit round 12; perceptualNeighbors already treats its dh
+      // frame this way). Metadata-width, so effectively free.
+      val h = roundCheckpoint(perceptualHash(s, media))
       val g = h.groupBy($"ahash")
         .agg(org.apache.spark.sql.functions.count(
             org.apache.spark.sql.functions.lit(1)).as("n_docs"),
