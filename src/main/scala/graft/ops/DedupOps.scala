@@ -232,6 +232,127 @@ object DedupOps {
                         JOIN g gb ON cand.idb = gb.doc_id)
       SELECT ida AS doc_a, idb AS doc_b, jaccard FROM ver WHERE jaccard >= 0.3"""))
 
+  /** Containment cap: shingles present in more than this many documents
+    * are boilerplate — they cannot discriminate one document being quoted
+    * inside another, and at corpus scale they are exactly the keys that
+    * turn the inverted-index self-join quadratic (a shingle shared by F
+    * docs contributes up to F·(F−1) candidate rows). Dropping them bounds
+    * every join bucket — m10's stop-landmark rule applied to text. Read
+    * once at load (`-Dgraft.contain.cap`) so engine SQL, oracle SQL, and
+    * the staged caches can never disagree within a run. */
+  private[graft] val containCap = sys.props.getOrElse("graft.contain.cap", "512").toInt
+
+  /** d21: ASYMMETRIC containment dedup — "document A is substantially
+    * quoted/embedded inside document B". Jaccard (d02/d04) is symmetric:
+    * a short doc pasted verbatim into a 10×-longer one has
+    * jaccard ≈ |A|/|B| → the near-dup passes never see it, while
+    * containment |S(A)∩S(B)|/|S(A)| ≈ 1 there. The training-data use
+    * case is quote/aggregator/wrapper detection: the contained side
+    * double-counts its content under any token budget, so curation drops
+    * it (or down-weights it) even though it is nobody's near-duplicate.
+    *
+    * DISTINCT-CLASS COLLAPSE FIRST (m10's rule, and the reason this
+    * survives a replication-heavy corpus): containment is a property of
+    * CONTENT, so docs collapse to exact-dup classes (key = md5 of the
+    * normalized text, d01's key) before any shingle work — the verdict
+    * frame carries member counts. Without the collapse, K replicas of a
+    * quote inside K replicas of its container are K² pair rows each
+    * sharing the full shingle set: the first-shipped doc-level spelling
+    * OOM'd local[32] at 64× (64-replica classes → 4032 ordered pairs ×
+    * ~10² shared shingles per class). Class-level, the pair join is
+    * replication-INVARIANT: 64× the corpus, same pair frame.
+    *
+    * Semantics (deterministic, oracle-shared): 3-word shingle sets on
+    * d02's normalization, per distinct content class; vocabulary =
+    * shingles with CLASS-frequency ≤ [[containCap]] (boilerplate
+    * excluded from BOTH the numerator and the denominator, so a doc made
+    * of pure boilerplate is not "contained" in everything; class-freq,
+    * not doc-freq, keeps the cap replication-invariant too); emit
+    * ordered class pairs with |S(A)| ≥ 5 and containment ≥ 0.9 where A
+    * is the strictly smaller side (equal sizes — mutual containment,
+    * d01/d02 territory — tie-break by rep id so the pair appears once).
+    * Join keys are md5 digests (d19's rule: char_fold's 32 bits would
+    * collide at corpus scale and silently inflate intersections; the
+    * digest is computed ONCE per (class, shingle) in the checkpointed
+    * frame, never per candidate pair). */
+  val d21 = QueryDef(
+    "d21_containment",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{col, count => fcount, expr}
+      // ONE corpus scan: exact-dup class collapse (min_by keeps one text
+      // per class through map-side partial agg — the exchange carries at
+      // most |classes|·|partitions| texts, never the corpus), then
+      // normalize → distinct 3-shingles → md5, exploded to (rep, h) and
+      // checkpointed — a LogicalRDD leaf, so the class-freq aggregate and
+      // the self-join below re-read rows, never re-derive the explode
+      val g = stagedMaterialized("d21_g", d) {
+        roundCheckpoint(withViews(s, d, "documents")(s"""
+          WITH cls AS (SELECT min(doc_id) AS rep, count(*) AS members,
+                              min_by(text, doc_id) AS rtext
+                       FROM documents GROUP BY md5($sNorm)),
+          sh AS (SELECT rep, members, shingle_set(rtext, 3) AS sset FROM cls)
+          SELECT rep, members, md5(s) AS h
+          FROM sh LATERAL VIEW explode(sset) x AS s"""))
+      }
+      // (class, shingle, class-freq) over the capped vocabulary, staged
+      // once: feeds the per-class size aggregate AND both self-join sides
+      val gk = staged("d21_gk", d) {
+        val cf = g.groupBy($"h").agg(fcount("*").as("cf"))
+          .where($"cf" <= containCap)
+        g.join(cf, Seq("h")).select(col("rep"), col("members"), col("h"), col("cf"))
+      }
+      val sz = gk.groupBy($"rep", $"members").agg(fcount("*").as("sz"))
+      // cf = 1 shingles live in exactly one class — they cannot intersect,
+      // so they skip the join entirely (they still count in sz: a class of
+      // mostly-unique content must NOT look contained)
+      val p = gk.where($"cf" >= 2).as("a")
+        .join(gk.where($"cf" >= 2).as("b"),
+          $"a.h" === $"b.h" && $"a.rep" =!= $"b.rep")
+        .groupBy($"a.rep".as("ida"), $"b.rep".as("idb"))
+        .agg(fcount("*").as("shared"))
+      p.join(sz.as("sa"), $"ida" === $"sa.rep")
+        .join(sz.as("sb"), $"idb" === $"sb.rep")
+        .select($"ida".as("contained_rep"), $"idb".as("container_rep"),
+          $"sa.members".as("contained_members"),
+          $"sb.members".as("container_members"),
+          $"shared", $"sa.sz".as("size_contained"),
+          $"sb.sz".as("size_container"),
+          expr("CAST(shared AS DOUBLE) / CAST(sa.sz AS DOUBLE)")
+            .as("containment"))
+        .where($"size_contained" >= 5 && $"containment" >= 0.9 &&
+          ($"size_contained" < $"size_container" ||
+            ($"size_contained" === $"size_container" &&
+              $"contained_rep" < $"container_rep")))
+    },
+    Some(s"""
+      WITH cls AS (SELECT min(doc_id) AS rep, count(*) AS members,
+                          arg_min(text, doc_id) AS text
+                   FROM documents GROUP BY md5($oNorm)),
+      t AS (SELECT rep, members, string_split($oNorm, ' ') AS w FROM cls),
+      sh AS (SELECT rep, members, list_distinct(list_transform(range(1, len(w)-1),
+               i -> array_to_string(w[i:i+2], ' '))) AS sset
+             FROM t WHERE len(w) >= 3),
+      g AS (SELECT rep, members, md5(s) AS h
+            FROM (SELECT rep, members, unnest(sset) AS s FROM sh)),
+      k AS (SELECT h, count(*) AS cf FROM g GROUP BY h
+            HAVING count(*) <= $containCap),
+      gk AS (SELECT g.rep, g.members, g.h, k.cf FROM g JOIN k ON g.h = k.h),
+      sz AS (SELECT rep, members, count(*) AS sz FROM gk GROUP BY rep, members),
+      p AS (SELECT a.rep AS ida, b.rep AS idb, count(*) AS shared
+            FROM gk a JOIN gk b ON a.h = b.h AND a.rep <> b.rep
+            WHERE a.cf >= 2
+            GROUP BY a.rep, b.rep)
+      SELECT ida AS contained_rep, idb AS container_rep,
+             sa.members AS contained_members, sb.members AS container_members,
+             shared, sa.sz AS size_contained, sb.sz AS size_container,
+             CAST(shared AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS containment
+      FROM p JOIN sz sa ON p.ida = sa.rep
+             JOIN sz sb ON p.idb = sb.rep
+      WHERE sa.sz >= 5
+        AND CAST(shared AS DOUBLE) / CAST(sa.sz AS DOUBLE) >= 0.9
+        AND (sa.sz < sb.sz OR (sa.sz = sb.sz AND ida < idb))"""))
+
   /** Embedding-cosine near-dup, blocked by label. Candidates INSIDE a
     * block come from IVF-style coarse quantization (s03's machinery):
     * every vector is assigned to its 3 nearest centroids (deterministic
@@ -611,5 +732,5 @@ object DedupOps {
              cos >= $contamThreshold AS is_contaminated
       FROM sc WHERE rn = 1"""))
 
-  val all: Seq[QueryDef] = Seq(d02, d03, d04, d05, d06, d07, d16, d17)
+  val all: Seq[QueryDef] = Seq(d02, d03, d04, d05, d06, d07, d16, d17, d21)
 }

@@ -572,6 +572,40 @@ class QueriesSpec extends AnyFunSuite {
     assert(d11 == 0L, s"d11 unexpectedly removed $d11 grid chunks")
   }
 
+  test("d21 finds the quote d02's symmetric jaccard is blind to") {
+    import spark.implicits._
+    // docA = a 30-word paragraph; docB = a 10×-longer page quoting it
+    // verbatim in the middle. Jaccard(A,B) ≈ |A|/|B| ≈ 0.2 — far below
+    // d02's 0.8 near-dup bar — but containment(A→B) = 1.0 exactly.
+    val quote = (1 to 30).map(i => s"quote$i").mkString(" ")
+    val pre = (1 to 60).map(i => s"pre$i").mkString(" ")
+    val post = (1 to 60).map(i => s"post$i").mkString(" ")
+    val docA = quote
+    val docB = s"$pre $quote $post"
+    val docC = (1 to 40).map(i => s"other$i").mkString(" ") // unrelated
+    val tmp = graft.ops.StreamingGate.tempDir("graft-d21").toString
+    // doc 9 duplicates the container EXACTLY (case/whitespace jitter —
+    // d01's normalized class key): it must COLLAPSE into B's class, not
+    // create a second pair row
+    Seq((1L, docA, "s"), (2L, docB, "s"), (3L, docC, "s"),
+      (9L, "  " + docB.toUpperCase + "  ", "s"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = SparkEntry.queries("d21_containment")(spark, tmp)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(7))).toSet
+    // exactly ONE verdict: quote class (1 member) contained in container
+    // class (2 members: docs 2 and 9, rep = 2), containment exactly 1.0 —
+    // every A-shingle has class-freq 2, so numerator = denominator
+    assert(rows == Set((1L, 2L, 1L, 2L, 1.0)), s"got $rows")
+    // the symmetric near-dup pass does NOT see the quote pair
+    val d02 = SparkEntry.queries("d02_minhash_lsh")(spark, tmp)
+      .where("(doc_a = 1 AND doc_b = 2) OR (doc_a = 2 AND doc_b = 1)")
+      .count()
+    assert(d02 == 0L, "d02 unexpectedly paired the quote with its container")
+  }
+
   test("t18 detokenize: EVERY document round-trips, at 12 AND 256 merge rounds") {
     import org.apache.spark.sql.functions._
     // the gate hash pins the values; this pins the semantic claim — zero
