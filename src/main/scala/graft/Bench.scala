@@ -115,12 +115,25 @@ object Bench {
     // medians were not machine-comparable across rounds. Write the full
     // metric object to files too: a fixed /tmp path the driver can pick
     // up whole, plus a repo-root copy the builder commits each round.
-    for (p <- Seq(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_out.json"),
-                  "BENCH_SELF.json")) {
-      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] could not write $p: ${e.getMessage}") }
+    // The repo copy is resolved against an explicit root (round-12
+    // advice: a cwd-relative path silently lands elsewhere when the
+    // bench is launched outside the repo): GRAFT_REPO_ROOT env /
+    // graft.repo.root property, falling back to user.dir (sbt sets it
+    // to the project root). The absolute path is always logged.
+    val repoRoot = sys.props.get("graft.repo.root")
+      .orElse(sys.env.get("GRAFT_REPO_ROOT"))
+      .getOrElse(sys.props.getOrElse("user.dir", "."))
+    for (p <- Seq(
+           java.nio.file.Paths.get(
+             sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_out.json")),
+           java.nio.file.Paths.get(repoRoot, "BENCH_SELF.json"))) {
+      val abs = p.toAbsolutePath
+      try {
+        java.nio.file.Files.write(abs,
+          (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        System.err.println(s"[bench] wrote $abs")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $abs: ${e.getMessage}") }
     }
     spark.stop()
   }

@@ -51,7 +51,16 @@ case class BpeDocStats(left: Expression, right: Expression, hexMode: Boolean)
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
     left.dataType match {
-      case MapType(StringType, LongType, _) =>
+      // valueContainsNull must be false: nullSafeEval reads counts with
+      // vals.getLong(i), which would silently decode a null slot as 0.
+      // Both producing histograms (ascii_word_histogram /
+      // space_token_histogram) declare valueContainsNull = false, so a
+      // nullable-valued map here means a foreign producer — reject it.
+      case MapType(StringType, LongType, true) =>
+        TypeCheckFailure(
+          s"$prettyName requires non-nullable map values " +
+            "(map<string,bigint> with valueContainsNull=false)")
+      case MapType(StringType, LongType, false) =>
         if (right.dataType != StringType)
           TypeCheckFailure(s"$prettyName merge table must be a string")
         else if (!right.foldable)
@@ -66,10 +75,20 @@ case class BpeDocStats(left: Expression, right: Expression, hexMode: Boolean)
     BpeApply.tableFor(right.eval(null), hexMode, prettyName)
 
   /** Task-confined word → symbol-count memo (instances deserialize per
-    * task; rows within a task reuse it). Distinct-word counts are
-    * vocabulary-scale, so this stays small. */
+    * task; rows within a task reuse it). For byte-mode histograms the
+    * token space is arbitrary strings — not a bounded vocabulary — so a
+    * high-cardinality partition could otherwise grow this to its full
+    * distinct-word set. Bounded as an access-order LRU capped at
+    * [[BpeDocStats.MaxMemoWords]] (the [[BpeApply.MaxCachedTables]]
+    * precedent): eviction only re-folds a cold word, never changes a
+    * result. */
   @transient private lazy val memo =
-    new java.util.HashMap[UTF8String, java.lang.Integer]()
+    new java.util.LinkedHashMap[UTF8String, java.lang.Integer](
+      1024, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[UTF8String, java.lang.Integer]): Boolean =
+        size() > BpeDocStats.MaxMemoWords
+    }
 
   override protected def nullSafeEval(hAny: Any, mergesAny: Any): Any = {
     val h = hAny.asInstanceOf[MapData]
@@ -108,4 +127,11 @@ case class BpeDocStats(left: Expression, right: Expression, hexMode: Boolean)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): BpeDocStats =
     copy(left = newLeft, right = newRight)
+}
+
+object BpeDocStats {
+  /** Per-task memo capacity. 64k words × (string + boxed int) is a few
+    * MB per task at worst — bounded regardless of partition cardinality. */
+  private[functions] val MaxMemoWords = 65536
+  private[graft] def maxMemoWordsForTest: Int = MaxMemoWords
 }

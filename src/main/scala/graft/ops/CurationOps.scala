@@ -332,7 +332,12 @@ object CurationOps {
       // the staged map frame is the cheap cacheable form (round-11
       // economics: map rows beat exploded rows at doc granularity).
       // space_token_histogram over the normalized text counts exactly
-      // split(text, ' ')'s tokens (maximal non-space runs).
+      // split(text, ' ')'s tokens (maximal non-space runs). Pinned edge
+      // case (round-12 advice): a doc whose normalized text is all
+      // whitespace has zero tokens and is EXCLUDED from the output in
+      // both engines — the oracle filters tok <> '' so DuckDB's
+      // string_split('') one-empty-token artifact never re-admits it
+      // (TextSpec pins the engine half on a planted whitespace doc).
       staged("t09_dh", d) {
         withViews(s, d, "documents")(s"""
           SELECT doc_id, space_token_histogram($sNorm) AS h
@@ -354,8 +359,11 @@ object CurationOps {
         FROM sc GROUP BY doc_id""")
     },
     Some(s"""
-      WITH toks AS (SELECT doc_id, unnest(string_split($oNorm, ' ')) AS tok
-                    FROM documents WHERE length(text) >= 1),
+      WITH toks AS (SELECT doc_id, tok
+                    FROM (SELECT doc_id,
+                            unnest(string_split($oNorm, ' ')) AS tok
+                          FROM documents WHERE length(text) >= 1)
+                    WHERE tok <> ''),
       v AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
       tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
       sc AS (SELECT t.doc_id, (tot.n * 1000000) // v.cnt AS surp

@@ -606,6 +606,64 @@ class QueriesSpec extends AnyFunSuite {
     assert(d02 == 0L, "d02 unexpectedly paired the quote with its container")
   }
 
+  test("t09: whitespace-only doc excluded by BOTH engine and oracle spelling") {
+    // round-12 advice pin: a doc whose normalized text is empty (e.g.
+    // whitespace-only with length >= 1) has zero tokens. The engine's
+    // space_token_histogram yields an empty map so the doc vanishes; the
+    // oracle now filters tok <> '' so DuckDB's string_split('') artifact
+    // (one empty-string token) never re-admits it. This pins the engine
+    // half on a planted corpus; verify_local covers the oracle half.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-t09ws").toString
+    Seq((1L, "alpha beta alpha", "en", "web", 16L),
+        (2L, " \t  ", "en", "web", 5L), // length >= 1, zero tokens
+        (3L, "beta gamma", "en", "web", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("t09_token_surprisal")(spark, tmp)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 3L),
+      s"whitespace-only doc handling drifted: got doc_ids $out")
+  }
+
+  test("bpe_doc_stats rejects nullable-valued maps at analysis time") {
+    // round-12 advice pin: nullSafeEval reads counts with getLong, which
+    // would silently decode a null slot as 0 — so a map typed with
+    // valueContainsNull=true must fail the type check, not eval.
+    graft.functions.GraftFunctions.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        """SELECT bpe_doc_stats_chars(
+             map('a', CAST(NULL AS BIGINT)), 'a b')""").collect()
+    }
+    assert(e.getMessage.contains("non-nullable map values"),
+      s"unexpected analysis error: ${e.getMessage}")
+  }
+
+  test("bpe_doc_stats memo: beyond-cap distinct words in one task stay exact") {
+    // round-12 advice pin: the per-task word memo is LRU-bounded (byte
+    // mode's token space is unbounded). Push 25% more distinct words than
+    // the cap through ONE task and prove eviction only re-folds — the
+    // fused stats still equal the explode + bpe_apply spelling exactly.
+    graft.functions.GraftFunctions.register(spark)
+    val cap = graft.functions.BpeDocStats.maxMemoWordsForTest
+    val n = cap + cap / 4
+    spark.range(n).coalesce(1)
+      .selectExpr("map(concat('w', CAST(id AS STRING)), id + 1) AS h")
+      .createOrReplaceTempView("memo_h")
+    val fused = spark.sql("""
+      SELECT CAST(sum(st.n_words) AS BIGINT), CAST(sum(st.n_subwords) AS BIGINT),
+             CAST(sum(st.n_len) AS BIGINT)
+      FROM (SELECT bpe_doc_stats_chars(h, 'w 1') AS st FROM memo_h)""").head()
+    val legacy = spark.sql("""
+      SELECT CAST(sum(cnt) AS BIGINT),
+             CAST(sum(cnt * size(bpe_apply_chars(w, 'w 1'))) AS BIGINT),
+             CAST(sum(cnt * length(w)) AS BIGINT)
+      FROM (SELECT explode(h) AS (w, cnt) FROM memo_h)""").head()
+    assert(fused == legacy,
+      s"memo eviction changed results: fused=$fused legacy=$legacy")
+  }
+
   test("t18 detokenize: EVERY document round-trips, at 12 AND 256 merge rounds") {
     import org.apache.spark.sql.functions._
     // the gate hash pins the values; this pins the semantic claim — zero
