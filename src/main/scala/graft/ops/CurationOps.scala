@@ -375,6 +375,136 @@ object CurationOps {
                AS mean_surprisal
       FROM sc GROUP BY doc_id"""))
 
+  /** Feature-hash width of the quality classifier's weight table —
+    * the model-size dial (`-Dgraft.quality.width`): the vocabulary is
+    * unbounded at corpus scale, the model must not be, so tokens hash
+    * into a fixed bucket space (fastText's trick). */
+  private[graft] val qcWidth = sys.props.getOrElse("graft.quality.width", "4096").toInt
+
+  /** t19 — hashed linear quality-classifier scoring, the learned stage
+    * every public-web pretraining pipeline runs after the rule battery
+    * (GPT-3's WebText classifier, LLaMA's wiki-ref classifier, CCNet's
+    * LM filter — fastText-shaped: bounded hashed features, linear
+    * scoring). Weak supervision comes from t08's C4/Gopher rule battery
+    * (`keep`), trained on the doc_id%5≠0 hash split (q54's
+    * deterministic-split pattern) and scored over ALL docs, so the
+    * holdout fifth measures generalization the gate can audit. Per
+    * hashed bucket b the weight is the add-1-smoothed positive rate in
+    * t11's exact-rational fixed-point spelling — `((pos+1)·10⁶) div
+    * (pos+neg+2)`, no log/exp, bit-exact across engines; a bucket never
+    * seen in training scores the neutral prior 500000. A document's
+    * score is its token-count-weighted mean bucket weight, and the
+    * decision boundary is Rocchio's (nearest class centroid in score
+    * space): the train split's token-weighted per-class mean scores
+    * `m_pos`/`m_neg` (fixed-point floor division — both engines floor
+    * identically on the non-negative sums), with `pred_keep` the exact
+    * integer midpoint test `2·Σcnt·w ≥ (m_pos+m_neg)·Σcnt`. A naive
+    * mean ≥ ½ boundary degenerates to all-keep (measured: every doc
+    * scores 0.84–0.89 because common tokens carry the majority-class
+    * rate); the centroid midpoint is what separates (holdout balanced
+    * accuracy 0.73 at sf0.01 vs 0.50 for all-keep — spec-pinned floor).
+    * Precondition: the train split contains both classes (else a
+    * centroid is a 0/0 division — null pred on a degenerate corpus).
+    *
+    * Scale shape: ONE corpus scan computes the per-doc token histogram
+    * AND the label (both native expressions — no corpus-scale
+    * label join); training is one ≤`qcWidth`-row metadata-width shuffle
+    * (map-side partial agg collapses to the bucket space — q59's
+    * sketch-IS-a-groupBy economics); the ≤`qcWidth`-row weight table
+    * broadcasts back onto the distinct-word stream; scoring regroups
+    * metadata-width (doc_id, cnt, w) rows on doc_id; the class-centroid
+    * boundary is a 2-value aggregate of the per-doc frame cross-joined
+    * back (scalar broadcast). The weight table plus the two centroids
+    * are the model artifact a deployment exports. */
+  val t19 = QueryDef(
+    "t19_quality_classifier",
+    (s, d) => {
+      staged("t19_base", d) {
+        withViews(s, d, "documents")("""
+          SELECT doc_id, h,
+                 (cf.n_tokens BETWEEN 5 AND 1000)
+                 AND (3 * cf.n_tokens <= cf.total_chars
+                      AND cf.total_chars <= 10 * cf.n_tokens)
+                 AND cf.n_stop >= 2
+                 AND cf.n_sym * 10 < cf.n_chars
+                 AND cf.n_digit * 5 < cf.n_chars
+                 AND (cf.n_bigrams - cf.n_uniq_bigrams) * 5 <= cf.n_bigrams
+                   AS label_keep
+          FROM (SELECT doc_id, ascii_word_histogram(lower(text)) AS h,
+                       corpus_features(text) AS cf
+                FROM documents)""")
+      }.createOrReplaceTempView("t19_base")
+      s.sql(s"""
+        WITH dw AS (SELECT doc_id, label_keep,
+                      CAST(char_fold(w, 7) % $qcWidth AS BIGINT) AS b, cnt
+                    FROM (SELECT doc_id, label_keep, explode(h) AS (w, cnt)
+                          FROM t19_base)),
+        tr AS (SELECT b,
+                 CAST(sum(CASE WHEN label_keep THEN cnt ELSE 0 END) AS BIGINT) AS pos,
+                 CAST(sum(CASE WHEN label_keep THEN 0 ELSE cnt END) AS BIGINT) AS neg
+               FROM dw WHERE doc_id % 5 != 0 GROUP BY b),
+        wt AS (SELECT b,
+                 CAST((pos + 1) * 1000000 div (pos + neg + 2) AS BIGINT) AS w
+               FROM tr),
+        sc AS (SELECT /*+ BROADCAST(wt) */ dw.doc_id, dw.label_keep, dw.cnt,
+                 coalesce(wt.w, CAST(500000 AS BIGINT)) AS w
+               FROM dw LEFT JOIN wt ON dw.b = wt.b),
+        doc AS (SELECT doc_id, label_keep,
+                  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                  CAST(sum(cnt * w) AS BIGINT) AS score_sum
+                FROM sc GROUP BY doc_id, label_keep),
+        ctr AS (SELECT
+                  CAST(sum(CASE WHEN label_keep THEN score_sum ELSE 0 END)
+                       div sum(CASE WHEN label_keep THEN n_tokens ELSE 0 END)
+                       AS BIGINT) AS m_pos,
+                  CAST(sum(CASE WHEN label_keep THEN 0 ELSE score_sum END)
+                       div sum(CASE WHEN label_keep THEN 0 ELSE n_tokens END)
+                       AS BIGINT) AS m_neg
+                FROM doc WHERE doc_id % 5 != 0)
+        SELECT doc_id, label_keep, n_tokens, score_sum,
+               CAST(score_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                 AS mean_score,
+               2 * score_sum >= (m_pos + m_neg) * n_tokens AS pred_keep,
+               doc_id % 5 = 0 AS holdout
+        FROM doc CROSS JOIN ctr""")
+    },
+    Some {
+      def oFold(e: String, seed: Int) = s"(${Q.oCharFold(e, seed)})"
+      s"""
+      WITH lab AS (SELECT doc_id, keep FROM (${TextOps.t08.oracle.get.trim}) tq),
+      toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+               FROM documents),
+      dw AS (SELECT t.doc_id, l.keep AS label_keep,
+               ${oFold("t.w", 7)} % $qcWidth AS b
+             FROM toks t JOIN lab l ON t.doc_id = l.doc_id),
+      tr AS (SELECT b,
+               CAST(sum(CASE WHEN label_keep THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+               CAST(sum(CASE WHEN label_keep THEN 0 ELSE 1 END) AS BIGINT) AS neg
+             FROM dw WHERE doc_id % 5 <> 0 GROUP BY b),
+      wt AS (SELECT b, (pos + 1) * 1000000 // (pos + neg + 2) AS w FROM tr),
+      sc AS (SELECT dw.doc_id, dw.label_keep,
+               coalesce(wt.w, 500000) AS w
+             FROM dw LEFT JOIN wt ON dw.b = wt.b),
+      doc AS (SELECT doc_id, label_keep,
+                CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(w) AS BIGINT) AS score_sum
+              FROM sc GROUP BY doc_id, label_keep),
+      ctr AS (SELECT
+                CAST(sum(CASE WHEN label_keep THEN score_sum ELSE 0 END)
+                     // sum(CASE WHEN label_keep THEN n_tokens ELSE 0 END)
+                     AS BIGINT) AS m_pos,
+                CAST(sum(CASE WHEN label_keep THEN 0 ELSE score_sum END)
+                     // sum(CASE WHEN label_keep THEN 0 ELSE n_tokens END)
+                     AS BIGINT) AS m_neg
+              FROM doc WHERE doc_id % 5 <> 0)
+      SELECT doc_id, label_keep, n_tokens, score_sum,
+             CAST(score_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_score,
+             2 * score_sum >= (m_pos + m_neg) * n_tokens AS pred_keep,
+             doc_id % 5 = 0 AS holdout
+      FROM doc CROSS JOIN ctr"""
+    },
+    headline = true)
+
   /** Canonical-document selection — the retention policy that rides on
     * dedup clustering: within every near-dup cluster (d06's connected
     * components) keep the HIGHEST-QUALITY member (longest document,
@@ -910,5 +1040,5 @@ object CurationOps {
     headline = true)
 
   val all: Seq[QueryDef] =
-    Seq(d10, d11, d19, d12, q51, t09, d13, q52, d15, q54, d14, q57, t11, d18)
+    Seq(d10, d11, d19, d12, q51, t09, t19, d13, q52, d15, q54, d14, q57, t11, d18)
 }

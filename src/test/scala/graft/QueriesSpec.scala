@@ -664,6 +664,32 @@ class QueriesSpec extends AnyFunSuite {
       s"memo eviction changed results: fused=$fused legacy=$legacy")
   }
 
+  test("t19 quality classifier: learned boundary separates on the holdout") {
+    import org.apache.spark.sql.functions._
+    // the gate hash pins the values; this pins the CLAIM — the Rocchio
+    // centroid boundary actually classifies. The degenerate all-keep
+    // boundary (the naive mean >= 1/2 spelling, measured and rejected)
+    // scores junk recall 0.0 and balanced accuracy 0.5; measured here:
+    // keep 0.82 / junk 0.57 / balanced 0.69 at sf0.001.
+    val df = SparkEntry.queries("t19_quality_classifier")(spark, dir).cache()
+    try {
+      val h = df.filter(col("holdout")).cache()
+      val keepRec = h.filter(col("label_keep")).agg(
+        avg(col("pred_keep").cast("double"))).head().getDouble(0)
+      val junkRec = h.filter(!col("label_keep")).agg(
+        avg((!col("pred_keep")).cast("double"))).head().getDouble(0)
+      assert(keepRec >= 0.7, s"holdout keep recall collapsed: $keepRec")
+      assert(junkRec >= 0.5, s"holdout junk recall at/below coin-flip: $junkRec")
+      assert((keepRec + junkRec) / 2 >= 0.65,
+        s"balanced accuracy floor broken: keep=$keepRec junk=$junkRec")
+      // scores are valid fixed-point probabilities scaled by 1e6
+      assert(df.filter(col("mean_score") <= 0 ||
+        col("mean_score") >= 1000000).count() == 0, "score left (0, 1e6)")
+      // every document of the corpus is scored (500 docs, none dropped)
+      assert(df.count() == graft.ops.Q.table(spark, dir, "documents").count())
+    } finally { df.unpersist(); }
+  }
+
   test("t18 detokenize: EVERY document round-trips, at 12 AND 256 merge rounds") {
     import org.apache.spark.sql.functions._
     // the gate hash pins the values; this pins the semantic claim — zero
