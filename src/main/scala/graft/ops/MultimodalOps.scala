@@ -1112,5 +1112,148 @@ object MultimodalOps {
              ham_image <= $m06MaxHam AND audio_match AS consensus
       FROM j"""))
 
-  val all: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10)
+  final case class ShotMeta(doc_id: Long, shot_idx: Long, start_frame: Long,
+      n_frames: Long, energy_sum: Long, key_frame_idx: Long,
+      key_frame_md5: String)
+
+  /** Shot-boundary sensitivity dial: a cut fires when the per-byte frame
+    * feature jumps by more than 1/`shotSensitivity` of the larger side
+    * (`-Dgraft.shot.sensitivity`, default 16 → a 6.25% relative jump).
+    * Measured on the gate corpus: 16 yields 64 cuts over 2640 frames at
+    * sf0.001 (healthy segmentation); 4 (25%) fires zero cuts, 32 (~3%)
+    * fires on 18% of frames (chatter). */
+  private[graft] val shotSensitivity =
+    sys.props.getOrElse("graft.shot.sensitivity", "16").toLong
+
+  /** Shot-boundary detection + keyframe selection — the video
+    * preprocessing stage a multimodal training pipeline runs before
+    * captioning/sampling (PySceneDetect's content-detector shape: a cut
+    * where the inter-frame feature delta exceeds a threshold, then one
+    * representative keyframe per shot). Frames are consecutive
+    * `frameBytes`-byte slices of the DECODED plane (m02's video-frame
+    * grid, stride = frame size — segmentation needs every consecutive
+    * delta, not m02's every-Nth sample); the per-frame feature is the
+    * codec's scalar (stub: exact unsigned-byte sum — the luma-mean
+    * stand-in), length-normalized to per-full-frame scale so the short
+    * tail frame can't fake a cut (`feat·frameBytes div len`). The cut
+    * rule is RELATIVE — `sens·|Δ| > max(prev, cur)` — so it is invariant
+    * to global intensity scaling (a brighter encode of the same video
+    * cuts identically), the same reason m08/m10 use delta SIGNS. Per
+    * shot: frame span, energy sum, and the argmax-feature keyframe
+    * (first-frame tie-break) with its content digest — the frame a
+    * captioner/sampler would take.
+    *
+    * Scale shape: ONE row-wise flatMap behind the per-partition codec
+    * session — zero shuffles, zero joins; per-doc state is one frame's
+    * features at a time plus the current shot accumulator (bounded by
+    * document length, never corpus-scale). d14's ideal-map-pass
+    * economics. */
+  def detectShots(spark: SparkSession, media: DataFrame,
+      frameBytes: Int = 64, sensitivity: Long = shotSensitivity,
+      codec: MediaCodec = MediaCodec.Stub): DataFrame = {
+    import spark.implicits._
+    media.as[MediaIn].mapPartitions { it =>
+      val sess = codec.open()
+      // frame size aligned to the codec's sample granularity (a 16-bit
+      // PCM plane must not slice mid-sample — m10's geometry rule)
+      val fb = math.max(frameBytes / sess.frameBytes, 1) * sess.frameBytes
+      it.flatMap { m =>
+        val len = sess.planeLength(m.payload)
+        val n = (len + fb - 1) / fb
+        if (n == 0) Iterator.empty
+        else {
+          val feats = new Array[Long](n)
+          val scaled = new Array[Long](n)
+          val md5s = new Array[String](n)
+          var i = 0
+          while (i < n) {
+            val (bytes, hex) = sess.slice(m.payload, i * fb, fb)
+            feats(i) = sess.feature(bytes)
+            md5s(i) = hex
+            scaled(i) = feats(i) * fb / math.max(bytes.length, 1)
+            i += 1
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[ShotMeta]
+          var shotStart = 0
+          var shot = 0L
+          def emit(endExcl: Int): Unit = {
+            var e = 0L
+            var kf = shotStart
+            var j = shotStart
+            while (j < endExcl) {
+              e += feats(j)
+              if (feats(j) > feats(kf)) kf = j
+              j += 1
+            }
+            out += ShotMeta(m.doc_id, shot, shotStart.toLong,
+              (endExcl - shotStart).toLong, e, kf.toLong, md5s(kf))
+            shot += 1
+          }
+          i = 1
+          while (i < n) {
+            val a = scaled(i - 1)
+            val b = scaled(i)
+            if (sensitivity * math.abs(b - a) > math.max(a, b)) {
+              emit(i); shotStart = i
+            }
+            i += 1
+          }
+          emit(n)
+          out.iterator
+        }
+      }
+    }.toDF()
+  }
+
+  /** Oracle: ASCII payloads — the stub's plane is the text itself, so
+    * frame features and digests replicate in SQL (m03's spelling), and
+    * the shot segmentation is a lag + running-sum-of-cuts window. */
+  val m11 = QueryDef(
+    "m11_shot_detection",
+    (s, d) => {
+      import s.implicits._
+      val media = table(s, d, "documents")
+        .select($"doc_id", $"text".cast("binary").as("payload"), $"source")
+      detectShots(s, media)
+    },
+    Some(s"""
+      WITH b AS (SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS len
+                 FROM documents WHERE strlen(text) > 0),
+      f AS (SELECT doc_id, text, len,
+              unnest(range(0, (len + 63) // 64)) AS fi FROM b),
+      sub AS (SELECT doc_id, fi,
+                substring(text, CAST(fi * 64 + 1 AS INT), 64) AS fr FROM f),
+      e AS (SELECT doc_id, fi, CAST(length(fr) AS BIGINT) AS flen,
+              CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(1, length(fr) + 1),
+                  i -> CAST(ascii(substring(fr, i, 1)) AS BIGINT))),
+                (a, c) -> a + c) AS BIGINT) AS feat,
+              md5(fr) AS fmd5
+            FROM sub),
+      g AS (SELECT doc_id, fi, feat, fmd5, (feat * 64) // flen AS sc FROM e),
+      c AS (SELECT doc_id, fi, feat, fmd5, sc,
+              CASE WHEN lag(sc) OVER w IS NULL THEN 0
+                   WHEN $shotSensitivity * abs(sc - lag(sc) OVER w)
+                        > greatest(sc, lag(sc) OVER w) THEN 1
+                   ELSE 0 END AS cut
+            FROM g WINDOW w AS (PARTITION BY doc_id ORDER BY fi)),
+      st AS (SELECT doc_id, fi, feat, fmd5,
+               sum(cut) OVER (PARTITION BY doc_id ORDER BY fi) AS shot_idx
+             FROM c),
+      k AS (SELECT doc_id, fi, feat, fmd5, shot_idx,
+              row_number() OVER (PARTITION BY doc_id, shot_idx
+                ORDER BY feat DESC, fi) AS rk
+            FROM st)
+      SELECT doc_id,
+             CAST(shot_idx AS BIGINT) AS shot_idx,
+             CAST(min(fi) AS BIGINT) AS start_frame,
+             CAST(count(*) AS BIGINT) AS n_frames,
+             CAST(sum(feat) AS BIGINT) AS energy_sum,
+             CAST(max(CASE WHEN rk = 1 THEN fi END) AS BIGINT) AS key_frame_idx,
+             max(CASE WHEN rk = 1 THEN fmd5 END) AS key_frame_md5
+      FROM k GROUP BY doc_id, shot_idx"""),
+    headline = true)
+
+  val all: Seq[QueryDef] =
+    Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11)
 }

@@ -616,4 +616,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(kBase.toSeq == kHalf.toSeq, "uniform 0.5x gain moved granules")
     assert(kBase.toSeq == kAiff.toSeq, "re-containered PCM changed granules")
   }
+
+  test("m11: planted hard cut detected at the exact frame; shots partition; keyframe is argmax") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 10 frames of 'a' (per-byte 97) then 10 of 'z' (122): a 20.5%
+    // relative jump — above the 6.25% sensitivity — exactly at frame 10.
+    // A uniform payload must stay ONE shot.
+    val cutDoc = "a" * 640 + "z" * 640
+    val flatDoc = "m" * 640
+    val df = graft.ops.MultimodalOps.detectShots(spark,
+      Seq((1L, cutDoc.getBytes("US-ASCII"), "web"),
+          (2L, flatDoc.getBytes("US-ASCII"), "web"))
+        .toDF("doc_id", "payload", "source")).cache()
+    try {
+      val shots1 = df.filter($"doc_id" === 1).orderBy("shot_idx")
+        .select("shot_idx", "start_frame", "n_frames", "key_frame_idx")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // cut at frame 10; keyframe of the 'a' shot is frame 0 (all equal,
+      // first-frame tie-break), of the 'z' shot frame 10
+      assert(shots1.toSeq == Seq((0L, 0L, 10L, 0L), (1L, 10L, 10L, 10L)),
+        s"planted cut missed or misplaced: ${shots1.toSeq}")
+      assert(df.filter($"doc_id" === 2).count() == 1, "uniform payload split")
+    } finally df.unpersist()
+    // corpus-level invariants: per doc, shots tile the frame grid —
+    // contiguous start frames, frame counts sum to ceil(len/64), and
+    // every keyframe lies inside its shot's span
+    val shots = graft.ops.MultimodalOps.detectShots(spark, media).cache()
+    try {
+      val bad = shots.groupBy("doc_id")
+        .agg(sum("n_frames").as("nf"), max(expr("start_frame + n_frames")).as("end"),
+          min("start_frame").as("st"),
+          sum(expr("CASE WHEN key_frame_idx >= start_frame AND " +
+            "key_frame_idx < start_frame + n_frames THEN 0 ELSE 1 END")).as("kout"))
+        .filter($"nf" =!= $"end" || $"st" =!= 0 || $"kout" =!= 0)
+        .count()
+      assert(bad == 0, s"$bad docs have non-tiling shots or out-of-span keyframes")
+      assert(shots.count() > graft.ops.Q.table(spark, dir, "documents").count(),
+        "no document segmented into more than one shot (threshold dead)")
+    } finally shots.unpersist()
+  }
 }
