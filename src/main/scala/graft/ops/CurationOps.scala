@@ -539,6 +539,156 @@ object CurationOps {
              CAST(count(*) AS BIGINT) AS n_members
       FROM r GROUP BY cluster_id"""))
 
+  /** d22 — deletion propagation through the dedup artifacts (the
+    * right-to-be-forgotten / publisher-opt-out path every production
+    * corpus must run without a full rebuild): a deterministic tombstone
+    * batch (doc_id % 13 = 4 stands in for the day's deletion requests —
+    * swap the CTE for a real request feed and nothing else moves, q57's
+    * contract) removes documents, and the derived canonical-selection
+    * artifact (d13) is REPAIRED delta-bound: only clusters that lost a
+    * member re-elect their canonical among survivors; untouched clusters
+    * keep their stored base row byte-for-byte; clusters whose every
+    * member is deleted vanish. Cluster MEMBERSHIP is the stored d06
+    * artifact by scope — a deletion that removes a bridge doc can only
+    * split a cluster at the next scheduled re-cluster (d06 rerun), the
+    * standard production split (immediate tombstone + canonical repair
+    * now, re-cluster on cadence).
+    *
+    * The gate output carries the q67/s12 proof obligation: `matches_full`
+    * is COMPUTED per cluster against a from-scratch re-election over the
+    * surviving members via FULL OUTER join — so the hash proves both
+    * value equality and cluster-SET equality (a cluster present on only
+    * one side surfaces as a matches_full=false row, never silently
+    * drops). The proof leg exists only in the gate; a deployment runs
+    * just the maintained path.
+    *
+    * Scale shape: tombstone keys and the affected-cluster id set are
+    * request-batch-sized — they broadcast; the re-election window runs
+    * only over affected clusters' surviving members (bounded per-cluster
+    * groups, d13's economics); the stored base for unaffected clusters
+    * moves through one anti-join and is never re-derived per refresh.
+    * Every repair CTE composes on ONE staged member frame (labels ⋈
+    * chars, cluster-edge-set-sized ≪ corpus) — the corpus scans once;
+    * without the staged leaf Catalyst's CTE inlining expanded the plan
+    * to NINE live corpus scans (PlanAudit, this round). Tombstones are
+    * filtered to LABELED docs on the engine side — a deletion of an
+    * unclustered doc cannot affect any cluster row, so the output is
+    * identical (the oracle keeps the unfiltered spelling; the gate hash
+    * proves the equivalence). At 100 TB the difference between a day's
+    * deletions and the corpus. */
+  val d22 = QueryDef(
+    "d22_delete_propagation",
+    (s, d) => {
+      DedupOps.d06.run(s, d).createOrReplaceTempView("d22_lab")
+      staged("d22_mem", d) {
+        withViews(s, d, "documents")("""
+          SELECT l.cluster_id, l.doc_id, doc.n_chars
+          FROM d22_lab l JOIN documents doc ON l.doc_id = doc.doc_id""")
+      }.createOrReplaceTempView("d22_mem")
+      s.sql("""
+        WITH tomb AS (SELECT doc_id FROM d22_mem WHERE doc_id % 13 = 4),
+        base AS (SELECT cluster_id,
+                   max(CASE WHEN rk = 1 THEN doc_id END) AS canonical_doc,
+                   max(CASE WHEN rk = 1 THEN n_chars END) AS canonical_chars,
+                   CAST(count(*) AS BIGINT) AS n_members
+                 FROM (SELECT m.cluster_id, m.doc_id, m.n_chars,
+                         row_number() OVER (PARTITION BY m.cluster_id
+                           ORDER BY m.n_chars DESC, m.doc_id) AS rk
+                       FROM d22_mem m)
+                 GROUP BY cluster_id),
+        aff AS (SELECT DISTINCT cluster_id FROM d22_mem
+                WHERE doc_id IN (SELECT doc_id FROM tomb)),
+        surv AS (SELECT m.cluster_id, m.doc_id, m.n_chars FROM d22_mem m
+                 WHERE m.doc_id NOT IN (SELECT doc_id FROM tomb)),
+        re AS (SELECT cluster_id,
+                 max(CASE WHEN rk = 1 THEN doc_id END) AS canonical_doc,
+                 max(CASE WHEN rk = 1 THEN n_chars END) AS canonical_chars,
+                 CAST(count(*) AS BIGINT) AS n_members
+               FROM (SELECT s.cluster_id, s.doc_id, s.n_chars,
+                       row_number() OVER (PARTITION BY s.cluster_id
+                         ORDER BY s.n_chars DESC, s.doc_id) AS rk
+                     FROM surv s
+                     WHERE s.cluster_id IN (SELECT cluster_id FROM aff))
+               GROUP BY cluster_id),
+        maint AS (SELECT b.cluster_id, b.canonical_doc, b.canonical_chars,
+                    b.n_members, false AS was_affected
+                  FROM base b
+                  WHERE b.cluster_id NOT IN (SELECT cluster_id FROM aff)
+                  UNION ALL
+                  SELECT r.cluster_id, r.canonical_doc, r.canonical_chars,
+                    r.n_members, true AS was_affected
+                  FROM re r),
+        fullr AS (SELECT cluster_id,
+                    max(CASE WHEN rk = 1 THEN doc_id END) AS canonical_doc,
+                    max(CASE WHEN rk = 1 THEN n_chars END) AS canonical_chars,
+                    CAST(count(*) AS BIGINT) AS n_members
+                  FROM (SELECT s.cluster_id, s.doc_id, s.n_chars,
+                          row_number() OVER (PARTITION BY s.cluster_id
+                            ORDER BY s.n_chars DESC, s.doc_id) AS rk
+                        FROM surv s)
+                  GROUP BY cluster_id)
+        SELECT coalesce(m.cluster_id, f.cluster_id) AS cluster_id,
+               m.canonical_doc, m.canonical_chars, m.n_members,
+               m.was_affected,
+               m.cluster_id IS NOT NULL AND f.cluster_id IS NOT NULL
+                 AND m.canonical_doc = f.canonical_doc
+                 AND m.canonical_chars = f.canonical_chars
+                 AND m.n_members = f.n_members AS matches_full
+        FROM maint m FULL OUTER JOIN fullr f ON m.cluster_id = f.cluster_id""")
+    },
+    Some(s"""
+      WITH lab AS (${DedupOps.d06.oracle.get.trim}),
+      tomb AS (SELECT doc_id FROM documents WHERE doc_id % 13 = 4),
+      base AS (SELECT cluster_id,
+                 max(CASE WHEN rk = 1 THEN doc_id END) AS canonical_doc,
+                 max(CASE WHEN rk = 1 THEN n_chars END) AS canonical_chars,
+                 CAST(count(*) AS BIGINT) AS n_members
+               FROM (SELECT l.cluster_id, l.doc_id, doc.n_chars,
+                       row_number() OVER (PARTITION BY l.cluster_id
+                         ORDER BY doc.n_chars DESC, l.doc_id) AS rk
+                     FROM lab l JOIN documents doc ON l.doc_id = doc.doc_id)
+               GROUP BY cluster_id),
+      aff AS (SELECT DISTINCT cluster_id FROM lab
+              WHERE doc_id IN (SELECT doc_id FROM tomb)),
+      surv AS (SELECT l.cluster_id, l.doc_id, doc.n_chars
+               FROM lab l JOIN documents doc ON l.doc_id = doc.doc_id
+               WHERE l.doc_id NOT IN (SELECT doc_id FROM tomb)),
+      re AS (SELECT cluster_id,
+               max(CASE WHEN rk = 1 THEN doc_id END) AS canonical_doc,
+               max(CASE WHEN rk = 1 THEN n_chars END) AS canonical_chars,
+               CAST(count(*) AS BIGINT) AS n_members
+             FROM (SELECT s.cluster_id, s.doc_id, s.n_chars,
+                     row_number() OVER (PARTITION BY s.cluster_id
+                       ORDER BY s.n_chars DESC, s.doc_id) AS rk
+                   FROM surv s
+                   WHERE s.cluster_id IN (SELECT cluster_id FROM aff)) t
+             GROUP BY cluster_id),
+      maint AS (SELECT b.cluster_id, b.canonical_doc, b.canonical_chars,
+                  b.n_members, false AS was_affected
+                FROM base b
+                WHERE b.cluster_id NOT IN (SELECT cluster_id FROM aff)
+                UNION ALL
+                SELECT r.cluster_id, r.canonical_doc, r.canonical_chars,
+                  r.n_members, true AS was_affected
+                FROM re r),
+      fullr AS (SELECT cluster_id,
+                  max(CASE WHEN rk = 1 THEN doc_id END) AS canonical_doc,
+                  max(CASE WHEN rk = 1 THEN n_chars END) AS canonical_chars,
+                  CAST(count(*) AS BIGINT) AS n_members
+                FROM (SELECT s.cluster_id, s.doc_id, s.n_chars,
+                        row_number() OVER (PARTITION BY s.cluster_id
+                          ORDER BY s.n_chars DESC, s.doc_id) AS rk
+                      FROM surv s) t
+                GROUP BY cluster_id)
+      SELECT coalesce(m.cluster_id, f.cluster_id) AS cluster_id,
+             m.canonical_doc, m.canonical_chars, m.n_members,
+             m.was_affected,
+             m.cluster_id IS NOT NULL AND f.cluster_id IS NOT NULL
+               AND m.canonical_doc = f.canonical_doc
+               AND m.canonical_chars = f.canonical_chars
+               AND m.n_members = f.n_members AS matches_full
+      FROM maint m FULL OUTER JOIN fullr f ON m.cluster_id = f.cluster_id"""))
+
   /** Data-mixture sampling: hit a per-language token BUDGET (the Pile /
     * DoReMi-style static mixture weights) with a deterministic hash
     * sample. A document survives iff `bucket · lang_tokens < 1000 ·
@@ -1040,5 +1190,5 @@ object CurationOps {
     headline = true)
 
   val all: Seq[QueryDef] =
-    Seq(d10, d11, d19, d12, q51, t09, t19, d13, q52, d15, q54, d14, q57, t11, d18)
+    Seq(d10, d11, d19, d12, q51, t09, t19, d13, d22, q52, d15, q54, d14, q57, t11, d18)
 }

@@ -583,7 +583,7 @@ class QueriesSpec extends AnyFunSuite {
     val docA = quote
     val docB = s"$pre $quote $post"
     val docC = (1 to 40).map(i => s"other$i").mkString(" ") // unrelated
-    val tmp = graft.ops.StreamingGate.tempDir("graft-d21").toString
+    val tmp = graft.ops.StreamingGate.tempDir("graft-d22").toString
     // doc 9 duplicates the container EXACTLY (case/whitespace jitter —
     // d01's normalized class key): it must COLLAPSE into B's class, not
     // create a second pair row
@@ -688,6 +688,72 @@ class QueriesSpec extends AnyFunSuite {
       // every document of the corpus is scored (500 docs, none dropped)
       assert(df.count() == graft.ops.Q.table(spark, dir, "documents").count())
     } finally { df.unpersist(); }
+  }
+
+  test("d22 delete propagation: vanish / re-elect / untouched, proof holds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // planted corpus: doc_id % 13 == 4 is the tombstone rule, so
+    //   docs 4 + 30  (both %13==4): identical text -> cluster FULLY
+    //     deleted -> must vanish from the output entirely;
+    //   docs 17 (%13==4) + 18: identical text, 17 longer claim? equal ->
+    //     cluster loses doc 17 -> survivor 18 re-elected canonical;
+    //   docs 1 + 2: identical text, neither deleted -> untouched, row
+    //     byte-equal to the base;
+    //   docs 50/51/52: distinct texts -> never clustered, never output.
+    val dupA = ("alpha bravo charlie delta echo foxtrot golf hotel " * 6).trim
+    val dupB = ("india juliett kilo lima mike november oscar papa " * 6).trim
+    val dupC = ("quebec romeo sierra tango uniform victor whiskey xray " * 6).trim
+    val tmp = java.nio.file.Files.createTempDirectory("graft-d22").toString
+    Seq(
+      (4L, dupA, "en", "web", dupA.length.toLong),
+      (30L, dupA, "en", "web", dupA.length.toLong),
+      (17L, dupB, "en", "web", dupB.length.toLong),
+      (18L, dupB, "en", "web", dupB.length.toLong),
+      (1L, dupC, "en", "web", dupC.length.toLong),
+      (2L, dupC, "en", "web", dupC.length.toLong),
+      (50L, "the quick brown fox jumps over the lazy dog again and again", "en", "web", 60L),
+      (51L, "pack my box with five dozen liquor jugs every single day now", "en", "web", 61L),
+      (52L, "sphinx of black quartz judge my vow said the old librarian", "en", "web", 58L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("d22_delete_propagation")(spark, tmp).cache()
+    try {
+      val rows = out.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(3), r.getBoolean(4), r.getBoolean(5))).toSet
+      // (cluster_id, canonical_doc, n_members, was_affected, matches_full)
+      assert(rows == Set(
+        (1L, 1L, 2L, false, true),   // untouched pair keeps base row
+        (17L, 18L, 1L, true, true)), // survivor re-elected after deletion
+        s"unexpected d22 output: $rows")
+      // the fully-deleted cluster (4, 30) is GONE, not a null row
+      assert(!out.select("cluster_id").collect().map(_.getLong(0)).contains(4L))
+    } finally out.unpersist()
+  }
+
+  test("d22 on the gate corpus: proof green, base rows preserved byte-for-byte") {
+    import org.apache.spark.sql.functions._
+    val d22 = SparkEntry.queries("d22_delete_propagation")(spark, dir).cache()
+    val base = SparkEntry.queries("d13_canonical_selection")(spark, dir).cache()
+    try {
+      assert(d22.filter(!col("matches_full")).count() == 0,
+        "maintained path diverged from the full recompute")
+      assert(d22.filter(col("was_affected")).count() >= 1,
+        "tombstone batch touched no cluster — the repair path is untested")
+      // unaffected rows must equal the stored base exactly (anti-join both ways)
+      val un = d22.filter(!col("was_affected"))
+        .select("cluster_id", "canonical_doc", "canonical_chars", "n_members")
+      assert(un.exceptAll(base.select("cluster_id", "canonical_doc",
+        "canonical_chars", "n_members")).count() == 0,
+        "an unaffected cluster's row drifted from the stored base")
+      // member conservation: maintained members = base members - deleted members
+      val deleted = graft.ops.DedupOps.d06.run(spark, dir)
+        .filter(col("doc_id") % 13 === 4).count()
+      val bSum = base.agg(sum("n_members")).head().getLong(0)
+      val mSum = d22.agg(sum("n_members")).head().getLong(0)
+      assert(mSum == bSum - deleted,
+        s"member counts leak: base=$bSum deleted=$deleted maintained=$mSum")
+    } finally { d22.unpersist(); base.unpersist() }
   }
 
   test("t18 detokenize: EVERY document round-trips, at 12 AND 256 merge rounds") {
