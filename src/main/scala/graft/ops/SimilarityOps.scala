@@ -1200,6 +1200,99 @@ object SimilarityOps {
               LEFT JOIN md ON mf.cid = md.cid"""),
     headline = true)
 
+  /** s13 — diversity coreset selection over the embedding space (the
+    * data-pruning stage of a scale-aware pipeline: Sorscher et al. 2022,
+    * "Beyond neural scaling laws" — at large N, prune the most
+    * PROTOTYPICAL examples and keep the diverse frontier; SemDeDup's
+    * cluster-bounded economics). Every vector assigns to its nearest
+    * seed centroid (s05's frozen ≤64-centroid quantizer — assignment is
+    * the native row-wise `nearest_centroid` arg-max, zero shuffle); per
+    * cell the coreset keeps (a) the single most-prototypical vector
+    * (highest cosine to the centroid — the cell's PROTOTYPE, so every
+    * populated cell stays represented) and (b) the `1/4`-fraction
+    * diversity FRONTIER — the cell's least-prototypical quarter
+    * (`max(1, n div 4)`, cos ASC, vec_id tie-break). Cosines are
+    * reported floored to 10⁻⁶ fixed-point (s05's exact spelling);
+    * ranking orders the raw doubles, which are bit-identical across
+    * engines by the decimal-routed construction.
+    *
+    * Scale shape: assignment is one broadcast pass over the scan —
+    * vectors never leave their partitions; the windows see only
+    * metadata-width (vec_id, cid, cos) rows through ONE cluster-keyed
+    * exchange (both rankings partition on cid); output is the selected
+    * ~31%. No pairwise anything — the cell structure bounds all work
+    * (d16's argument). The selection is a pure function of the frozen
+    * quantizer, so refreshing under ingest rides s12's maintained
+    * assignment path unchanged. */
+  val s13 = QueryDef(
+    "s13_coreset_select",
+    (s, d) => {
+      normalized(s, d).createOrReplaceTempView("s13_n")
+      s.sql("""
+        WITH cs AS (SELECT collect_list(named_struct('cid', cid, 'cv', cv,
+                        'cn', cn)) AS cents
+                    FROM (SELECT vec_id AS cid, v AS cv, nrm AS cn
+                          FROM s13_n
+                          WHERE vec_id % 125 = 0 AND vec_id < 8000)),
+        a AS (SELECT /*+ BROADCAST(cs) */ t.vec_id,
+                nearest_centroid(t.v, t.nrm, cents) AS nc
+              FROM s13_n t CROSS JOIN cs),
+        r AS (SELECT vec_id, cid AS cluster_id, cos,
+                row_number() OVER (PARTITION BY cid
+                  ORDER BY cos ASC, vec_id) AS rk_div,
+                row_number() OVER (PARTITION BY cid
+                  ORDER BY cos DESC, vec_id) AS rk_proto,
+                count(*) OVER (PARTITION BY cid) AS n_cell
+              FROM (SELECT vec_id, nc.cid AS cid, nc.cos AS cos FROM a))
+        SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+               vec_id,
+               CAST(floor(cos * CAST(1000000 AS DOUBLE)) AS BIGINT)
+                 AS cos_scaled,
+               CAST(n_cell AS BIGINT) AS n_members,
+               CASE WHEN rk_proto = 1 THEN 'prototype'
+                    ELSE 'frontier' END AS role,
+               CAST(rk_div AS BIGINT) AS div_rank
+        FROM r
+        WHERE rk_proto = 1 OR rk_div <= greatest(1, n_cell div 4)""")
+    },
+    Some(s"""
+      WITH e0 AS (SELECT vec_id,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                  FROM embeddings),
+      n AS (SELECT vec_id, v,
+              sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+            FROM e0),
+      c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
+            WHERE vec_id % 125 = 0 AND vec_id < 8000),
+      sc AS (SELECT t.vec_id, c.cid,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(list_zip(c.cv, t.v), s -> s[1] * s[2])),
+                 (acc, z) -> acc + z) / (c.cn * t.nrm) AS cos
+             FROM n t CROSS JOIN c),
+      asg AS (SELECT vec_id, cid, cos
+              FROM (SELECT vec_id, cid, cos,
+                      row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cos DESC, cid) AS rk
+                    FROM sc) WHERE rk = 1),
+      r AS (SELECT vec_id, cid AS cluster_id, cos,
+              row_number() OVER (PARTITION BY cid
+                ORDER BY cos ASC, vec_id) AS rk_div,
+              row_number() OVER (PARTITION BY cid
+                ORDER BY cos DESC, vec_id) AS rk_proto,
+              count(*) OVER (PARTITION BY cid) AS n_cell
+            FROM asg)
+      SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+             vec_id,
+             CAST(floor(cos * CAST(1000000 AS DOUBLE)) AS BIGINT)
+               AS cos_scaled,
+             CAST(n_cell AS BIGINT) AS n_members,
+             CASE WHEN rk_proto = 1 THEN 'prototype'
+                  ELSE 'frontier' END AS role,
+             CAST(rk_div AS BIGINT) AS div_rank
+      FROM r
+      WHERE rk_proto = 1 OR rk_div <= greatest(1, n_cell // 4)"""))
+
   val all: Seq[QueryDef] =
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s12)
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s12, s13)
 }

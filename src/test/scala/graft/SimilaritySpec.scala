@@ -159,4 +159,42 @@ class SimilaritySpec extends AnyFunSuite {
         .count() == 0)
     } finally df.unpersist()
   }
+
+  test("s13 coreset: every cell keeps its prototype; the frontier is genuinely diverse") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("s13_coreset_select")(spark, dir).cache()
+    try {
+      // exactly one prototype per populated cell, and it is the cell's
+      // cosine argmax (no frontier row in its cell scores higher)
+      val perCell = df.groupBy("cluster_id").agg(
+        sum(when(col("role") === "prototype", 1).otherwise(0)).as("np"),
+        max(when(col("role") === "prototype", col("cos_scaled"))).as("pc"),
+        max(when(col("role") =!= "prototype", col("cos_scaled"))).as("fc"),
+        count(lit(1)).as("sel"), first("n_members").as("n"))
+      assert(perCell.filter(col("np") =!= 1).count() == 0,
+        "a cell lost (or duplicated) its prototype")
+      assert(perCell.filter(col("fc").isNotNull && col("fc") > col("pc"))
+        .count() == 0, "a frontier row out-scores its cell's prototype")
+      // selection quota: prototype + max(1, n/4) frontier, bounded by n
+      assert(perCell.filter(col("sel") >
+        greatest(lit(1), col("n") / 4).cast("long") + 1).count() == 0,
+        "a cell selected beyond its quota")
+      // the diversity CLAIM: selected frontier rows sit farther from the
+      // centroid than the cell average (their mean cosine is lower than
+      // the overall assigned mean — pruning keeps the hard examples)
+      val frontierMean = df.filter(col("role") === "frontier")
+        .agg(avg("cos_scaled")).head().getDouble(0)
+      val protoMean = df.filter(col("role") === "prototype")
+        .agg(avg("cos_scaled")).head().getDouble(0)
+      assert(frontierMean < protoMean,
+        s"frontier ($frontierMean) is not more diverse than prototypes ($protoMean)")
+      // non-trivial cell structure and a real pruning ratio: the coreset
+      // is a strict subset, roughly prototype + quarter per cell
+      val nVec = graft.ops.Q.table(spark, dir, "embeddings").count()
+      val nSel = df.count()
+      assert(df.select("cluster_id").distinct().count() >= 2)
+      assert(nSel > 0 && nSel < nVec / 2,
+        s"coreset did not prune: $nSel of $nVec selected")
+    } finally df.unpersist()
+  }
 }
