@@ -410,12 +410,15 @@ object CurationOps {
     * AND the label (both native expressions — no corpus-scale
     * label join); training is one ≤`qcWidth`-row metadata-width shuffle
     * (map-side partial agg collapses to the bucket space — q59's
-    * sketch-IS-a-groupBy economics); the ≤`qcWidth`-row weight table
-    * broadcasts back onto the distinct-word stream; scoring regroups
-    * metadata-width (doc_id, cnt, w) rows on doc_id; the class-centroid
-    * boundary is a 2-value aggregate of the per-doc frame cross-joined
-    * back (scalar broadcast). The weight table plus the two centroids
-    * are the model artifact a deployment exports. */
+    * sketch-IS-a-groupBy economics); the trained weight table is
+    * COLLECTED (≤`qcWidth` rows — the model artifact a deployment
+    * exports, t12's merge-table pattern) and scoring is a ZERO-SHUFFLE
+    * row-wise fold of each doc's histogram against the dense
+    * bucket-indexed array literal — no second explode, no join, no
+    * doc_id regroup (the join spelling's corpus-scale scoring exchange
+    * was 40% of the query at 64×: 18.4 → 11.1 s, SCALE.md); the
+    * class-centroid boundary is a 2-value aggregate of the per-doc
+    * frame cross-joined back (scalar broadcast). */
   val t19 = QueryDef(
     "t19_quality_classifier",
     (s, d) => {
@@ -434,25 +437,41 @@ object CurationOps {
                        corpus_features(text) AS cf
                 FROM documents)""")
       }.createOrReplaceTempView("t19_base")
+      // Train: one explode over the cached base, one <=qcWidth-row
+      // bucket shuffle; the weight table is COLLECTED as the model
+      // artifact (t12's merge-table / d12's Bloom pattern — it is what a
+      // deployment exports) and rides back into the scoring pass as a
+      // dense array literal indexed by bucket. Scoring is then a
+      // ZERO-SHUFFLE row-wise fold over each doc's histogram — no
+      // second explode, no join, no doc_id regroup (the first spelling's
+      // 11 M-row scoring exchange at 64x was 2/3 of the query; the fold
+      // cut 18.4 s -> measured below in SCALE.md).
+      val weights = Array.fill(qcWidth)(500000L)
       s.sql(s"""
-        WITH dw AS (SELECT doc_id, label_keep,
-                      CAST(char_fold(w, 7) % $qcWidth AS BIGINT) AS b, cnt
-                    FROM (SELECT doc_id, label_keep, explode(h) AS (w, cnt)
-                          FROM t19_base)),
-        tr AS (SELECT b,
-                 CAST(sum(CASE WHEN label_keep THEN cnt ELSE 0 END) AS BIGINT) AS pos,
-                 CAST(sum(CASE WHEN label_keep THEN 0 ELSE cnt END) AS BIGINT) AS neg
-               FROM dw WHERE doc_id % 5 != 0 GROUP BY b),
-        wt AS (SELECT b,
-                 CAST((pos + 1) * 1000000 div (pos + neg + 2) AS BIGINT) AS w
-               FROM tr),
-        sc AS (SELECT /*+ BROADCAST(wt) */ dw.doc_id, dw.label_keep, dw.cnt,
-                 coalesce(wt.w, CAST(500000 AS BIGINT)) AS w
-               FROM dw LEFT JOIN wt ON dw.b = wt.b),
-        doc AS (SELECT doc_id, label_keep,
-                  CAST(sum(cnt) AS BIGINT) AS n_tokens,
-                  CAST(sum(cnt * w) AS BIGINT) AS score_sum
-                FROM sc GROUP BY doc_id, label_keep),
+        SELECT b, CAST((pos + 1) * 1000000 div (pos + neg + 2) AS BIGINT) AS w
+        FROM (SELECT CAST(char_fold(w, 7) % $qcWidth AS BIGINT) AS b,
+                CAST(sum(CASE WHEN label_keep THEN cnt ELSE 0 END) AS BIGINT) AS pos,
+                CAST(sum(CASE WHEN label_keep THEN 0 ELSE cnt END) AS BIGINT) AS neg
+              FROM (SELECT doc_id, label_keep, explode(h) AS (w, cnt)
+                    FROM t19_base)
+              WHERE doc_id % 5 != 0
+              GROUP BY 1)""").collect()
+        .foreach(r => weights(r.getLong(0).toInt) = r.getLong(1))
+      val wLit = weights.mkString("array(", "L,", "L)")
+      s.sql(s"""
+        WITH doc AS (SELECT doc_id, label_keep, st.n AS n_tokens,
+                       st.s AS score_sum
+                     FROM (SELECT doc_id, label_keep,
+                             aggregate(map_entries(h),
+                               named_struct('n', CAST(0 AS BIGINT),
+                                            's', CAST(0 AS BIGINT)),
+                               (acc, e) -> named_struct(
+                                 'n', acc.n + e.value,
+                                 's', acc.s + e.value * element_at($wLit,
+                                   CAST(char_fold(e.key, 7) % $qcWidth AS INT) + 1)))
+                               AS st
+                           FROM t19_base)
+                     WHERE st.n > 0),
         ctr AS (SELECT
                   CAST(sum(CASE WHEN label_keep THEN score_sum ELSE 0 END)
                        div sum(CASE WHEN label_keep THEN n_tokens ELSE 0 END)
