@@ -1293,6 +1293,108 @@ object SimilarityOps {
       FROM r
       WHERE rk_proto = 1 OR rk_div <= greatest(1, n_cell // 4)"""))
 
+  /** s14 — coreset retrieval-quality audit (s04's evaluation pattern
+    * applied to s13's pruning): data pruning is only safe if the kept
+    * corpus still SERVES — so for every benchmark query, compare exact
+    * top-5 retrieval over the FULL corpus against the same search
+    * restricted to s13's coreset. Two evidence columns per query: the
+    * top-1 cosine LOSS (how much worse is the best available neighbor
+    * after pruning — the number a retrieval deployment cares about,
+    * reported in s05's 10⁻⁶ fixed point, ≥ 0 by construction since the
+    * coreset is a subset) and overlap@5 (how many of the full top-5
+    * survived the pruning; low overlap with low cos-loss is the EXPECTED
+    * signature when the pruned neighbors were near-duplicates of kept
+    * ones — the point of prototype pruning). Spec pins the measured
+    * floors; the gate hash pins every value.
+    *
+    * Scale shape: s01's economics twice — the |Q|-row query frame
+    * broadcasts, the corpus (and its coreset subset) streams through one
+    * linear scan each, top-5 via partial-aggregatable rank windows; the
+    * coreset id set joins as a semi-join on vec_id (metadata-width).
+    * Nothing pairwise beyond |Q|·N. */
+  val s14 = QueryDef(
+    "s14_coreset_recall",
+    (s, d) => {
+      s13.run(s, d).createOrReplaceTempView("s14_core")
+      normalized(s, d).createOrReplaceTempView("s14_n")
+      s.sql(s"""
+        WITH q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM s14_n
+                   WHERE $qSet),
+        sc AS (SELECT /*+ BROADCAST(q) */ query_id, t.vec_id AS neighbor_id,
+                 dot_product(qv, t.v) / (qn * t.nrm) AS cos,
+                 t.vec_id IN (SELECT vec_id FROM s14_core) AS in_core
+               FROM q JOIN s14_n t ON t.vec_id <> query_id),
+        rf AS (SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS rn
+               FROM sc),
+        rc AS (SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS rn
+               FROM sc WHERE in_core),
+        f1 AS (SELECT query_id,
+                 CAST(floor(max(CASE WHEN rn = 1 THEN cos END)
+                   * CAST(1000000 AS DOUBLE)) AS BIGINT) AS full_top1
+               FROM rf WHERE rn <= 5 GROUP BY query_id),
+        c1 AS (SELECT query_id,
+                 CAST(floor(max(CASE WHEN rn = 1 THEN cos END)
+                   * CAST(1000000 AS DOUBLE)) AS BIGINT) AS core_top1
+               FROM rc WHERE rn <= 5 GROUP BY query_id),
+        ov AS (SELECT rf.query_id, CAST(count(*) AS BIGINT) AS overlap5
+               FROM rf JOIN rc ON rf.query_id = rc.query_id
+                 AND rf.neighbor_id = rc.neighbor_id
+               WHERE rf.rn <= 5 AND rc.rn <= 5
+               GROUP BY rf.query_id)
+        SELECT f1.query_id, f1.full_top1, c1.core_top1,
+               f1.full_top1 - c1.core_top1 AS top1_loss,
+               coalesce(ov.overlap5, CAST(0 AS BIGINT)) AS overlap5
+        FROM f1 JOIN c1 ON f1.query_id = c1.query_id
+        LEFT JOIN ov ON f1.query_id = ov.query_id""")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      n AS (SELECT vec_id, v,
+              sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+            FROM e),
+      core AS (SELECT vec_id FROM (${s13.oracle.get.trim}) cs),
+      q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+            WHERE $qSet),
+      sc AS (SELECT query_id, t.vec_id AS neighbor_id,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(list_zip(qv, t.v), s -> s[1] * s[2])),
+                 (acc, z) -> acc + z) / (qn * t.nrm) AS cos,
+               t.vec_id IN (SELECT vec_id FROM core) AS in_core
+             FROM q JOIN n t ON t.vec_id <> query_id),
+      rf AS (SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id) AS rn
+             FROM sc),
+      rc AS (SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id) AS rn
+             FROM sc WHERE in_core),
+      f1 AS (SELECT query_id,
+               CAST(floor(max(CASE WHEN rn = 1 THEN cos END)
+                 * CAST(1000000 AS DOUBLE)) AS BIGINT) AS full_top1
+             FROM rf WHERE rn <= 5 GROUP BY query_id),
+      c1 AS (SELECT query_id,
+               CAST(floor(max(CASE WHEN rn = 1 THEN cos END)
+                 * CAST(1000000 AS DOUBLE)) AS BIGINT) AS core_top1
+             FROM rc WHERE rn <= 5 GROUP BY query_id),
+      ov AS (SELECT rf.query_id, CAST(count(*) AS BIGINT) AS overlap5
+             FROM rf JOIN rc ON rf.query_id = rc.query_id
+               AND rf.neighbor_id = rc.neighbor_id
+             WHERE rf.rn <= 5 AND rc.rn <= 5
+             GROUP BY rf.query_id)
+      SELECT f1.query_id, f1.full_top1, c1.core_top1,
+             f1.full_top1 - c1.core_top1 AS top1_loss,
+             coalesce(ov.overlap5, CAST(0 AS BIGINT)) AS overlap5
+      FROM f1 JOIN c1 ON f1.query_id = c1.query_id
+      LEFT JOIN ov ON f1.query_id = ov.query_id"""))
+
   val all: Seq[QueryDef] =
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s12, s13)
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s12, s13, s14)
 }

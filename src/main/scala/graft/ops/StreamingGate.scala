@@ -776,5 +776,150 @@ object StreamingGate {
       ${CurationOps.oCoverageTail}"""
     })
 
-  val all: Seq[QueryDef] = Seq(q42, q43, q49, q53, q58, q64, s11, d20)
+  final case class D23Mem(doc_id: Long, n_chars: Long)
+  final case class D23Member(cluster_id: Long, doc_id: Long, n_chars: Long)
+  final case class D23Tomb(cluster_id: Long, doc_id: Long, bno: Long)
+  final case class D23ClusterState(members: Seq[D23Mem])
+  final case class D23Out(bno: Long, cluster_id: Long, canonical_doc: Long,
+      canonical_chars: Long, n_members: Long)
+
+  /** d23's per-cluster FSM, extracted for the spec (d20's pattern): fold
+    * the batch's tombstones for this cluster into a deletion set (bounded
+    * by the batch's requests for ONE cluster), strip them from the
+    * surviving-member state, and emit the re-elected canonical — or the
+    * `(-1, -1, 0)` sentinel when the cluster empties. A key invoked with
+    * no batch rows (possible when the runtime touches seeded initial
+    * state) emits nothing and leaves state untouched — the delta
+    * contract: silence means "stored base row still valid". State is the
+    * cluster's surviving member list — the same per-group bound d13's
+    * election window already has. */
+  private[graft] def deleteFsm(key: Long, rows: Iterator[D23Tomb],
+      st: org.apache.spark.sql.streaming.GroupState[D23ClusterState])
+      : Iterator[D23Out] =
+    if (!rows.hasNext) Iterator.empty
+    else {
+      var bno = 0L
+      val del = scala.collection.mutable.HashSet.empty[Long]
+      while (rows.hasNext) { val r = rows.next(); bno = r.bno; del += r.doc_id }
+      val cur = st.getOption.map(_.members).getOrElse(Seq.empty)
+      val rest = cur.filterNot(m => del.contains(m.doc_id))
+      st.update(D23ClusterState(rest))
+      if (rest.isEmpty) Iterator.single(D23Out(bno, key, -1L, -1L, 0L))
+      else {
+        var cd = rest.head
+        rest.tail.foreach { m =>
+          if (m.n_chars > cd.n_chars ||
+            (m.n_chars == cd.n_chars && m.doc_id < cd.doc_id)) cd = m
+        }
+        Iterator.single(D23Out(bno, key, cd.doc_id, cd.n_chars,
+          rest.size.toLong))
+      }
+    }
+
+  /** STREAMING deletion propagation — d22 at the point the deletion
+    * requests actually arrive (GDPR/opt-out feeds are streams, and the
+    * SLA is "stop serving the data promptly", not "wait for the nightly
+    * batch"): tombstone requests arrive as micro-batches, map to their
+    * dedup cluster through the STATIC member artifact (stream-static
+    * join, q64's shape), and a `flatMapGroupsWithState` FSM keyed by
+    * cluster — INITIALIZED from the stored artifact via the initial-state
+    * seam — strips the deleted members and emits the re-elected canonical
+    * row per touched cluster per batch. Untouched clusters emit nothing
+    * (their stored base row stays valid — d22's delta contract,
+    * incrementally); an emptied cluster emits the `(-1,-1,0)` retirement
+    * sentinel. Batch membership is a pure function of the data
+    * ([[stageParityBatches]] with the tombstone rule folded into the
+    * parity expression: even requests then odd requests), so the DuckDB
+    * oracle reproduces the exact per-batch emission set in batch SQL — a
+    * cluster hit in both batches emits twice with strictly shrinking
+    * membership, and the hash checks both snapshots.
+    *
+    * Scale: state = surviving member list per cluster (bounded by
+    * cluster size — d13's existing per-group bound; RocksDB provider via
+    * the q49 seam, StreamingSpec parity); per batch only the REQUESTS
+    * shuffle (request-batch-sized ≪ corpus) — the member artifact
+    * broadcasts once as the static join side and the corpus itself never
+    * moves. */
+  private[graft] def deletePropagationStream(
+      s: SparkSession, d: String, provider: Option[String]): DataFrame = {
+    import s.implicits._
+    DedupOps.d06.run(s, d).createOrReplaceTempView("d23_lab")
+    val mem = Q.staged("d23_mem", d) {
+      Q.withViews(s, d, "documents")("""
+        SELECT l.cluster_id, l.doc_id, doc.n_chars
+        FROM d23_lab l JOIN documents doc ON l.doc_id = doc.doc_id""")
+    }
+    val init = mem.groupBy($"cluster_id")
+      .agg(collect_list(struct($"doc_id", $"n_chars")).as("members"))
+      .as[(Long, Seq[D23Mem])]
+      .map { case (cid, ms) => (cid, D23ClusterState(ms)) }
+      .groupByKey(_._1).mapValues(_._2)
+    // the request feed: documents restricted to the tombstone rule, split
+    // even-requests-then-odd-requests (rule folded into the parity expr
+    // so non-tombstoned docs land in neither batch)
+    val sch = Q.table(s, d, "documents").schema
+    val inDir = stageParityBatches(s, d, "documents",
+      parity = "CASE WHEN doc_id % 13 = 4 THEN CAST(doc_id % 2 AS INT) ELSE -1 END")
+    val outDir = tempDir("graft-d23-out").toString
+    val ckpt = tempDir("graft-d23-ckpt").toString
+    val out = s.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      .select($"doc_id")
+      .join(mem, "doc_id") // unclustered requests touch no cluster row
+      .selectExpr("cluster_id", "doc_id", "CAST(doc_id % 2 AS BIGINT) AS bno")
+      .as[D23Tomb]
+      .groupByKey(_.cluster_id)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+        initialState = init)(deleteFsm _)
+    graft.streaming.StateStores.withProvider(s, provider) {
+      val q = out.toDF().writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.schema(org.apache.spark.sql.Encoders.product[D23Out].schema)
+      .parquet(outDir)
+  }
+
+  val d23 = QueryDef(
+    "d23_streaming_delete_propagation",
+    (s, d) => deletePropagationStream(s, d, None),
+    Some(s"""
+      WITH lab AS (${DedupOps.d06.oracle.get.trim}),
+      mem AS (SELECT l.cluster_id, l.doc_id, doc.n_chars
+              FROM lab l JOIN documents doc ON l.doc_id = doc.doc_id),
+      tomb AS (SELECT m.cluster_id, m.doc_id,
+                 CAST(m.doc_id % 2 AS BIGINT) AS bno
+               FROM mem m WHERE m.doc_id % 13 = 4),
+      aff AS (SELECT DISTINCT cluster_id, bno FROM tomb),
+      surv AS (SELECT a.bno, m.cluster_id, m.doc_id, m.n_chars
+               FROM aff a JOIN mem m ON a.cluster_id = m.cluster_id
+               LEFT JOIN tomb t
+                 ON m.doc_id = t.doc_id AND t.bno <= a.bno
+               WHERE t.doc_id IS NULL),
+      re AS (SELECT bno, cluster_id,
+               max(CASE WHEN rk = 1 THEN doc_id END) AS cd,
+               max(CASE WHEN rk = 1 THEN n_chars END) AS cc,
+               CAST(count(*) AS BIGINT) AS n
+             FROM (SELECT s.bno, s.cluster_id, s.doc_id, s.n_chars,
+                     row_number() OVER (PARTITION BY s.bno, s.cluster_id
+                       ORDER BY s.n_chars DESC, s.doc_id) AS rk
+                   FROM surv s) t
+             GROUP BY bno, cluster_id)
+      SELECT bno, cluster_id, cd AS canonical_doc, cc AS canonical_chars,
+             n AS n_members
+      FROM re
+      UNION ALL
+      SELECT a.bno, a.cluster_id, CAST(-1 AS BIGINT) AS canonical_doc,
+             CAST(-1 AS BIGINT) AS canonical_chars,
+             CAST(0 AS BIGINT) AS n_members
+      FROM aff a LEFT JOIN re r
+        ON a.bno = r.bno AND a.cluster_id = r.cluster_id
+      WHERE r.cluster_id IS NULL"""))
+
+  val all: Seq[QueryDef] = Seq(q42, q43, q49, q53, q58, q64, s11, d20, d23)
 }

@@ -47,5 +47,83 @@ object TrainingPipeline {
       FROM kept GROUP BY lang"""),
     headline = true)
 
-  val all: Seq[QueryDef] = Seq(q40)
+  /** q68 — the corpus RELEASE gate: the final accounting pass a dataset
+    * ships with, composing the round-13 curation stack in compliance
+    * order. Every document gets exactly ONE verdict, first rule wins:
+    * (1) `deleted` — the d22 tombstone batch (legal compliance outranks
+    * everything); (2) `contained` — its exact-dup content class is a
+    * contained side in a d21 verdict (quote/wrapper content
+    * double-counts under any token budget); (3) `low_quality` — t19's
+    * learned classifier votes drop; (4) `kept`. Output is the per
+    * (lang, source) release datasheet — doc counts by verdict + kept
+    * tokens — the table a data card publishes (q46's reporting shape
+    * over the round-13 operators).
+    *
+    * Scale shape: pure composition — t19 and d21 run once each (their
+    * staged frames memoize); the doc→content-class map is ONE corpus
+    * scan + one md5-keyed window (no groupBy+self-join re-scan); the
+    * contained-class set is verdict-sized and broadcasts through the
+    * IN-subquery; the final datasheet is a metadata-width (lang,
+    * source) aggregate. Inner join on t19's scored frame is exact by
+    * construction: t19 scores every doc with ≥1 token and the gate
+    * corpus has no zero-token docs (t09's pinned edge). */
+  val q68 = QueryDef(
+    "q68_corpus_release",
+    (s, d) => {
+      graft.ops.CurationOps.t19.run(s, d).createOrReplaceTempView("q68_t19")
+      graft.ops.DedupOps.d21.run(s, d).createOrReplaceTempView("q68_d21")
+      Q.withViews(s, d, "documents")(s"""
+        WITH dmap AS (SELECT doc_id, lang, source,
+                        min(doc_id) OVER (PARTITION BY md5(${Q.sNorm}))
+                          AS rep
+                      FROM documents),
+        j AS (SELECT m.lang, m.source, t.n_tokens,
+                CASE WHEN m.doc_id % 13 = 4 THEN 'deleted'
+                     WHEN m.rep IN (SELECT contained_rep FROM q68_d21)
+                       THEN 'contained'
+                     WHEN NOT t.pred_keep THEN 'low_quality'
+                     ELSE 'kept' END AS verdict
+              FROM dmap m JOIN q68_t19 t ON m.doc_id = t.doc_id)
+        SELECT lang, source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN verdict = 'deleted' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_deleted,
+               CAST(sum(CASE WHEN verdict = 'contained' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_contained,
+               CAST(sum(CASE WHEN verdict = 'low_quality' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_low_quality,
+               CAST(sum(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN verdict = 'kept' THEN n_tokens ELSE 0 END)
+                 AS BIGINT) AS kept_tokens
+        FROM j GROUP BY lang, source""")
+    },
+    Some(s"""
+      WITH t19 AS (${graft.ops.CurationOps.t19.oracle.get.trim}),
+      d21 AS (${graft.ops.DedupOps.d21.oracle.get.trim}),
+      dmap AS (SELECT doc_id, lang, source,
+                 min(doc_id) OVER (PARTITION BY md5(${Q.oNorm})) AS rep
+               FROM documents),
+      j AS (SELECT m.lang, m.source, t.n_tokens,
+              CASE WHEN m.doc_id % 13 = 4 THEN 'deleted'
+                   WHEN m.rep IN (SELECT contained_rep FROM d21)
+                     THEN 'contained'
+                   WHEN NOT t.pred_keep THEN 'low_quality'
+                   ELSE 'kept' END AS verdict
+            FROM dmap m JOIN t19 t ON m.doc_id = t.doc_id)
+      SELECT lang, source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN verdict = 'deleted' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_deleted,
+             CAST(sum(CASE WHEN verdict = 'contained' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_contained,
+             CAST(sum(CASE WHEN verdict = 'low_quality' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_low_quality,
+             CAST(sum(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN verdict = 'kept' THEN n_tokens ELSE 0 END)
+               AS BIGINT) AS kept_tokens
+      FROM j GROUP BY lang, source"""))
+
+  val all: Seq[QueryDef] = Seq(q40, q68)
 }

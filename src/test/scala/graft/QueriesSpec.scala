@@ -756,6 +756,31 @@ class QueriesSpec extends AnyFunSuite {
     } finally { d22.unpersist(); base.unpersist() }
   }
 
+  test("q68 release gate: verdicts conserve docs, all four classes fire, compliance wins") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q68_corpus_release")(spark, dir).cache()
+    try {
+      // per (lang, source) row: the four verdict counts tile n_docs
+      assert(df.filter(col("n_docs") =!= col("n_deleted") + col("n_contained")
+        + col("n_low_quality") + col("n_kept")).count() == 0,
+        "verdict counts do not tile the doc count")
+      val t = df.agg(sum("n_docs"), sum("n_deleted"), sum("n_contained"),
+        sum("n_low_quality"), sum("n_kept")).head()
+      // every verdict class fires on the gate corpus (a silent rule is
+      // an untested rule), and the corpus total is every scored doc
+      (1 to 4).foreach(i => assert(t.getLong(i) > 0, s"verdict class $i never fired"))
+      assert(t.getLong(0) ==
+        graft.ops.Q.table(spark, dir, "documents").count())
+      // compliance outranks the other rules: the deleted count equals the
+      // tombstone-rule count over the whole corpus — no deleted doc was
+      // reclassified as contained or low-quality
+      val tomb = graft.ops.Q.table(spark, dir, "documents")
+        .filter(col("doc_id") % 13 === 4).count()
+      assert(t.getLong(1) == tomb,
+        s"deleted=${t.getLong(1)} but tombstone rule covers $tomb docs")
+    } finally df.unpersist()
+  }
+
   test("t18 detokenize: EVERY document round-trips, at 12 AND 256 merge rounds") {
     import org.apache.spark.sql.functions._
     // the gate hash pins the values; this pins the semantic claim — zero

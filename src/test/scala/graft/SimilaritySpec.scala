@@ -197,4 +197,26 @@ class SimilaritySpec extends AnyFunSuite {
         s"coreset did not prune: $nSel of $nVec selected")
     } finally df.unpersist()
   }
+
+  test("s14 coreset audit: subset property exact, degradation visible, never negative") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("s14_coreset_recall")(spark, dir).cache()
+    try {
+      assert(df.count() > 0)
+      // the coreset is a SUBSET of the corpus, so its best neighbor can
+      // never beat the full corpus's: loss >= 0 for EVERY query — an
+      // exact structural invariant, not a statistical floor
+      assert(df.filter(col("top1_loss") < 0).count() == 0,
+        "a coreset neighbor out-scored the full corpus (subset violated)")
+      assert(df.filter(col("overlap5") < 0 || col("overlap5") > 5).count() == 0)
+      // the audit must MEASURE something: pruning 69% of vectors visibly
+      // perturbs retrieval somewhere (loss > 0 or a dropped neighbor)
+      assert(df.filter(col("top1_loss") > 0 || col("overlap5") < 5).count() > 0,
+        "audit shows zero effect of pruning — it is not measuring")
+      // and the coreset still serves: every query finds SOME positive-
+      // cosine neighbor among the kept vectors
+      assert(df.filter(col("core_top1") <= 0).count() == 0,
+        "a query lost all usable neighbors to pruning")
+    } finally df.unpersist()
+  }
 }

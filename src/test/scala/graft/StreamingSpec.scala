@@ -287,6 +287,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(runWith(Some(graft.streaming.StateStores.RocksDB)) == out)
   }
 
+  test("d23 streaming deletes: per-batch snapshots shrink, sentinel on empty, RocksDB agrees") {
+    val dir = "/root/testdata/sf0.001"
+    def runWith(p: Option[String]): Seq[(Long, Long, Long, Long, Long)] =
+      graft.ops.StreamingGate.deletePropagationStream(spark, dir, p)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sorted.toSeq
+    val out = runWith(None)
+    assert(out.nonEmpty, "tombstone batches touched no cluster")
+    // a touched cluster emits once per touching batch; a cluster hit in
+    // BOTH batches must emit strictly shrinking membership
+    val byCluster = out.groupBy(_._2)
+    byCluster.values.foreach { rows =>
+      assert(rows.map(_._1).distinct.size == rows.size,
+        "a cluster emitted twice for one batch")
+      if (rows.size == 2) {
+        val Seq(b0, b1) = rows.sortBy(_._1)
+        assert(b1._5 < b0._5,
+          s"cluster ${b0._2}: batch-1 membership did not shrink (${b0._5} -> ${b1._5})")
+      }
+    }
+    // no emitted canonical is itself a tombstoned doc; sentinel rows are
+    // exactly the (-1, -1, 0) shape
+    out.foreach { case (_, cid, cd, cc, n) =>
+      if (n == 0L) assert(cd == -1L && cc == -1L, s"bad sentinel for $cid")
+      else assert(cd % 13 != 4, s"cluster $cid elected a deleted doc $cd")
+    }
+    // the FINAL emitted snapshot per cluster equals d22's batch repair
+    // for that cluster (the streaming path converges to the batch truth)
+    val d22 = SparkEntry.queries("d22_delete_propagation")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    byCluster.foreach { case (cid, rows) =>
+      val last = rows.maxBy(_._1)
+      if (last._5 > 0L)
+        assert(d22.get(cid).contains((last._3, last._4, last._5)),
+          s"cluster $cid: streaming snapshot ${last} != d22 repair ${d22.get(cid)}")
+      else assert(!d22.contains(cid),
+        s"cluster $cid retired in-stream but present in d22's output")
+    }
+    // same pipeline with state in RocksDB: identical emission set
+    assert(runWith(Some(graft.streaming.StateStores.RocksDB)) == out)
+  }
+
   test("d20 FSM: hot-shingle batch streams lazily — per-group memory O(1), not O(occurrences)") {
     import graft.ops.StreamingGate.{spanFsm, BucketOwner, SpanRow}
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
