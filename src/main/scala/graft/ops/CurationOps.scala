@@ -1208,6 +1208,135 @@ object CurationOps {
     },
     headline = true)
 
+  /** Hot-chunk guard for the q69 edge build: chunk hashes shared by more
+    * than this many distinct sources are universal boilerplate and are
+    * dropped BEFORE the pair join (d21's hot-key rule) — the per-hash pair
+    * expansion is bounded at cap², so one viral chunk cannot quadratically
+    * explode the edge list. Never binds at the gate's 20 sources. */
+  private[graft] val pagerankCap = sys.props.getOrElse("graft.pagerank.cap", "256").toInt
+
+  /** Content-sharing edge list (src, dst, w): a directed edge per ordered
+    * pair of sources, weighted by how many DISTINCT 8-token chunks
+    * ([[sChunks]]'s grid) the two share. Separated from [[q69]] so the
+    * spec can exercise the cap directly without touching the staged
+    * default frame. */
+  private[graft] def pagerankEdges(s: org.apache.spark.sql.SparkSession,
+      d: String, cap: Int): DataFrame =
+    withViews(s, d, "documents")(s"""
+      WITH $sChunks,
+      sh AS (SELECT DISTINCT source, md5(chunk) AS h FROM chunks),
+      hf AS (SELECT h FROM sh GROUP BY h
+             HAVING count(*) >= 2 AND count(*) <= $cap),
+      sf AS (SELECT sh.source, sh.h FROM sh JOIN hf ON sh.h = hf.h),
+      e0 AS (SELECT a.source AS src, b.source AS dst
+             FROM sf a JOIN sf b ON a.h = b.h AND a.source <> b.source)
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+      FROM e0 GROUP BY src, dst""")
+
+  /** PageRank fixed-point geometry, shared engine↔oracle: initial mass
+    * [[prMass]] = 10^12 split evenly over sources; per-edge transition
+    * probabilities pre-scaled to parts-per-million ((w·10^6) div
+    * out-weight); damping 85/100; [[prIters]] unrolled power iterations.
+    * Every step is integer multiply/divide on positives — bit-identical
+    * across engines, immune to distributed-summation reordering (t09's
+    * exactness idiom). Intermediate bound: (r·85 div 100)·pw ≤
+    * 0.85·10^12 · 10^6 < 2^63. */
+  private val prMass = "1000000000000"  // 10^12
+  private val prTele = "150000000000"   // mass · 15%
+  private val prIters = 3
+
+  /** One unrolled PageRank iteration CTE: `dv` is the integer-division
+    * spelling ("div" Spark / "//" DuckDB). new_r(v) = teleport/n +
+    * Σ_u ((r(u)·85) div 100 · pw(u,v)) div 10^6; dangling sources keep
+    * only teleport mass (constant-teleport power iteration — division
+    * dust and dangling loss shrink total mass, never reorder ranks). */
+  private def prIter(k: Int, prev: String, dv: String): String = s"""
+      it$k AS (SELECT n.source,
+                 CAST(($prTele $dv cnt.n)
+                   + coalesce(CAST(sum((((r.r * 85) $dv 100) * ep.pw)
+                       $dv 1000000) AS BIGINT), CAST(0 AS BIGINT))
+                   AS BIGINT) AS r
+               FROM nodes n CROSS JOIN cnt
+               LEFT JOIN ep ON ep.dst = n.source
+               LEFT JOIN $prev r ON r.source = ep.src
+               GROUP BY n.source, cnt.n)"""
+
+  private def prIterChain(dv: String): String =
+    (1 to prIters).map(k => prIter(k, if (k == 1) "r0" else s"it${k - 1}", dv))
+      .mkString(",")
+
+  /** Shared iteration + readout SQL over `edges`/`nodes` CTEs (or views). */
+  private def prBody(dv: String): String = s"""
+      cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+      ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw,
+                    CAST(count(*) AS BIGINT) AS odeg
+             FROM edges GROUP BY src),
+      ind AS (SELECT dst, CAST(count(*) AS BIGINT) AS ideg
+              FROM edges GROUP BY dst),
+      ep AS (SELECT e.src, e.dst, ((e.w * 1000000) $dv ow.outw) AS pw
+             FROM edges e JOIN ow ON ow.src = e.src),
+      r0 AS (SELECT source, ($prMass $dv n) AS r FROM nodes CROSS JOIN cnt),
+      ${prIterChain(dv)}
+      SELECT n.source, it$prIters.r AS pr_scaled,
+             CAST(it$prIters.r AS DOUBLE) / $prMass.0 AS pr,
+             CAST(coalesce(ow.odeg, 0) AS BIGINT) AS n_out,
+             CAST(coalesce(ind.ideg, 0) AS BIGINT) AS n_in
+      FROM nodes n
+      JOIN it$prIters ON it$prIters.source = n.source
+      LEFT JOIN ow ON ow.src = n.source
+      LEFT JOIN ind ON ind.dst = n.source"""
+
+  /** Source-reputation PageRank over the content-sharing graph — the
+    * domain-quality seed ranking web pipelines maintain (the CCNet /
+    * RefinedWeb host-reputation stage), and the battery's iterative
+    * graph-SCORING operator (d06's label propagation converges a min;
+    * this iterates a weighted mass flow). Nodes are sources; edges are
+    * weighted by shared 8-token chunks — the syndication structure d11
+    * detects, re-read as a reputation signal (a source whose content
+    * circulates widely accumulates rank through the same power iteration
+    * that ranks hosts by links when link data exists).
+    *
+    * Scale shape: the corpus-scale work is ONE chunk pass collapsing to
+    * the DISTINCT (source, hash) frame — a metadata-width shuffle; the
+    * edge list is |sources|²-bounded metadata and is checkpointed as a
+    * LEAF before iteration (the d22 lesson: the iteration SQL references
+    * it five times, and CTE inlining would re-run the corpus explode per
+    * consumer — as a LogicalRDD leaf it is safe to consume through a
+    * view). Iterations touch only (source, rank) rows: at 30 M hosts each
+    * round is a co-partitioned metadata join, never a corpus pass. */
+  val q69 = QueryDef(
+    "q69_source_pagerank",
+    (s, d) => {
+      stagedMaterialized("q69_edges", d) {
+        roundCheckpoint(pagerankEdges(s, d, pagerankCap))
+      }.createOrReplaceTempView("q69_edges")
+      // the node set is ALSO a multiply-referenced CTE (cnt, r0, every
+      // iteration, the readout — PlanAudit counted 9 live corpus scans
+      // when it was left inline); as a leaf the iteration SQL touches
+      // documents zero times
+      stagedMaterialized("q69_nodes", d) {
+        roundCheckpoint(withViews(s, d, "documents")(
+          "SELECT DISTINCT source FROM documents"))
+      }.createOrReplaceTempView("q69_nodes")
+      s.sql(s"""
+        WITH nodes AS (SELECT source FROM q69_nodes),
+        edges AS (SELECT src, dst, w FROM q69_edges),
+        ${prBody("div")}""")
+    },
+    Some(s"""
+      WITH $oChunks,
+      sh AS (SELECT DISTINCT source, md5(chunk) AS h FROM chunks),
+      hf AS (SELECT h FROM sh GROUP BY h
+             HAVING count(*) >= 2 AND count(*) <= $pagerankCap),
+      sf AS (SELECT sh.source, sh.h FROM sh JOIN hf ON sh.h = hf.h),
+      e0 AS (SELECT a.source AS src, b.source AS dst
+             FROM sf a JOIN sf b ON a.h = b.h AND a.source <> b.source),
+      edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+                FROM e0 GROUP BY src, dst),
+      nodes AS (SELECT DISTINCT source FROM documents),
+      ${prBody("//")}"""),
+    headline = true)
+
   val all: Seq[QueryDef] =
-    Seq(d10, d11, d19, d12, q51, t09, t19, d13, d22, q52, d15, q54, d14, q57, t11, d18)
+    Seq(d10, d11, d19, d12, q51, t09, t19, d13, d22, q52, d15, q54, d14, q57, t11, d18, q69)
 }
