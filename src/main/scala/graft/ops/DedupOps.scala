@@ -464,6 +464,26 @@ object DedupOps {
     * of N), so assignment is one broadcast pass; the only quadratic term
     * is per-cluster and the centroid count is the dial that bounds it.
     * The prune join ships only (vec_id) pairs — metadata-width. */
+  /** The shared coarse-cluster assignment frame (vec_id, label, cid):
+    * d16's row-wise `nearest_centroid` pass over the collected centroid
+    * array, memoized under one staged key so d16, s15, and any capstone
+    * composing them compute it ONCE per (session, dir). */
+  private[graft] def clusterAssign(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    normEmbeddings(s, d).createOrReplaceTempView("d16_n")
+    staged("d16_assign", d) {
+      s.sql(s"""
+        SELECT /*+ BROADCAST(cs) */ t.vec_id, t.label,
+               nearest_centroid(t.v, t.nrm, cs.cents).cid AS cid
+        FROM d16_n t CROSS JOIN (
+          SELECT collect_list(named_struct('cid', cid, 'cv', cv,
+                   'cn', cn)) AS cents
+          FROM (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM d16_n
+                WHERE $semSeedPred)
+        ) cs""")
+    }
+  }
+
   val d16 = QueryDef(
     "d16_semantic_dedup",
     (s, d) => {
@@ -484,17 +504,7 @@ object DedupOps {
       // (spelled without WITH: a staged view whose analyzed plan carries
       // CTE defs breaks InlineCTE / CTE pushdown when referenced three
       // times downstream — the q50 landmine family)
-      val assign = staged("d16_assign", d) {
-        s.sql(s"""
-          SELECT /*+ BROADCAST(cs) */ t.vec_id, t.label,
-                 nearest_centroid(t.v, t.nrm, cs.cents).cid AS cid
-          FROM d16_n t CROSS JOIN (
-            SELECT collect_list(named_struct('cid', cid, 'cv', cv,
-                     'cn', cn)) AS cents
-            FROM (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM d16_n
-                  WHERE $semSeedPred)
-          ) cs""")
-      }
+      val assign = clusterAssign(s, d)
       assign.createOrReplaceTempView("d16_assign")
       // no outer WITH: wrapping a view whose analyzed plan carries its own
       // CTE defs (the staged assign build) in another CTE trips the same
@@ -732,5 +742,103 @@ object DedupOps {
              cos >= $contamThreshold AS is_contaminated
       FROM sc WHERE rn = 1"""))
 
-  val all: Seq[QueryDef] = Seq(d02, d03, d04, d05, d06, d07, d16, d17, d21)
+  /** k-NN graph out-degree: a retrieval/clustering constant, never a
+    * function of N. */
+  private[graft] val knnGraphK = 5
+
+  /** Approximate k-NN GRAPH construction — the all-nodes adjacency
+    * artifact graph-based curation consumes (SemDeDup-style neighborhood
+    * analysis, graph dedup, mutual-kNN clustering). s01–s03 answer
+    * query-time retrieval for a BOUNDED query set; here EVERY vector gets
+    * its top-k neighbors plus a mutuality flag (the reversed edge also
+    * ranks top-k — the signal mutual-kNN clustering cuts on).
+    *
+    * Candidate rule = s03's IVF geometry with every node as a query:
+    * lists come from the rn=1 assignment, and each node probes its
+    * top-`ivfProbes` clusters (the s03Statics frames are shared leaves,
+    * so a pipeline composing s03/s11/s12/s15 builds them once). A
+    * first-cut rn=1-only variant (d16's cells) measured recall@5 0.26 on
+    * the adversarial testdata embeddings — multi-probe lifts it to 0.63
+    * at P=4 (KnnGraphSpec pins the ≥0.55 floor and prints the measured
+    * value; the per-node candidate budget is P·E[cell], the classic IVF
+    * trade).
+    *
+    * Scale shape: assignment is one broadcast pass over a config-sized
+    * centroid set; candidate pairs are probe-bounded equi-joins on the
+    * cluster id (never a cross join); the per-source top-k is a
+    * rank-filtered window (WindowGroupLimit partial top-k); the k-NN
+    * frame is metadata-width (N·k rows) and checkpoints as a LEAF
+    * because the mutuality readout self-joins it — left inline, the CTE
+    * would re-run the whole pairwise pass twice (q69/d22's lesson). */
+  val s15 = QueryDef(
+    "s15_knn_graph",
+    (s, d) => {
+      SimilarityOps.s03Statics(s, d)
+      stagedMaterialized("s15_knn", d) {
+        roundCheckpoint(s.sql(s"""
+          WITH members AS (SELECT vec_id, cluster FROM s03_assign WHERE rn = 1),
+          probes AS (SELECT vec_id AS src, cluster FROM s03_assign
+                     WHERE rn <= ${SimilarityOps.ivfProbes}),
+          cand AS (SELECT DISTINCT p.src, m.vec_id AS nb
+                   FROM probes p JOIN members m ON m.cluster = p.cluster
+                   WHERE m.vec_id <> p.src),
+          sc AS (SELECT src, nb,
+                   dot_product(q.v, t.v) / (q.nrm * t.nrm) AS cos
+                 FROM cand JOIN s03_n q ON q.vec_id = src
+                           JOIN s03_n t ON t.vec_id = nb),
+          r AS (SELECT src, nb, cos,
+                  row_number() OVER (PARTITION BY src
+                                     ORDER BY cos DESC, nb) AS rn
+                FROM sc)
+          SELECT src, nb, cos, CAST(rn AS BIGINT) AS rn
+          FROM r WHERE rn <= $knnGraphK"""))
+      }.createOrReplaceTempView("s15_knn")
+      s.sql("""
+        SELECT k.src AS vec_id, k.nb AS neighbor_id, k.cos, k.rn,
+               (m.src IS NOT NULL) AS mutual
+        FROM s15_knn k LEFT JOIN s15_knn m
+          ON m.src = k.nb AND m.nb = k.src""")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      n AS (SELECT vec_id, v,
+              sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+            FROM e),
+      c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
+            WHERE vec_id % 50 = 7 AND vec_id < 3200),
+      sc0 AS (SELECT t.vec_id, cid,
+                list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(list_zip(t.v, cv), s -> s[1] * s[2])),
+                  (acc, z) -> acc + z) / (t.nrm * cn) AS cos
+              FROM n t CROSS JOIN c),
+      ranked AS (SELECT vec_id, cid AS cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, cid) AS rn
+                 FROM sc0),
+      members AS (SELECT vec_id, cluster FROM ranked WHERE rn = 1),
+      probes AS (SELECT vec_id AS src, cluster FROM ranked
+                 WHERE rn <= ${SimilarityOps.ivfProbes}),
+      cand AS (SELECT DISTINCT p.src, m.vec_id AS nb
+               FROM probes p JOIN members m ON m.cluster = p.cluster
+               WHERE m.vec_id <> p.src),
+      sc AS (SELECT src, nb,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(list_zip(q.v, t.v), s -> s[1] * s[2])),
+                 (acc, z) -> acc + z) / (q.nrm * t.nrm) AS cos
+             FROM cand JOIN n q ON q.vec_id = src
+                       JOIN n t ON t.vec_id = nb),
+      r AS (SELECT src, nb, cos,
+              row_number() OVER (PARTITION BY src
+                                 ORDER BY cos DESC, nb) AS rn
+            FROM sc),
+      k AS (SELECT src, nb, cos, CAST(rn AS BIGINT) AS rn
+            FROM r WHERE rn <= $knnGraphK)
+      SELECT k.src AS vec_id, k.nb AS neighbor_id, k.cos, k.rn,
+             (m.src IS NOT NULL) AS mutual
+      FROM k LEFT JOIN k m ON m.src = k.nb AND m.nb = k.src"""),
+    headline = true)
+
+  val all: Seq[QueryDef] = Seq(d02, d03, d04, d05, d06, d07, d16, d17, d21, s15)
 }

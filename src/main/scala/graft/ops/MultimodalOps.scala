@@ -1254,6 +1254,131 @@ object MultimodalOps {
       FROM k GROUP BY doc_id, shot_idx"""),
     headline = true)
 
+  final case class VadMeta(doc_id: Long, seg_idx: Long, start_frame: Long,
+      n_frames: Long, seg_energy: Long)
+
+  /** Activity margin in percent over the document's mean frame energy
+    * (`-Dgraft.vad.margin`): a frame is ACTIVE iff its length-normalized
+    * energy is ≥ (100+margin)% of the doc mean. 0 = "above own mean" —
+    * the classic energy-gate VAD baseline; the dial exists because real
+    * speech corpora tune the gate to their noise floor. */
+  private[graft] val vadMargin = sys.props.getOrElse("graft.vad.margin", "0").toLong
+
+  /** Voice-activity segmentation — the silence-trimming stage a speech
+    * pipeline runs before transcription/alignment (energy-gate VAD,
+    * the webrtcvad/SAD baseline shape): frames whose energy clears a
+    * DOC-RELATIVE threshold are active, and maximal runs of active
+    * frames become the speech segments a forced aligner or ASR stage
+    * consumes. The threshold is relative to the document's own mean
+    * ([[vadMargin]]) so a quiet recording segments the same as a loud
+    * one — m11's scaling-invariance argument, applied to the gate level
+    * rather than the delta. Frame energies are length-normalized to
+    * per-full-frame scale (the m11 tail rule) and the activity compare
+    * is exact integer cross-multiplication (scaled·n·100 ≥
+    * total·(100+margin)) — no division, bit-identical in SQL.
+    *
+    * Scale shape: ONE row-wise flatMap behind the per-partition codec
+    * session — zero shuffles; per-doc state is the frame-feature array
+    * (bounded by document length). m11/d14's ideal-map-pass economics. */
+  def detectSpeech(spark: SparkSession, media: DataFrame,
+      frameBytes: Int = 48, marginPct: Long = vadMargin,
+      codec: MediaCodec = MediaCodec.Stub): DataFrame = {
+    import spark.implicits._
+    media.as[MediaIn].mapPartitions { it =>
+      val sess = codec.open()
+      val fb = math.max(frameBytes / sess.frameBytes, 1) * sess.frameBytes
+      it.flatMap { m =>
+        val len = sess.planeLength(m.payload)
+        val n = (len + fb - 1) / fb
+        if (n == 0) Iterator.empty
+        else {
+          val feats = new Array[Long](n)
+          val scaled = new Array[Long](n)
+          var tot = 0L
+          var i = 0
+          while (i < n) {
+            val (bytes, _) = sess.slice(m.payload, i * fb, fb)
+            feats(i) = sess.feature(bytes)
+            scaled(i) = feats(i) * fb / math.max(bytes.length, 1)
+            tot += scaled(i)
+            i += 1
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[VadMeta]
+          var seg = 0L
+          var segStart = -1
+          var segE = 0L
+          i = 0
+          while (i < n) {
+            val active = scaled(i) * n * 100L >= tot * (100L + marginPct)
+            if (active) {
+              if (segStart < 0) { segStart = i; segE = 0L }
+              segE += feats(i)
+            } else if (segStart >= 0) {
+              out += VadMeta(m.doc_id, seg, segStart.toLong,
+                (i - segStart).toLong, segE)
+              seg += 1
+              segStart = -1
+            }
+            i += 1
+          }
+          if (segStart >= 0)
+            out += VadMeta(m.doc_id, seg, segStart.toLong,
+              (n - segStart).toLong, segE)
+          out.iterator
+        }
+      }
+    }.toDF()
+  }
+
+  /** Oracle: m11's frame spelling + the activity gate as the same integer
+    * cross-multiplication, runs via lag-head + running-sum-of-heads over
+    * active frames only (coverageTail's span idiom). */
+  val m12 = QueryDef(
+    "m12_speech_segments",
+    (s, d) => {
+      import s.implicits._
+      val media = table(s, d, "documents")
+        .select($"doc_id", $"text".cast("binary").as("payload"), $"source")
+      detectSpeech(s, media)
+    },
+    Some(s"""
+      WITH b AS (SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS len
+                 FROM documents WHERE strlen(text) > 0),
+      f AS (SELECT doc_id, text, len,
+              unnest(range(0, (len + 47) // 48)) AS fi FROM b),
+      sub AS (SELECT doc_id, fi,
+                substring(text, CAST(fi * 48 + 1 AS INT), 48) AS fr FROM f),
+      e AS (SELECT doc_id, fi, CAST(length(fr) AS BIGINT) AS flen,
+              CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(1, length(fr) + 1),
+                  i -> CAST(ascii(substring(fr, i, 1)) AS BIGINT))),
+                (a, c) -> a + c) AS BIGINT) AS feat
+            FROM sub),
+      g AS (SELECT doc_id, fi, feat, (feat * 48) // flen AS sc FROM e),
+      t AS (SELECT doc_id, fi, feat, sc,
+              count(*) OVER (PARTITION BY doc_id) AS nf,
+              sum(sc) OVER (PARTITION BY doc_id) AS tot
+            FROM g),
+      a AS (SELECT doc_id, fi, feat,
+              CASE WHEN sc * nf * 100 >= tot * (100 + $vadMargin)
+                   THEN 1 ELSE 0 END AS act
+            FROM t),
+      h AS (SELECT doc_id, fi, feat, act,
+              CASE WHEN act = 1 AND coalesce(lag(act) OVER
+                (PARTITION BY doc_id ORDER BY fi), 0) = 0
+              THEN 1 ELSE 0 END AS head
+            FROM a),
+      r AS (SELECT doc_id, fi, feat, act,
+              sum(head) OVER (PARTITION BY doc_id ORDER BY fi) AS seg1
+            FROM h)
+      SELECT doc_id,
+             CAST(seg1 - 1 AS BIGINT) AS seg_idx,
+             CAST(min(fi) AS BIGINT) AS start_frame,
+             CAST(count(*) AS BIGINT) AS n_frames,
+             CAST(sum(feat) AS BIGINT) AS seg_energy
+      FROM r WHERE act = 1 GROUP BY doc_id, seg1"""),
+    headline = true)
+
   val all: Seq[QueryDef] =
-    Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11)
+    Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12)
 }

@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** s15 k-NN graph: adjacency-shape invariants, mutuality correctness,
+  * determinism, and the honest recall audit of the cluster-bounded
+  * approximation against an in-spec brute-force ground truth. */
+class KnnGraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val edges =
+    SparkEntry.queries("s15_knn_graph")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getBoolean(4)))
+
+  test("adjacency shape: <=k neighbors per node, dense ranks, ordered cos") {
+    val k = graft.ops.DedupOps.knnGraphK
+    val bySrc = edges.groupBy(_._1)
+    assert(bySrc.nonEmpty)
+    for ((src, es) <- bySrc) {
+      assert(es.length <= k, s"node $src has ${es.length} > $k neighbors")
+      val byRank = es.sortBy(_._4)
+      assert(byRank.map(_._4).sameElements(1L to es.length.toLong),
+        s"node $src ranks not dense: ${byRank.map(_._4).mkString(",")}")
+      // cos non-increasing with rank (ties broken by neighbor id)
+      for (Array(a, b) <- byRank.sliding(2).map(_.toArray))
+        assert(a._3 >= b._3, s"node $src cos not sorted at rank ${b._4}")
+      assert(es.map(_._2).distinct.length == es.length, s"node $src dup neighbor")
+      assert(es.forall(_._2 != src), s"node $src self-loop")
+    }
+  }
+
+  test("mutual flag is exactly reverse-edge membership") {
+    val present = edges.map(e => (e._1, e._2)).toSet
+    for ((src, nb, _, _, mutual) <- edges)
+      assert(mutual == present.contains((nb, src)),
+        s"edge $src->$nb mutual=$mutual but reverse present=${present.contains((nb, src))}")
+    assert(edges.exists(_._5) && edges.exists(!_._5),
+      "fixture must exercise both mutual and one-way edges")
+  }
+
+  test("recall vs brute-force truth: measured, pinned, and honest") {
+    // ground truth from the raw vectors, computed driver-side
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .collect().map { r =>
+        r.getLong(r.fieldIndex("vec_id")) ->
+          r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray
+      }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var d = 0.0; var na = 0.0; var nb = 0.0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val k = graft.ops.DedupOps.knnGraphK
+    val truth = vecs.map { case (id, v) =>
+      id -> vecs.toSeq.filter(_._1 != id)
+        .map { case (j, w) => (j, cos(v, w)) }
+        .sortBy { case (j, c) => (-c, j) }.take(k).map(_._1).toSet
+    }
+    val approx = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    val recalls = truth.toSeq.map { case (id, t) =>
+      approx.getOrElse(id, Set.empty).intersect(t).size.toDouble / k }
+    val mean = recalls.sum / recalls.size
+    info(f"s15 cluster-bounded recall@$k vs brute force: $mean%.3f over ${recalls.size} nodes")
+    // the IVF approximation on the ADVERSARIAL testdata embeddings (true
+    // neighbors at cos 0.27-0.45 over a 0.5-ish background — see
+    // SimilarityOps.lshPlanes): P=4 probe-bounded candidates keep a
+    // measured 0.63 of true top-5 (the rn=1-only variant measured 0.26
+    // and was rejected); the floor pins against silent regression, and
+    // every reported neighbor's cosine is EXACT by construction
+    assert(mean >= 0.55, f"recall regressed: $mean%.3f")
+  }
+
+  test("deterministic across runs") {
+    val again = SparkEntry.queries("s15_knn_graph")(spark, dir).collect()
+      .map(_.toString).sorted
+    assert(edges.map(e => org.apache.spark.sql.Row(e._1, e._2, e._3, e._4, e._5).toString)
+      .sorted.sameElements(again))
+  }
+}

@@ -656,4 +656,46 @@ class MultimodalSpec extends AnyFunSuite {
         "no document segmented into more than one shot (threshold dead)")
     } finally shots.unpersist()
   }
+
+  test("m12: planted loud/quiet spans segment exactly; gate fires both classes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 10 frames quiet ('a'=97) / 10 loud ('z'=122) / 10 quiet / 10 loud:
+    // doc mean is midway, so exactly the 'z' runs are active -> two
+    // segments at frames [10,20) and [30,40), each energy 10*48*122.
+    // A uniform payload sits AT its own mean (>= passes) -> one segment
+    // covering every frame.
+    val q = "a" * 480; val l = "z" * 480
+    val df = graft.ops.MultimodalOps.detectSpeech(spark,
+      Seq((1L, (q + l + q + l).getBytes("US-ASCII"), "web"),
+          (2L, ("m" * 480).getBytes("US-ASCII"), "web"))
+        .toDF("doc_id", "payload", "source")).cache()
+    try {
+      val segs1 = df.filter($"doc_id" === 1).orderBy("seg_idx")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      val e = 10L * 48L * 122L
+      assert(segs1.toSeq == Seq((0L, 10L, 10L, e), (1L, 30L, 10L, e)),
+        s"planted VAD spans wrong: ${segs1.toSeq}")
+      val segs2 = df.filter($"doc_id" === 2).collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(segs2.toSeq == Seq((0L, 0L, 10L)),
+        s"uniform payload must be one all-active segment: ${segs2.toSeq}")
+    } finally df.unpersist()
+    // corpus-level: segments are disjoint, ordered, non-touching (a gap of
+    // >=1 silent frame separates consecutive segments), and the gate
+    // produces real segmentation (more segments than docs = silence exists)
+    val segs = graft.ops.MultimodalOps.detectSpeech(spark, media).cache()
+    try {
+      val bad = segs.withColumn("prev_end",
+          lag(expr("start_frame + n_frames"), 1).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("doc_id").orderBy("seg_idx")))
+        .filter($"prev_end".isNotNull && $"start_frame" <= $"prev_end")
+        .count()
+      assert(bad == 0, s"$bad segments touch or overlap their predecessor")
+      val nDocs = graft.ops.Q.table(spark, dir, "documents").count()
+      assert(segs.count() > nDocs, "VAD gate dead: one segment per doc")
+      assert(segs.filter($"seg_energy" <= 0).count() == 0, "non-positive energy")
+    } finally segs.unpersist()
+  }
 }
