@@ -1403,7 +1403,78 @@ object CorpusOps {
     },
     headline = true)
 
+  /** Drift alarm threshold: a token drifts when its corpus frequency
+    * moves by more than `driftPermil`/1000 ABSOLUTE between snapshots —
+    * compared by exact integer cross-multiplication (t07's rule), never
+    * a float epsilon. At the gate corpus 21 of 31 vocabulary tokens
+    * clear 1‰ between the two halves, so the alarm path is exercised
+    * without being trivially-total. */
+  private[graft] val driftPermil = 1
+
+  /** Release-over-release token-distribution drift — the data-card
+    * monitoring stage a recurring corpus pipeline runs before shipping
+    * snapshot N+1: per token, the exact occurrence counts in each
+    * snapshot, the new/dropped flags, and a drifted flag on the absolute
+    * frequency move. Silent distribution shift (a source changing its
+    * crawler, a filter regressing) shows up here before it shows up in
+    * model evals.
+    *
+    * Snapshot stand-in: doc_id parity (a deployment substitutes its two
+    * release manifests). All arithmetic is EXACT: counts are integer
+    * sums, and the frequency comparison |cA/NA − cB/NB| > θ is the
+    * cross-multiplied |cA·NB − cB·NA|·1000 > θ‰·NA·NB on BIGINTs — no
+    * division anywhere, so engine and oracle can never diverge by a ulp.
+    * (Headroom: count·N ≤ 2^63 holds through ~3×10⁹ tokens per snapshot;
+    * past that the same spelling rides decimal(38,0).)
+    *
+    * Scale shape: ONE corpus pass (the shared per-doc token histogram —
+    * occurrences never explode, only per-doc DISTINCT tokens), one
+    * map-side-combinable (snap, token) aggregate, then vocabulary-width
+    * frames: the pivot is |V| rows and the totals broadcast as one row.
+    * At 100 TB the only full-width exchange is the histogram aggregate,
+    * keyed by token — exactly the wordcount shuffle t10 already prices. */
+  val q70 = QueryDef(
+    "q70_snapshot_drift",
+    (s, d) => withViews(s, d, "documents")(s"""
+      WITH dh AS (SELECT doc_id % 2 AS snap, tok, cnt
+                  FROM (SELECT doc_id,
+                          explode(space_token_histogram($sNorm)) AS (tok, cnt)
+                        FROM documents WHERE length(text) >= 1)),
+      tc AS (SELECT snap, tok, CAST(sum(cnt) AS BIGINT) AS c
+             FROM dh GROUP BY snap, tok),
+      p AS (SELECT tok,
+              CAST(sum(CASE WHEN snap = 0 THEN c ELSE 0 END) AS BIGINT) AS cnt_a,
+              CAST(sum(CASE WHEN snap = 1 THEN c ELSE 0 END) AS BIGINT) AS cnt_b
+            FROM tc GROUP BY tok),
+      tot AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS na,
+                     CAST(sum(cnt_b) AS BIGINT) AS nb FROM p)
+      SELECT tok, cnt_a, cnt_b,
+             abs(cnt_a * nb - cnt_b * na) AS imbalance,
+             (cnt_a = 0) AS is_new,
+             (cnt_b = 0) AS is_dropped,
+             (abs(cnt_a * nb - cnt_b * na) * 1000 > $driftPermil * na * nb)
+               AS is_drifted
+      FROM p CROSS JOIN tot"""),
+    Some(s"""
+      WITH toks AS (SELECT doc_id % 2 AS snap, tok FROM (
+              SELECT doc_id, unnest(string_split($oNorm, ' ')) AS tok
+              FROM documents WHERE length(text) >= 1) WHERE tok <> ''),
+      tc AS (SELECT snap, tok, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+      p AS (SELECT tok,
+              sum(CASE WHEN snap = 0 THEN c ELSE 0 END)::BIGINT AS cnt_a,
+              sum(CASE WHEN snap = 1 THEN c ELSE 0 END)::BIGINT AS cnt_b
+            FROM tc GROUP BY tok),
+      tot AS (SELECT sum(cnt_a)::BIGINT AS na, sum(cnt_b)::BIGINT AS nb FROM p)
+      SELECT tok, cnt_a, cnt_b,
+             abs(cnt_a * nb - cnt_b * na) AS imbalance,
+             (cnt_a = 0) AS is_new,
+             (cnt_b = 0) AS is_dropped,
+             (abs(cnt_a * nb - cnt_b * na) * 1000 > $driftPermil * na * nb)
+               AS is_drifted
+      FROM p CROSS JOIN tot"""),
+    headline = true)
+
   val all: Seq[QueryDef] =
     Seq(d08, d09, q44, t06, q46, q47, q48, q50, t10, t12, t13, t14, t15, t18,
-      q59)
+      q59, q70)
 }

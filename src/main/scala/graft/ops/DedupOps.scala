@@ -374,7 +374,7 @@ object DedupOps {
   // checkpointed leaf, not a lazy cache: see SimilarityOps.normalized —
   // the view-hop consumers (d05/d16/d17) were re-normalizing per
   // reference (PlanAudit: 6 live embeddings scans in d05)
-  private def normEmbeddings(s: org.apache.spark.sql.SparkSession, d: String) =
+  private[graft] def normEmbeddings(s: org.apache.spark.sql.SparkSession, d: String) =
     stagedMaterialized("d05_n", d) {
       roundCheckpoint(withViews(s, d, "embeddings")("""
         WITH e AS (SELECT vec_id, label,
@@ -553,61 +553,77 @@ object DedupOps {
              p.vec_id IS NULL AS is_kept
       FROM assign s LEFT JOIN pruned p ON s.vec_id = p.vec_id"""))
 
+  /** Connected components by iterative min-label propagation over a
+    * SYMMETRIC edge list (`doc_a`, `doc_b`; both directions present) —
+    * each node labeled with the smallest id reachable through edges.
+    * Shared by d06 (MinHash near-dup graph) and d24 (mutual-kNN semantic
+    * graph): ONE fixpoint implementation, two edge semantics.
+    *
+    * Converges in ≤ diameter rounds; each round is one metadata-width
+    * shuffle — the standard scalable formulation when a graph library
+    * isn't available. Callers wrap in [[Q.withAdvisoryCoalesce]] (rounds
+    * are barriers — fewer, larger reduce tasks win) and stage/cache the
+    * edge frame (it is re-read every round). */
+  private[graft] def minLabelComponents(
+      s: org.apache.spark.sql.SparkSession,
+      edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.functions.{min, when, lit}
+    // round 0 is NOT checkpointed: it's one distinct over the cached
+    // edge list, cheap to recompute for round 1's two consumers —
+    // checkpointing it would cost a whole extra materialization job
+    var cur = edges.select($"doc_a".as("id")).distinct()
+      .withColumn("cluster", $"id")
+    var changed = 1L
+    while (changed > 0) {
+      val viaNeighbors = edges
+        .join(cur, edges("doc_b") === cur("id"))
+        .select(edges("doc_a").as("id"), $"cluster", lit(false).as("self"))
+      // Convergence detection rides the label-update job itself: the
+      // old label is folded through the aggregation (every id has
+      // exactly one self=true row, so min-over-when recovers it) and an
+      // accumulator counts changed rows while the round materializes —
+      // ONE job per round, no separate join+count. Task retries can
+      // only over-count (a harmless extra round of an idempotent
+      // fixpoint); a genuine fixpoint adds 0 on every attempt.
+      val acc = s.sparkContext.longAccumulator("cc_changed")
+      val merged = cur.select($"id", $"cluster", lit(true).as("self"))
+        .unionByName(viaNeighbors)
+        .groupBy($"id")
+        .agg(min($"cluster").as("cluster"),
+          min(when($"self", $"cluster")).as("old"))
+      val counted = merged.as[(Long, Long, Long)].mapPartitions { it =>
+        it.map { case (id, c, old) => if (c != old) acc.add(1L); (id, c) }
+      }.toDF("id", "cluster")
+      val next = roundCheckpoint(counted)
+      changed = acc.value
+      // the superseded round's blocks are dead the moment `next` is
+      // materialized — free them now instead of waiting for the
+      // ContextCleaner's GC-driven sweep (at bench/cluster scale the
+      // lag piles rounds×runs of orphaned blocks onto the executors)
+      org.apache.spark.sql.GraftSqlBridge.releaseCheckpointBlocks(cur)
+      cur = next
+    }
+    cur
+  }
+
   /** Dedup clustering: connected components over the MinHash near-dup
     * pair graph — each document labeled with the smallest doc_id reachable
     * through near-dup edges (the canonical "keep one per cluster" step).
     *
-    * Spark side: iterative min-label propagation over the edge list
-    * (converges in ≤ diameter rounds; each round is one shuffle — the
-    * standard scalable formulation when a graph library isn't available).
+    * Spark side: [[minLabelComponents]] min-label propagation.
     * Oracle: DuckDB recursive CTE computing min reachable id — identical
     * fixpoint by definition. */
   val d06 = QueryDef(
     "d06_dedup_clusters",
     (s, d) => {
       import s.implicits._
-      import org.apache.spark.sql.functions.{min, when, lit}
       val labels = staged("d06_labels", d) { withAdvisoryCoalesce(s) {
         val pairs = d02Pairs(s, d)
         val edges = staged("d06_edges", d) {
           pairs.unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
         }
-        // round 0 is NOT checkpointed: it's one distinct over the cached
-        // edge list, cheap to recompute for round 1's two consumers —
-        // checkpointing it would cost a whole extra materialization job
-        var cur = edges.select($"doc_a".as("id")).distinct()
-          .withColumn("cluster", $"id")
-        var changed = 1L
-        while (changed > 0) {
-          val viaNeighbors = edges
-            .join(cur, edges("doc_b") === cur("id"))
-            .select(edges("doc_a").as("id"), $"cluster", lit(false).as("self"))
-          // Convergence detection rides the label-update job itself: the
-          // old label is folded through the aggregation (every id has
-          // exactly one self=true row, so min-over-when recovers it) and an
-          // accumulator counts changed rows while the round materializes —
-          // ONE job per round, no separate join+count. Task retries can
-          // only over-count (a harmless extra round of an idempotent
-          // fixpoint); a genuine fixpoint adds 0 on every attempt.
-          val acc = s.sparkContext.longAccumulator("d06_changed")
-          val merged = cur.select($"id", $"cluster", lit(true).as("self"))
-            .unionByName(viaNeighbors)
-            .groupBy($"id")
-            .agg(min($"cluster").as("cluster"),
-              min(when($"self", $"cluster")).as("old"))
-          val counted = merged.as[(Long, Long, Long)].mapPartitions { it =>
-            it.map { case (id, c, old) => if (c != old) acc.add(1L); (id, c) }
-          }.toDF("id", "cluster")
-          val next = roundCheckpoint(counted)
-          changed = acc.value
-          // the superseded round's blocks are dead the moment `next` is
-          // materialized — free them now instead of waiting for the
-          // ContextCleaner's GC-driven sweep (at bench/cluster scale the
-          // lag piles rounds×runs of orphaned blocks onto the executors)
-          org.apache.spark.sql.GraftSqlBridge.releaseCheckpointBlocks(cur)
-          cur = next
-        }
-        cur
+        minLabelComponents(s, edges)
       } }
       labels.select($"id".as("doc_id"), $"cluster".as("cluster_id"),
         ($"id" =!= $"cluster").as("is_duplicate"))
@@ -770,29 +786,40 @@ object DedupOps {
     * frame is metadata-width (N·k rows) and checkpoints as a LEAF
     * because the mutuality readout self-joins it — left inline, the CTE
     * would re-run the whole pairwise pass twice (q69/d22's lesson). */
+  /** The staged N·k k-NN frame behind s15 (and d24's semantic graph):
+    * checkpointed as a LEAF because every consumer self-joins it — left
+    * inline, the CTE would re-run the whole pairwise pass per reference
+    * (q69/d22's lesson). Registers the `s15_knn` temp view. */
+  private[graft] def s15KnnFrame(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    SimilarityOps.s03Statics(s, d)
+    val knn = stagedMaterialized("s15_knn", d) {
+      roundCheckpoint(s.sql(s"""
+        WITH members AS (SELECT vec_id, cluster FROM s03_assign WHERE rn = 1),
+        probes AS (SELECT vec_id AS src, cluster FROM s03_assign
+                   WHERE rn <= ${SimilarityOps.ivfProbes}),
+        cand AS (SELECT DISTINCT p.src, m.vec_id AS nb
+                 FROM probes p JOIN members m ON m.cluster = p.cluster
+                 WHERE m.vec_id <> p.src),
+        sc AS (SELECT src, nb,
+                 dot_product(q.v, t.v) / (q.nrm * t.nrm) AS cos
+               FROM cand JOIN s03_n q ON q.vec_id = src
+                         JOIN s03_n t ON t.vec_id = nb),
+        r AS (SELECT src, nb, cos,
+                row_number() OVER (PARTITION BY src
+                                   ORDER BY cos DESC, nb) AS rn
+              FROM sc)
+        SELECT src, nb, cos, CAST(rn AS BIGINT) AS rn
+        FROM r WHERE rn <= $knnGraphK"""))
+    }
+    knn.createOrReplaceTempView("s15_knn")
+    knn
+  }
+
   val s15 = QueryDef(
     "s15_knn_graph",
     (s, d) => {
-      SimilarityOps.s03Statics(s, d)
-      stagedMaterialized("s15_knn", d) {
-        roundCheckpoint(s.sql(s"""
-          WITH members AS (SELECT vec_id, cluster FROM s03_assign WHERE rn = 1),
-          probes AS (SELECT vec_id AS src, cluster FROM s03_assign
-                     WHERE rn <= ${SimilarityOps.ivfProbes}),
-          cand AS (SELECT DISTINCT p.src, m.vec_id AS nb
-                   FROM probes p JOIN members m ON m.cluster = p.cluster
-                   WHERE m.vec_id <> p.src),
-          sc AS (SELECT src, nb,
-                   dot_product(q.v, t.v) / (q.nrm * t.nrm) AS cos
-                 FROM cand JOIN s03_n q ON q.vec_id = src
-                           JOIN s03_n t ON t.vec_id = nb),
-          r AS (SELECT src, nb, cos,
-                  row_number() OVER (PARTITION BY src
-                                     ORDER BY cos DESC, nb) AS rn
-                FROM sc)
-          SELECT src, nb, cos, CAST(rn AS BIGINT) AS rn
-          FROM r WHERE rn <= $knnGraphK"""))
-      }.createOrReplaceTempView("s15_knn")
+      s15KnnFrame(s, d)
       s.sql("""
         SELECT k.src AS vec_id, k.nb AS neighbor_id, k.cos, k.rn,
                (m.src IS NOT NULL) AS mutual
@@ -840,5 +867,77 @@ object DedupOps {
       FROM k LEFT JOIN k m ON m.src = k.nb AND m.nb = k.src"""),
     headline = true)
 
-  val all: Seq[QueryDef] = Seq(d02, d03, d04, d05, d06, d07, d16, d17, d21, s15)
+  /** Mutual-edge cosine floor for d24's semantic graph. Picked from the
+    * measured edge structure on the gate embeddings (sf0.01 mutual-edge
+    * cosines span 0.24–0.49, median 0.32): at 0.30 the graph percolates
+    * into one giant component (356 of 408 edge-touched nodes — useless as
+    * dedup), at 0.40 only 60 nodes survive; 0.35 yields 74 components
+    * (max 18 members) — real neighborhood structure, not percolation.
+    * A deployment re-measures this dial on its own embedding geometry
+    * (it is the SemDeDup ε). */
+  private[graft] val semGraphTau = "0.35"
+
+  /** SEMANTIC graph dedup (SemDeDup-shaped): prune every vector that is
+    * reachable from a smaller-id vector through MUTUAL k-NN edges with
+    * cosine ≥ [[semGraphTau]] — keep one representative per semantic
+    * neighborhood. The embedding-space complement of d06 (which clusters
+    * LEXICAL near-dups): paraphrases and re-renderings share no shingles
+    * but land in the same mutual neighborhood.
+    *
+    * Composition is the point: candidates are s15's k-NN graph (shared
+    * staged frame — a pipeline running s15 then d24 builds it once), the
+    * mutuality cut drops hub edges (a hub's one-way fans never both rank
+    * top-k), and components come from [[minLabelComponents]] — d06's
+    * fixpoint over a different edge semantics.
+    *
+    * Scale shape: the edge frame is ≤ N·k rows (metadata-width, from the
+    * checkpointed k-NN leaf — never a corpus re-scan); propagation rounds
+    * are bounded by component diameter, and the τ-cut keeps components
+    * neighborhood-sized (the percolation analysis above is exactly the
+    * dial that guards the round count at 100 TB). Every vector appears in
+    * the output (isolated ⇒ its own cluster, never pruned). */
+  val d24 = QueryDef(
+    "d24_semantic_graph_dedup",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.coalesce
+      s15KnnFrame(s, d)
+      val labels = staged("d24_labels", d) { withAdvisoryCoalesce(s) {
+        val edges = staged("d24_edges", d) {
+          // mutual ⇒ the reversed row exists with the bit-identical cos
+          // (the dot fold multiplies the same term pairs in the same
+          // order), so the filtered list is already symmetric
+          s.sql(s"""
+            SELECT k.src AS doc_a, k.nb AS doc_b
+            FROM s15_knn k JOIN s15_knn m
+              ON m.src = k.nb AND m.nb = k.src
+            WHERE k.cos >= $semGraphTau""")
+        }
+        minLabelComponents(s, edges)
+      } }
+      table(s, d, "embeddings").select($"vec_id")
+        .join(labels, $"vec_id" === labels("id"), "left")
+        .select($"vec_id",
+          coalesce($"cluster", $"vec_id").as("sem_cluster_id"),
+          ($"cluster".isNotNull && $"cluster" =!= $"vec_id").as("is_pruned"))
+    },
+    Some(s"""
+      WITH RECURSIVE knn AS (
+        ${s15.oracle.get.trim}
+      ),
+      edges AS (SELECT vec_id AS a, neighbor_id AS b FROM knn
+                WHERE mutual AND cos >= $semGraphTau),
+      nodes AS (SELECT DISTINCT a AS id FROM edges),
+      reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+      ),
+      lab AS (SELECT id, min(r) AS c FROM reach GROUP BY id)
+      SELECT v.vec_id, COALESCE(lab.c, v.vec_id) AS sem_cluster_id,
+             (lab.c IS NOT NULL AND lab.c <> v.vec_id) AS is_pruned
+      FROM embeddings v LEFT JOIN lab ON lab.id = v.vec_id"""),
+    headline = true)
+
+  val all: Seq[QueryDef] = Seq(d02, d03, d04, d05, d06, d07, d16, d17, d21, s15, d24)
 }

@@ -1395,6 +1395,71 @@ object SimilarityOps {
       FROM f1 JOIN c1 ON f1.query_id = c1.query_id
       LEFT JOIN ov ON f1.query_id = ov.query_id"""))
 
+  /** FILTERED (predicate-constrained) k-NN — "nearest neighbors WHERE
+    * label = X", the retrieval shape RAG and curation pipelines actually
+    * run (restrict to a language, a license class, a domain) where
+    * unconstrained ANN returns mostly-filtered-out candidates. Here each
+    * query retrieves the exact top-5 among vectors sharing ITS OWN label.
+    *
+    * Strategy = subset scan, not probe-and-post-filter: the predicate is
+    * an EQUALITY on an indexed-in-the-data attribute, so the corpus side
+    * blocks on the label via an equi-join — each query scores only its
+    * label's partition (≈ N/|labels| rows), the result is EXACT (recall
+    * 1.0 by construction, no IVF recall haircut), and the plan is one
+    * broadcast-hash-join pass over the corpus with ZERO shuffles (the
+    * bounded query set broadcasts; vectors never move). The
+    * probe-then-post-filter alternative keeps only ~selectivity of each
+    * probed cell — at 10% selectivity it must probe ~10× the cells for
+    * the same k, which is MORE corpus touched than the subset scan; IVF
+    * wins only when the predicate keeps most of the corpus (then s03's
+    * shape applies unchanged with the filter as a residual). That
+    * crossover rule — selectivity decides scan-vs-probe — is the
+    * standard filtered-ANN design (cf. postfiltering vs prefiltering in
+    * IVF systems), encoded here as the exact subset path. */
+  val s16 = QueryDef(
+    "s16_filtered_knn",
+    (s, d) => {
+      DedupOps.normEmbeddings(s, d).createOrReplaceTempView("s16_n")
+      s.sql(s"""
+        WITH q AS (SELECT vec_id AS query_id, label AS qlab, v AS qv,
+                          nrm AS qn
+                   FROM s16_n WHERE $qSet),
+        sc AS (SELECT /*+ BROADCAST(q) */ query_id, t.vec_id AS neighbor_id,
+                 t.label,
+                 dot_product(qv, t.v) / (qn * t.nrm) AS cos
+               FROM q JOIN s16_n t ON t.label = q.qlab
+               WHERE t.vec_id <> q.query_id),
+        r AS (SELECT query_id, neighbor_id, label, cos,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rn
+              FROM sc)
+        SELECT query_id, neighbor_id, label, cos, CAST(rn AS BIGINT) AS rn
+        FROM r WHERE rn <= 5""")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      n AS (SELECT vec_id, label, v,
+              sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+            FROM e),
+      q AS (SELECT vec_id AS query_id, label AS qlab, v AS qv, nrm AS qn
+            FROM n WHERE $qSet),
+      sc AS (SELECT query_id, t.vec_id AS neighbor_id, t.label,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(list_zip(qv, t.v), s -> s[1] * s[2])),
+                 (acc, z) -> acc + z) / (qn * t.nrm) AS cos
+             FROM q JOIN n t ON t.label = q.qlab
+             WHERE t.vec_id <> q.query_id),
+      r AS (SELECT query_id, neighbor_id, label, cos,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS rn
+            FROM sc)
+      SELECT query_id, neighbor_id, label, cos, CAST(rn AS BIGINT) AS rn
+      FROM r WHERE rn <= 5"""),
+    headline = true)
+
   val all: Seq[QueryDef] =
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s12, s13, s14)
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s12, s13, s14, s16)
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** s16 filtered k-NN: the predicate binds (every neighbor shares the
+  * query's label, and the constrained result genuinely differs from the
+  * unconstrained one), the subset scan is EXACT against driver-side
+  * brute force over the filtered subset, and the adjacency shape holds. */
+class FilteredKnnSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val rows =
+    SparkEntry.queries("s16_filtered_knn")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getLong(4)))
+
+  private lazy val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    .collect().map { r =>
+      r.getLong(r.fieldIndex("vec_id")) ->
+        ((r.getInt(r.fieldIndex("label")),
+          r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray))
+    }.toMap
+
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    var i = 0; var d = 0.0; var na = 0.0; var nb = 0.0
+    while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("every neighbor shares the query's label; shape invariants hold") {
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_._1)
+    for ((q, es) <- byQ) {
+      val qlab = vecs(q)._1
+      assert(es.forall(_._3 == qlab), s"query $q has a cross-label neighbor")
+      assert(es.forall(_._2 != q), s"query $q self-match")
+      assert(es.length <= 5)
+      val ranked = es.sortBy(_._5)
+      assert(ranked.map(_._5).sameElements(1L to es.length.toLong))
+      for (Array(a, b) <- ranked.sliding(2).map(_.toArray))
+        assert(a._4 >= b._4, s"query $q cos not sorted")
+    }
+  }
+
+  test("exact against brute force over the filtered subset (recall 1.0)") {
+    val byQ = rows.groupBy(_._1)
+    for ((q, es) <- byQ) {
+      val (qlab, qv) = vecs(q)
+      val truth = vecs.toSeq
+        .filter { case (id, (lab, _)) => id != q && lab == qlab }
+        .map { case (id, (_, v)) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(5).map(_._1)
+      assert(es.sortBy(_._5).map(_._2).sameElements(truth),
+        s"query $q filtered top-5 differs from exact subset brute force")
+    }
+  }
+
+  test("the filter binds: constrained top-5 differs from unconstrained") {
+    val unfiltered = SparkEntry.queries("s01_knn_bruteforce")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, es) => q -> es.map(_._2).toSet }
+    val filtered = rows.groupBy(_._1).map { case (q, es) => q -> es.map(_._2).toSet }
+    val differing = filtered.keys.count(q => unfiltered.get(q).exists(_ != filtered(q)))
+    info(s"s16: $differing of ${filtered.size} queries change top-5 under the label filter")
+    assert(differing > 0, "label filter never changed any result - fixture degenerate")
+  }
+}
