@@ -1435,26 +1435,35 @@ object CorpusOps {
     * keyed by token — exactly the wordcount shuffle t10 already prices. */
   val q70 = QueryDef(
     "q70_snapshot_drift",
-    (s, d) => withViews(s, d, "documents")(s"""
-      WITH dh AS (SELECT doc_id % 2 AS snap, tok, cnt
-                  FROM (SELECT doc_id,
-                          explode(space_token_histogram($sNorm)) AS (tok, cnt)
-                        FROM documents WHERE length(text) >= 1)),
-      tc AS (SELECT snap, tok, CAST(sum(cnt) AS BIGINT) AS c
-             FROM dh GROUP BY snap, tok),
-      p AS (SELECT tok,
-              CAST(sum(CASE WHEN snap = 0 THEN c ELSE 0 END) AS BIGINT) AS cnt_a,
-              CAST(sum(CASE WHEN snap = 1 THEN c ELSE 0 END) AS BIGINT) AS cnt_b
-            FROM tc GROUP BY tok),
-      tot AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS na,
-                     CAST(sum(cnt_b) AS BIGINT) AS nb FROM p)
-      SELECT tok, cnt_a, cnt_b,
-             abs(cnt_a * nb - cnt_b * na) AS imbalance,
-             (cnt_a = 0) AS is_new,
-             (cnt_b = 0) AS is_dropped,
-             (abs(cnt_a * nb - cnt_b * na) * 1000 > $driftPermil * na * nb)
-               AS is_drifted
-      FROM p CROSS JOIN tot"""),
+    (s, d) => {
+      // the per-token pivot is referenced twice (totals + final select);
+      // left inline, CTE inlining re-runs the corpus histogram pass per
+      // reference (PlanAudit caught exactly that: 2x live documents scan)
+      // — checkpoint it as a LEAF, it is vocabulary-width
+      stagedMaterialized("q70_p", d) {
+        roundCheckpoint(withViews(s, d, "documents")(s"""
+          WITH dh AS (SELECT doc_id % 2 AS snap, tok, cnt
+                      FROM (SELECT doc_id,
+                              explode(space_token_histogram($sNorm)) AS (tok, cnt)
+                            FROM documents WHERE length(text) >= 1)),
+          tc AS (SELECT snap, tok, CAST(sum(cnt) AS BIGINT) AS c
+                 FROM dh GROUP BY snap, tok)
+          SELECT tok,
+                 CAST(sum(CASE WHEN snap = 0 THEN c ELSE 0 END) AS BIGINT) AS cnt_a,
+                 CAST(sum(CASE WHEN snap = 1 THEN c ELSE 0 END) AS BIGINT) AS cnt_b
+          FROM tc GROUP BY tok"""))
+      }.createOrReplaceTempView("q70_p")
+      s.sql(s"""
+        WITH tot AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS na,
+                            CAST(sum(cnt_b) AS BIGINT) AS nb FROM q70_p)
+        SELECT tok, cnt_a, cnt_b,
+               abs(cnt_a * nb - cnt_b * na) AS imbalance,
+               (cnt_a = 0) AS is_new,
+               (cnt_b = 0) AS is_dropped,
+               (abs(cnt_a * nb - cnt_b * na) * 1000 > $driftPermil * na * nb)
+                 AS is_drifted
+        FROM q70_p CROSS JOIN tot""")
+    },
     Some(s"""
       WITH toks AS (SELECT doc_id % 2 AS snap, tok FROM (
               SELECT doc_id, unnest(string_split($oNorm, ' ')) AS tok
