@@ -1337,6 +1337,42 @@ object CurationOps {
       ${prBody("//")}"""),
     headline = true)
 
+  /** Corpus-wide most-duplicated n-gram chunks — the memorization risk
+    * list (the table Lee et al.'s dedup paper reports: the exact
+    * sequences a model will regurgitate are the ones repeated most
+    * across the corpus). Top-100 cross-document 8-token chunks by total
+    * occurrence count, with the distinct-document spread; single-doc
+    * repeats are excluded (d14's intra-doc territory). Rides d11's
+    * chunk spelling, so the list names exactly the spans d11/d19 would
+    * deduplicate — the audit and the fix share one tokenization.
+    *
+    * Scale shape: one corpus chunk pass into a map-side-combinable
+    * (chunk, count) aggregate — t10's wordcount shuffle at chunk
+    * granularity — then a global top-K that Spark executes as
+    * TakeOrderedAndProject (per-partition partial top-100, never a full
+    * sort). The (count DESC, chunk ASC) total order makes the LIMIT
+    * boundary deterministic in both engines. */
+  val t20 = QueryDef(
+    "t20_memorized_ngrams",
+    (s, d) => withViews(s, d, "documents")(s"""
+      WITH $sChunks,
+      c AS (SELECT chunk, CAST(count(*) AS BIGINT) AS n_occurrences,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM chunks GROUP BY chunk
+            HAVING count(DISTINCT doc_id) >= 2)
+      SELECT chunk, n_occurrences, n_docs
+      FROM c ORDER BY n_occurrences DESC, chunk LIMIT 100"""),
+    Some(s"""
+      WITH $oChunks,
+      c AS (SELECT chunk, count(*)::BIGINT AS n_occurrences,
+                   count(DISTINCT doc_id)::BIGINT AS n_docs
+            FROM chunks GROUP BY chunk
+            HAVING count(DISTINCT doc_id) >= 2)
+      SELECT chunk, n_occurrences, n_docs
+      FROM c ORDER BY n_occurrences DESC, chunk LIMIT 100"""),
+    headline = true)
+
   val all: Seq[QueryDef] =
-    Seq(d10, d11, d19, d12, q51, t09, t19, d13, d22, q52, d15, q54, d14, q57, t11, d18, q69)
+    Seq(d10, d11, d19, d12, q51, t09, t19, d13, d22, q52, d15, q54, d14, q57,
+      t11, d18, q69, t20)
 }

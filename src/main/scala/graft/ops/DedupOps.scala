@@ -62,21 +62,31 @@ object DedupOps {
     * banding (see [[minhashBands]]), then exact shingle-Jaccard
     * verification of candidates. Planted near-dups in the driver data sit
     * at jaccard ≥ 0.8; the default banding gives ≥ 0.999 recall there. */
-  val d02 = QueryDef(
-    "d02_minhash_lsh",
-    (s, d) => {
-      // Staged with explicit caches: Spark re-executes a CTE per reference,
-      // and the shingle/signature stage feeds FOUR consumers (two band
-      // sides, two verify sides) — materializing it once cut the sf0.1
-      // bench ~8×. At cluster scale these caches are the pipeline's
-      // materialized boundaries (checkpoint/exchange reuse).
-      val sh = staged("d02_sh", d) {
-        withViews(s, d, "documents")("""
-          SELECT doc_id, sset FROM
-            (SELECT doc_id, shingle_set(text, 3) AS sset FROM documents)
-          WHERE size(sset) >= 1""")
-      }
-      sh.createOrReplaceTempView("d02_sh")
+  /** d02's staged shingle-set frame (doc_id, sset) — the stage that feeds
+    * FOUR consumers in d02 alone (two band sides, two verify sides) and
+    * now also d25's exact-overlap audit. Materializing it once cut the
+    * sf0.1 bench ~8×; at cluster scale these caches are the pipeline's
+    * materialized boundaries (checkpoint/exchange reuse). */
+  private[graft] def d02Shingles(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val sh = staged("d02_sh", d) {
+      withViews(s, d, "documents")("""
+        SELECT doc_id, sset FROM
+          (SELECT doc_id, shingle_set(text, 3) AS sset FROM documents)
+        WHERE size(sset) >= 1""")
+    }
+    sh.createOrReplaceTempView("d02_sh")
+    sh
+  }
+
+  /** d02's RAW banding candidate pairs (ida < idb), BEFORE the exact
+    * jaccard verify — the frame whose size is LSH's cost dial (every row
+    * is one verify-stage set comparison). Shared by d02 (which filters it
+    * to true near-dups) and d25 (which audits its precision). */
+  private[graft] def d02Candidates(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    staged("d02_cand", d) {
+      d02Shingles(s, d)
       // band key spelled as unrolled element_at's (r is a load-time
       // constant), NOT a transform(...) lambda: this frame self-joins in
       // the candidate step, and Spark's DeduplicateRelations trips an
@@ -101,14 +111,21 @@ object DedupOps {
       // TWICE, one live copy per self-join side, with the staged cache
       // never substituted.
       import s.implicits._
-      import org.apache.spark.sql.functions.expr
-      val cand = bands.as("a")
+      bands.as("a")
         .join(bands.as("b"),
           $"a.bj" === $"b.bj" && $"a.bkey" === $"b.bkey" &&
             $"a.doc_id" < $"b.doc_id")
         .select($"a.doc_id".as("ida"), $"b.doc_id".as("idb"))
         .distinct()
-      cand
+    }
+
+  val d02 = QueryDef(
+    "d02_minhash_lsh",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.expr
+      val sh = d02Shingles(s, d)
+      d02Candidates(s, d)
         .join(sh.as("sa"), $"ida" === $"sa.doc_id")
         .join(sh.as("sb"), $"idb" === $"sb.doc_id")
         .select($"ida".as("doc_a"), $"idb".as("doc_b"),
@@ -148,6 +165,58 @@ object DedupOps {
     staged("d02_pairs", d) {
       roundCheckpoint(d02.run(s, d).select("doc_a", "doc_b"))
     }
+
+  /** LSH candidate-precision audit — the measurement that prices d02's
+    * banding dial: one row per RAW banding candidate with its EXACT
+    * shingle overlap, so a deployment can read what fraction of the
+    * verify stage's work the S-curve wastes (b=8 × r=2 admits a j=0.2
+    * pair with P≈0.3%; at 100 TB the candidate count IS the dedup cost,
+    * and this is the frame that says whether to move the dial). The
+    * confirmed flag is d02's j ≥ 0.8 bar spelled as an integer
+    * cross-multiplication on exact set sizes; jac6 is exact integer
+    * division — no doubles anywhere. s04/s14's honest-measurement
+    * pattern applied to the dedup family.
+    *
+    * Scale shape: exactly d02's — the candidate frame is the bounded
+    * band-collision set (never all-pairs), and the per-pair set overlap
+    * is the same work d02's verify stage already does (array_intersect
+    * on two bounded shingle sets), re-emitted as counts instead of
+    * being consumed by a filter. */
+  val d25 = QueryDef(
+    "d25_lsh_precision_audit",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.expr
+      val sh = d02Shingles(s, d)
+      d02Candidates(s, d)
+        .join(sh.as("sa"), $"ida" === $"sa.doc_id")
+        .join(sh.as("sb"), $"idb" === $"sb.doc_id")
+        .select($"ida".as("doc_a"), $"idb".as("doc_b"),
+          expr("CAST(size(array_intersect(sa.sset, sb.sset)) AS BIGINT)")
+            .as("n_shared"),
+          expr("CAST(size(sa.sset) AS BIGINT) + CAST(size(sb.sset) AS BIGINT)")
+            .as("n_total"))
+        .selectExpr("doc_a", "doc_b", "n_shared",
+          "n_total - n_shared AS n_union",
+          "(n_shared * 1000000) div (n_total - n_shared) AS jac6",
+          "n_shared * 10 >= (n_total - n_shared) * 8 AS is_confirmed")
+    },
+    Some(s"""
+      WITH $oracleBandsCte,
+      cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+               FROM bands a JOIN bands b
+                 ON a.bj = b.bj AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      ver AS (SELECT ida, idb,
+                CAST(len(list_filter(sa.sset, x -> list_contains(sb.sset, x))) AS BIGINT) AS n_shared,
+                CAST(len(sa.sset) + len(sb.sset)
+                     - len(list_filter(sa.sset, x -> list_contains(sb.sset, x))) AS BIGINT) AS n_union
+              FROM cand JOIN sh sa ON cand.ida = sa.doc_id
+                        JOIN sh sb ON cand.idb = sb.doc_id)
+      SELECT ida AS doc_a, idb AS doc_b, n_shared, n_union,
+             (n_shared * 1000000) // n_union AS jac6,
+             n_shared * 10 >= n_union * 8 AS is_confirmed
+      FROM ver"""),
+    headline = true)
 
   /** SimHash: 32-bit majority-vote fingerprint over token hashes.
     * Row-wise (no shuffle); hamming-ball grouping composes downstream. */
@@ -939,5 +1008,6 @@ object DedupOps {
       FROM embeddings v LEFT JOIN lab ON lab.id = v.vec_id"""),
     headline = true)
 
-  val all: Seq[QueryDef] = Seq(d02, d03, d04, d05, d06, d07, d16, d17, d21, s15, d24)
+  val all: Seq[QueryDef] =
+    Seq(d02, d25, d03, d04, d05, d06, d07, d16, d17, d21, s15, d24)
 }
