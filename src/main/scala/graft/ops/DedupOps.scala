@@ -858,22 +858,33 @@ object DedupOps {
   /** The staged N·k k-NN frame behind s15 (and d24's semantic graph):
     * checkpointed as a LEAF because every consumer self-joins it — left
     * inline, the CTE would re-run the whole pairwise pass per reference
-    * (q69/d22's lesson). Registers the `s15_knn` temp view. */
+    * (q69/d22's lesson). Registers the `s15_knn` temp view.
+    *
+    * Scoring rides the cluster join DIRECTLY: probes and members carry
+    * their (v, nrm) into the equi-join and the cosine is projected in
+    * its output, inside whole-stage codegen. The first spelling built a
+    * bare (src, nb) candidate list, DISTINCT'ed it, then re-joined the
+    * vector frame TWICE to score — at 64× that was one ~10⁹-row
+    * hash-distinct plus two ~10⁹-row joins whose intermediate carried a
+    * 64-dim array per row (~0.5 TB of exchange), and the leg was killed
+    * unfinished after 20 minutes. The DISTINCT was pure waste: members
+    * hold rn=1 rows (each vector in exactly ONE cluster) and probes hold
+    * distinct clusters per source, so (src, nb) pairs are unique by
+    * construction. Same candidate set, same cosines, one join. */
   private[graft] def s15KnnFrame(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     SimilarityOps.s03Statics(s, d)
     val knn = stagedMaterialized("s15_knn", d) {
       roundCheckpoint(s.sql(s"""
-        WITH members AS (SELECT vec_id, cluster FROM s03_assign WHERE rn = 1),
-        probes AS (SELECT vec_id AS src, cluster FROM s03_assign
-                   WHERE rn <= ${SimilarityOps.ivfProbes}),
-        cand AS (SELECT DISTINCT p.src, m.vec_id AS nb
-                 FROM probes p JOIN members m ON m.cluster = p.cluster
-                 WHERE m.vec_id <> p.src),
-        sc AS (SELECT src, nb,
-                 dot_product(q.v, t.v) / (q.nrm * t.nrm) AS cos
-               FROM cand JOIN s03_n q ON q.vec_id = src
-                         JOIN s03_n t ON t.vec_id = nb),
+        WITH qp AS (SELECT a.vec_id AS src, a.cluster, n.v AS qv, n.nrm AS qn
+                    FROM s03_assign a JOIN s03_n n ON n.vec_id = a.vec_id
+                    WHERE a.rn <= ${SimilarityOps.ivfProbes}),
+        mem AS (SELECT a.vec_id AS nb, a.cluster, n.v, n.nrm
+                FROM s03_assign a JOIN s03_n n ON n.vec_id = a.vec_id
+                WHERE a.rn = 1),
+        sc AS (SELECT src, nb, dot_product(qv, v) / (qn * nrm) AS cos
+               FROM qp JOIN mem ON mem.cluster = qp.cluster
+               WHERE nb <> src),
         r AS (SELECT src, nb, cos,
                 row_number() OVER (PARTITION BY src
                                    ORDER BY cos DESC, nb) AS rn

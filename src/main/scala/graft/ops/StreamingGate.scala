@@ -921,5 +921,117 @@ object StreamingGate {
         ON a.bno = r.bno AND a.cluster_id = r.cluster_id
       WHERE r.cluster_id IS NULL"""))
 
-  val all: Seq[QueryDef] = Seq(q42, q43, q49, q53, q58, q64, s11, d20, d23)
+  final case class DriftRow(tok: String, snap: Long, cnt: Long)
+  final case class DriftState(cnt_a: Long, cnt_b: Long)
+  final case class DriftOut(bno: Long, tok: String, cnt_a: Long, cnt_b: Long)
+
+  /** q71's per-token FSM (d20's extraction pattern): fold the batch's
+    * occurrence counts into the running (cnt_a, cnt_b) pair and emit ONE
+    * row with the updated totals — O(1) state and O(1) memory per group
+    * regardless of how often a token occurs in a batch (the iterator is
+    * folded, never buffered). The batch number rides the rows themselves
+    * (parity batches ⇒ uniform snap per invocation). */
+  private[graft] def driftFsm(
+      tok: String, rows: Iterator[DriftRow],
+      st: org.apache.spark.sql.streaming.GroupState[DriftState])
+      : Iterator[DriftOut] = {
+    var a = 0L; var b = 0L; var bno = 0L
+    while (rows.hasNext) {
+      val r = rows.next()
+      if (r.snap == 0L) a += r.cnt else b += r.cnt
+      bno = r.snap
+    }
+    val prev = st.getOption.getOrElse(DriftState(0L, 0L))
+    val next = DriftState(prev.cnt_a + a, prev.cnt_b + b)
+    st.update(next)
+    Iterator.single(DriftOut(bno, tok, next.cnt_a, next.cnt_b))
+  }
+
+  /** STREAMING token-distribution drift — q70 at the point snapshot N+1
+    * actually arrives: per ingest batch, each touched token's RUNNING
+    * (baseline, incoming) counts, with the drift alarm evaluated against
+    * the running totals — the monitoring a recurring pipeline wants
+    * per-ingest, not after the release is already assembled. d23's
+    * regime applied to the data-card path: the spec proves the final
+    * per-token state CONVERGES to q70's batch pivot, so the two paths
+    * are one semantics at two latencies.
+    *
+    * Scale: state is one (cnt_a, cnt_b) pair per distinct vocabulary
+    * token (vocabulary-width — sublinear in corpus); per batch only the
+    * arriving documents' histogram rows shuffle; the alarm post-pass
+    * touches the metadata-width emission frame only. */
+  private[graft] def driftStream(
+      s: SparkSession, d: String, provider: Option[String]): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val sch = Q.table(s, d, "documents").schema
+    val inDir = stageParityBatches(s, d, "documents")
+    val outDir = tempDir("graft-q71-out").toString
+    val ckpt = tempDir("graft-q71-ckpt").toString
+    val rows = s.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      .where("length(text) >= 1")
+      .selectExpr("doc_id % 2 AS snap",
+        s"explode(space_token_histogram(${Q.sNorm})) AS (tok, cnt)")
+      .selectExpr("tok", "CAST(snap AS BIGINT) AS snap", "CAST(cnt AS BIGINT) AS cnt")
+      .as[DriftRow]
+      .groupByKey(_.tok)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (tok: String, rs: Iterator[DriftRow],
+         st: org.apache.spark.sql.streaming.GroupState[DriftState]) =>
+          driftFsm(tok, rs, st)
+      }
+    graft.streaming.StateStores.withProvider(s, provider) {
+      val q = rows.toDF().writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // alarm post-pass over the metadata-width emissions: NA = the full
+    // baseline total (known after batch 0), NB = the running incoming
+    // total; checkpointed leaf so the three references share one scan
+    Q.roundCheckpoint(
+      s.read.schema(org.apache.spark.sql.Encoders.product[DriftOut].schema)
+        .parquet(outDir))
+      .createOrReplaceTempView("q71_hits")
+    s.sql(s"""
+      WITH na AS (SELECT CAST(coalesce(sum(cnt_a), 0) AS BIGINT) AS v
+                  FROM q71_hits WHERE bno = 0),
+      nb AS (SELECT CAST(coalesce(sum(cnt_b), 0) AS BIGINT) AS v
+             FROM q71_hits WHERE bno = 1)
+      SELECT h.bno, h.tok, h.cnt_a, h.cnt_b,
+             CASE WHEN h.bno = 1
+                  THEN abs(h.cnt_a * nb.v - h.cnt_b * na.v) * 1000
+                         > ${CorpusOps.driftPermil} * na.v * nb.v
+                  ELSE false END AS is_drifted
+      FROM q71_hits h CROSS JOIN na CROSS JOIN nb""")
+  }
+
+  val q71 = QueryDef(
+    "q71_streaming_drift",
+    (s, d) => driftStream(s, d, None),
+    Some(s"""
+      WITH toks AS (SELECT doc_id % 2 AS snap, tok FROM (
+              SELECT doc_id, unnest(string_split(${Q.oNorm}, ' ')) AS tok
+              FROM documents WHERE length(text) >= 1) WHERE tok <> ''),
+      tc AS (SELECT snap, tok, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+      ec AS (SELECT tok, c FROM tc WHERE snap = 0),
+      oc AS (SELECT tok, c FROM tc WHERE snap = 1),
+      na AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS v FROM ec),
+      nb AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS v FROM oc)
+      SELECT CAST(0 AS BIGINT) AS bno, tok, c AS cnt_a,
+             CAST(0 AS BIGINT) AS cnt_b, false AS is_drifted
+      FROM ec
+      UNION ALL
+      SELECT CAST(1 AS BIGINT), o.tok, CAST(coalesce(e.c, 0) AS BIGINT), o.c,
+             abs(coalesce(e.c, 0) * nb.v - o.c * na.v) * 1000
+               > ${CorpusOps.driftPermil} * na.v * nb.v
+      FROM oc o LEFT JOIN ec e ON o.tok = e.tok
+      CROSS JOIN na CROSS JOIN nb"""))
+
+  val all: Seq[QueryDef] = Seq(q42, q43, q49, q53, q58, q64, s11, d20, d23, q71)
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q71 streaming drift: hand-computed per-batch emissions on the planted
+  * two-snapshot corpus, convergence of the final per-token state to
+  * q70's batch pivot on the gate corpus (d23's one-semantics-two-
+  * latencies proof applied to the data-card path), and RocksDB parity. */
+class DriftStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def plant(rows: Seq[(Long, String)]): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q71").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  private def run(dir: String, p: Option[String]): Seq[(Long, String, Long, Long, Boolean)] =
+    graft.ops.StreamingGate.driftStream(spark, dir, p)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).sorted.toSeq
+
+  test("planted corpus: exact per-batch running counts and alarms") {
+    val tmp = plant(Seq(
+      (0L, "stable stable oldtok"),
+      (1L, "stable stable newtok surge surge surge"),
+      (2L, "   ")))
+    val got = run(tmp, None)
+    assert(got == Seq(
+      (0L, "oldtok", 1L, 0L, false),
+      (0L, "stable", 2L, 0L, false),
+      (1L, "newtok", 0L, 1L, true),
+      (1L, "stable", 2L, 2L, true),
+      (1L, "surge", 0L, 3L, true)), s"got $got")
+  }
+
+  test("final state converges to q70's batch pivot; RocksDB agrees") {
+    val dir = "/root/testdata/sf0.001"
+    val out = run(dir, None)
+    assert(out.nonEmpty)
+    // final per-token state = the batch-1 emission when the token arrived
+    // in the later snapshot, else its batch-0 row
+    val fin = out.groupBy(_._2).map { case (tok, rows) =>
+      val last = rows.maxBy(_._1); tok -> ((last._3, last._4))
+    }
+    val q70 = SparkEntry.queries("q70_snapshot_drift")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(fin == q70,
+      s"streaming final state diverges from q70: ${fin.toSet.diff(q70.toSet)}")
+    // the alarm agrees with q70 for every token the stream alarmed on
+    // (batch-1 rows see the complete totals once the last batch landed)
+    val q70drift = SparkEntry.queries("q70_snapshot_drift")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getBoolean(6)).toMap
+    for ((bno, tok, _, _, drifted) <- out if bno == 1L)
+      assert(drifted == q70drift(tok), s"alarm mismatch for $tok")
+    assert(out.exists(_._5), "alarm never fired on the gate corpus")
+    // same pipeline with state in RocksDB: identical emissions
+    assert(run(dir, Some(graft.streaming.StateStores.RocksDB)) == out)
+  }
+}
