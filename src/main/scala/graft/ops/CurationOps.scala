@@ -1372,7 +1372,53 @@ object CurationOps {
       FROM c ORDER BY n_occurrences DESC, chunk LIMIT 100"""),
     headline = true)
 
+  /** LEAKAGE-SAFE train/val/test split — the assignment rule that makes
+    * held-out evaluation honest: a document's split is a deterministic
+    * hash of its DEDUP CLUSTER (d06's label), never of the document
+    * itself, so near-duplicates can NEVER straddle splits (doc-hash
+    * splitting leaks ~every duplicated document's content into eval —
+    * the classic silent inflation d07/d12 exist to catch after the
+    * fact; this op prevents it at assignment time). Unclustered
+    * documents are their own singleton cluster. 80/10/10 by Knuth
+    * multiplicative hash on the cluster id — exact integer arithmetic,
+    * identical in both engines (headroom: id·2654435761 < 2⁶³ holds to
+    * id ≈ 3.5×10⁹; past that substitute a 64-bit splitmix in BOTH
+    * spellings). Fractions are cluster-weighted by construction — the
+    * price of leakage-freedom, reported honestly by the spec.
+    *
+    * Scale shape: d06's labels (already priced) + one broadcast-free
+    * LEFT equi-join on doc_id + a row-wise projection. Nothing new
+    * moves: the labels frame is metadata-width, documents join on their
+    * scan partitioning. */
+  val d26 = QueryDef(
+    "d26_leakage_safe_split",
+    (s, d) => {
+      DedupOps.d06.run(s, d).createOrReplaceTempView("d26_lab")
+      withViews(s, d, "documents")(s"""
+        WITH a AS (SELECT doc.doc_id,
+                     coalesce(lab.cluster_id, doc.doc_id) AS cluster_id
+                   FROM documents doc LEFT JOIN d26_lab lab
+                     ON doc.doc_id = lab.doc_id)
+        SELECT doc_id, cluster_id,
+               CASE (cluster_id * 2654435761) % 4294967296 % 10
+                 WHEN 0 THEN 'val' WHEN 1 THEN 'test' ELSE 'train'
+               END AS split
+        FROM a""")
+    },
+    Some(s"""
+      WITH lab AS (
+        ${DedupOps.d06.oracle.get.trim}
+      ),
+      a AS (SELECT doc.doc_id,
+              coalesce(lab.cluster_id, doc.doc_id) AS cluster_id
+            FROM documents doc LEFT JOIN lab ON doc.doc_id = lab.doc_id)
+      SELECT doc_id, cluster_id,
+             CASE (cluster_id * 2654435761) % 4294967296 % 10
+               WHEN 0 THEN 'val' WHEN 1 THEN 'test' ELSE 'train'
+             END AS split
+      FROM a"""))
+
   val all: Seq[QueryDef] =
     Seq(d10, d11, d19, d12, q51, t09, t19, d13, d22, q52, d15, q54, d14, q57,
-      t11, d18, q69, t20)
+      t11, d18, q69, t20, d26)
 }
