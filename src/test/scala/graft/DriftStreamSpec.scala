@@ -39,6 +39,30 @@ class DriftStreamSpec extends AnyFunSuite {
       (1L, "surge", 0L, 3L, true)), s"got $got")
   }
 
+  test("q71 FSM: hot-token batch folds lazily - O(1) memory, one emission") {
+    import graft.ops.StreamingGate.{driftFsm, DriftRow, DriftState}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    // a stop-word-class token occurring 300k times in one ingest batch:
+    // the FSM must fold the iterator into two running Longs - never
+    // buffer it - and emit exactly ONE row with the updated totals
+    val n = 300000
+    var served = 0
+    def rows: Iterator[DriftRow] = new Iterator[DriftRow] {
+      private var i = 0
+      def hasNext: Boolean = i < n
+      def next(): DriftRow = { served += 1; i += 1; DriftRow("the", 1L, 2L) }
+    }
+    val st = TestGroupState.create[DriftState](
+      org.apache.spark.api.java.Optional.of(DriftState(7L, 5L)),
+      GroupStateTimeout.NoTimeout, 0L,
+      org.apache.spark.api.java.Optional.empty[Long](), false)
+    val out = driftFsm("the", rows, st).toSeq
+    assert(served == n, "fold must consume the whole batch")
+    assert(out == Seq(graft.ops.StreamingGate.DriftOut(1L, "the", 7L, 5L + 2L * n)),
+      s"got $out")
+    assert(st.get == DriftState(7L, 5L + 2L * n))
+  }
+
   test("final state converges to q70's batch pivot; RocksDB agrees") {
     val dir = "/root/testdata/sf0.001"
     val out = run(dir, None)
