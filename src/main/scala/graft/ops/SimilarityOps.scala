@@ -1429,7 +1429,10 @@ object SimilarityOps {
     * shape applies unchanged with the filter as a residual). That
     * crossover rule — selectivity decides scan-vs-probe — is the
     * standard filtered-ANN design (cf. postfiltering vs prefiltering in
-    * IVF systems), encoded here as the exact subset path. */
+    * IVF systems), encoded here as the exact subset path, and MEASURED
+    * in the spec: post-filtering s03's P=4 probes by the label keeps
+    * only 0.480 of the filtered true top-5 on the gate embeddings,
+    * where the subset scan keeps 1.000 at comparable touched-rows. */
   val s16 = QueryDef(
     "s16_filtered_knn",
     (s, d) => {

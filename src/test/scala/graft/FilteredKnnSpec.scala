@@ -56,6 +56,40 @@ class FilteredKnnSpec extends AnyFunSuite {
     }
   }
 
+  test("measured: IVF post-filter at s03's budget loses recall the subset scan keeps") {
+    // replicate s03's deterministic quantizer driver-side (centroids =
+    // vec_id % 50 == 7 && < 3200, assignment = nearest, probes = top-4)
+    // and post-filter its candidates by the query's label: the recall
+    // hit vs the exact subset scan is the measured form of the
+    // selectivity-decides-scan-vs-probe rule in s16's scaladoc.
+    val cents = vecs.filter { case (id, _) => id % 50 == 7 && id < 3200 }
+    def ranked(q: Array[Double]): Seq[Long] =
+      cents.toSeq.map { case (cid, (_, cv)) => (cid, cos(q, cv)) }
+        .sortBy { case (cid, c) => (-c, cid) }.map(_._1)
+    val assign = vecs.map { case (id, (_, v)) => id -> ranked(v).head }
+    val queries = rows.map(_._1).distinct
+    val recalls = queries.map { q =>
+      val (qlab, qv) = vecs(q)
+      val truth = vecs.toSeq
+        .filter { case (id, (lab, _)) => id != q && lab == qlab }
+        .map { case (id, (_, v)) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+      val probed = ranked(qv).take(graft.ops.SimilarityOps.ivfProbes).toSet
+      val got = vecs.toSeq
+        .filter { case (id, (lab, _)) =>
+          id != q && lab == qlab && probed.contains(assign(id)) }
+        .map { case (id, (_, v)) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+      got.intersect(truth).size.toDouble / truth.size.min(5).max(1)
+    }
+    val postFilter = recalls.sum / recalls.size
+    info(f"IVF(P=4)+post-filter recall@5 on the label predicate: $postFilter%.3f " +
+      "(s16 subset scan: 1.000 by construction)")
+    // the subset scan is exact; the probe path must measurably lose
+    // recall here or the scaladoc's crossover rule is vacuous on this data
+    assert(postFilter < 0.95, f"post-filter recall $postFilter%.3f - rule not exercised")
+  }
+
   test("the filter binds: constrained top-5 differs from unconstrained") {
     val unfiltered = SparkEntry.queries("s01_knn_bruteforce")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
