@@ -1372,51 +1372,78 @@ object CurationOps {
       FROM c ORDER BY n_occurrences DESC, chunk LIMIT 100"""),
     headline = true)
 
-  /** LEAKAGE-SAFE train/val/test split — the assignment rule that makes
-    * held-out evaluation honest: a document's split is a deterministic
-    * hash of its DEDUP CLUSTER (d06's label), never of the document
-    * itself, so near-duplicates can NEVER straddle splits (doc-hash
-    * splitting leaks ~every duplicated document's content into eval —
-    * the classic silent inflation d07/d12 exist to catch after the
-    * fact; this op prevents it at assignment time). Unclustered
-    * documents are their own singleton cluster. 80/10/10 by Knuth
-    * multiplicative hash on the cluster id — exact integer arithmetic,
-    * identical in both engines (headroom: id·2654435761 < 2⁶³ holds to
-    * id ≈ 3.5×10⁹; past that substitute a 64-bit splitmix in BOTH
-    * spellings). Fractions are cluster-weighted by construction — the
-    * price of leakage-freedom, reported honestly by the spec.
+  /** SPLIT-LEAKAGE AUDIT — the measurement that tells a team whether
+    * their held-out evaluation is honest: for every VERIFIED near-dup
+    * pair (d02's j ≥ 0.8 output), did the two documents land in the
+    * same train/val/test split? Audited under BOTH assignment rules
+    * side by side: q54's cluster-hash rule (split = hash of the d06
+    * dedup-cluster key — the leakage-safe assignment this battery
+    * ships) and the naive doc-hash rule (split = the same bucketing
+    * applied to the document id — what most pipelines actually do).
+    * The gate output itself is the end-to-end proof: every
+    * cluster_hash row has is_leaked = false BY THEOREM (a near-dup
+    * pair shares its cluster, hence its split key), while the doc_hash
+    * rows carry the measured violations — each one is a document whose
+    * near-twin sits in eval while it sits in train, the classic silent
+    * benchmark inflation d07/d12 exist to catch after the fact.
     *
-    * Scale shape: d06's labels (already priced) + one broadcast-free
-    * LEFT equi-join on doc_id + a row-wise projection. Nothing new
-    * moves: the labels frame is metadata-width, documents join on their
-    * scan partitioning. */
+    * Scale shape: the split frame (q54's output) checkpoints once as a
+    * metadata-width leaf (multi-referenced — CTE inlining would re-run
+    * the d06 chain per branch); pairs are d02's checkpointed list; the
+    * audit is four metadata equi-joins and a projection. Nothing
+    * corpus-scale moves. */
   val d26 = QueryDef(
-    "d26_leakage_safe_split",
+    "d26_split_leakage_audit",
     (s, d) => {
-      DedupOps.d06.run(s, d).createOrReplaceTempView("d26_lab")
-      withViews(s, d, "documents")(s"""
-        WITH a AS (SELECT doc.doc_id,
-                     coalesce(lab.cluster_id, doc.doc_id) AS cluster_id
-                   FROM documents doc LEFT JOIN d26_lab lab
-                     ON doc.doc_id = lab.doc_id)
-        SELECT doc_id, cluster_id,
-               CASE (cluster_id * 2654435761) % 4294967296 % 10
-                 WHEN 0 THEN 'val' WHEN 1 THEN 'test' ELSE 'train'
-               END AS split
-        FROM a""")
+      stagedMaterialized("d26_split", d) { roundCheckpoint(q54.run(s, d)) }
+        .createOrReplaceTempView("d26_split")
+      DedupOps.d02Pairs(s, d).createOrReplaceTempView("d26_pairs")
+      graft.functions.GraftFunctions.register(s)
+      s.sql("""
+        WITH doc_split AS (SELECT doc_id,
+                CASE WHEN CAST(char_fold(CAST(doc_id AS STRING), 505) % 100
+                       AS BIGINT) < 80 THEN 'train'
+                     WHEN CAST(char_fold(CAST(doc_id AS STRING), 505) % 100
+                       AS BIGINT) < 90 THEN 'val'
+                     ELSE 'test' END AS split
+              FROM d26_split),
+        both AS (
+          SELECT 'cluster_hash' AS rule, p.doc_a, p.doc_b,
+                 a.split AS split_a, b.split AS split_b
+          FROM d26_pairs p JOIN d26_split a ON p.doc_a = a.doc_id
+                           JOIN d26_split b ON p.doc_b = b.doc_id
+          UNION ALL
+          SELECT 'doc_hash', p.doc_a, p.doc_b, a.split, b.split
+          FROM d26_pairs p JOIN doc_split a ON p.doc_a = a.doc_id
+                           JOIN doc_split b ON p.doc_b = b.doc_id)
+        SELECT rule, doc_a, doc_b, split_a, split_b,
+               (split_a <> split_b) AS is_leaked
+        FROM both""")
     },
     Some(s"""
-      WITH lab AS (
-        ${DedupOps.d06.oracle.get.trim}
+      WITH sp AS (
+        ${q54.oracle.get.trim}
       ),
-      a AS (SELECT doc.doc_id,
-              coalesce(lab.cluster_id, doc.doc_id) AS cluster_id
-            FROM documents doc LEFT JOIN lab ON doc.doc_id = lab.doc_id)
-      SELECT doc_id, cluster_id,
-             CASE (cluster_id * 2654435761) % 4294967296 % 10
-               WHEN 0 THEN 'val' WHEN 1 THEN 'test' ELSE 'train'
-             END AS split
-      FROM a"""))
+      pairs AS (SELECT doc_a, doc_b FROM (${DedupOps.d02.oracle.get.trim})),
+      doc_split AS (SELECT doc_id,
+              CASE WHEN CAST(${oCharFold("CAST(doc_id AS VARCHAR)", 505)} % 100
+                     AS BIGINT) < 80 THEN 'train'
+                   WHEN CAST(${oCharFold("CAST(doc_id AS VARCHAR)", 505)} % 100
+                     AS BIGINT) < 90 THEN 'val'
+                   ELSE 'test' END AS split
+            FROM sp),
+      bth AS (
+        SELECT 'cluster_hash' AS rule, p.doc_a, p.doc_b,
+               a.split AS split_a, b.split AS split_b
+        FROM pairs p JOIN sp a ON p.doc_a = a.doc_id
+                     JOIN sp b ON p.doc_b = b.doc_id
+        UNION ALL
+        SELECT 'doc_hash', p.doc_a, p.doc_b, a.split, b.split
+        FROM pairs p JOIN doc_split a ON p.doc_a = a.doc_id
+                     JOIN doc_split b ON p.doc_b = b.doc_id)
+      SELECT rule, doc_a, doc_b, split_a, split_b,
+             (split_a <> split_b) AS is_leaked
+      FROM bth"""))
 
   val all: Seq[QueryDef] =
     Seq(d10, d11, d19, d12, q51, t09, t19, d13, d22, q52, d15, q54, d14, q57,
