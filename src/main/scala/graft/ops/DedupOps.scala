@@ -218,6 +218,52 @@ object DedupOps {
       FROM ver"""),
     headline = true)
 
+  /** Cross-source SYNDICATION MATRIX — which sources copy from which:
+    * every verified near-dup pair (d02's j ≥ 0.8 list) rolled up by its
+    * unordered source pair. The provenance diagnostic a web pipeline
+    * reads before weighting sources (CCNet-style): a hot (A,B) cell
+    * with A ≠ B is a syndication/mirror relationship (q69 scores it as
+    * reputation; this names the raw flow), and a hot (A,A) diagonal is
+    * a source that re-publishes itself. Source pairs are normalized
+    * with least/greatest so the matrix is one triangle — deterministic
+    * in both engines.
+    *
+    * Scale shape: two metadata equi-joins from the checkpointed pair
+    * list to the (doc_id, source) projection, then a |sources|²-bounded
+    * aggregate — nothing corpus-scale moves beyond the d02 chain
+    * already priced. */
+  val q72 = QueryDef(
+    "q72_syndication_matrix",
+    (s, d) => {
+      d02Pairs(s, d).createOrReplaceTempView("q72_pairs")
+      // the (doc_id, source) projection joins on BOTH pair sides — stage
+      // it once or each side re-scans the corpus (PlanAudit caught it)
+      staged("q72_src", d) {
+        withViews(s, d, "documents")("SELECT doc_id, source FROM documents")
+      }.createOrReplaceTempView("q72_src")
+      s.sql("""
+        WITH pr AS (SELECT least(a.source, b.source) AS src_lo,
+                           greatest(a.source, b.source) AS src_hi
+                    FROM q72_pairs p JOIN q72_src a ON p.doc_a = a.doc_id
+                                     JOIN q72_src b ON p.doc_b = b.doc_id)
+        SELECT src_lo, src_hi,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               (src_lo <> src_hi) AS is_cross_source
+        FROM pr GROUP BY src_lo, src_hi""")
+    },
+    Some(s"""
+      WITH pairs AS (SELECT doc_a, doc_b FROM (${d02.oracle.get.trim})),
+      src AS (SELECT doc_id, source FROM documents),
+      pr AS (SELECT least(a.source, b.source) AS src_lo,
+                    greatest(a.source, b.source) AS src_hi
+             FROM pairs p JOIN src a ON p.doc_a = a.doc_id
+                          JOIN src b ON p.doc_b = b.doc_id)
+      SELECT src_lo, src_hi,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             (src_lo <> src_hi) AS is_cross_source
+      FROM pr GROUP BY src_lo, src_hi"""),
+    headline = true)
+
   /** SimHash: 32-bit majority-vote fingerprint over token hashes.
     * Row-wise (no shuffle); hamming-ball grouping composes downstream. */
   val d03 = QueryDef(
@@ -1020,5 +1066,5 @@ object DedupOps {
     headline = true)
 
   val all: Seq[QueryDef] =
-    Seq(d02, d25, d03, d04, d05, d06, d07, d16, d17, d21, s15, d24)
+    Seq(d02, d25, q72, d03, d04, d05, d06, d07, d16, d17, d21, s15, d24)
 }
