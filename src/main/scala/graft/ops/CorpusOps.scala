@@ -1422,10 +1422,16 @@ object CorpusOps {
     * Snapshot stand-in: doc_id parity (a deployment substitutes its two
     * release manifests). All arithmetic is EXACT: counts are integer
     * sums, and the frequency comparison |cA/NA − cB/NB| > θ is the
-    * cross-multiplied |cA·NB − cB·NA|·1000 > θ‰·NA·NB on BIGINTs — no
-    * division anywhere, so engine and oracle can never diverge by a ulp.
-    * (Headroom: count·N ≤ 2^63 holds through ~3×10⁹ tokens per snapshot;
-    * past that the same spelling rides decimal(38,0).)
+    * cross-multiplied |cA·NB − cB·NA| > (θ‰·NA·NB) div 1000 on BIGINTs —
+    * no division-by-data anywhere (the div-1000 is exact: for
+    * non-negative integers A, B, `1000·A > B ⟺ A > B div 1000`, since A
+    * is an integer and B div 1000 floors), so engine and oracle can never
+    * diverge by a ulp. The div spelling replaced `·1000 >` (round-13
+    * advice): multiplying the LHS by 1000 overflowed 2^63 at
+    * NA≈NB≈9.6×10⁷ tokens — ~31× below the intended envelope — while
+    * this form's largest term is NA·NB itself, so the SAME ~3×10⁹
+    * tokens-per-snapshot headroom (count·N ≤ 2^63) governs every term
+    * uniformly; past that the spelling rides decimal(38,0).
     *
     * Scale shape: ONE corpus pass (the shared per-doc token histogram —
     * occurrences never explode, only per-doc DISTINCT tokens), one
@@ -1460,7 +1466,7 @@ object CorpusOps {
                abs(cnt_a * nb - cnt_b * na) AS imbalance,
                (cnt_a = 0) AS is_new,
                (cnt_b = 0) AS is_dropped,
-               (abs(cnt_a * nb - cnt_b * na) * 1000 > $driftPermil * na * nb)
+               (abs(cnt_a * nb - cnt_b * na) > ($driftPermil * na * nb) div 1000)
                  AS is_drifted
         FROM q70_p CROSS JOIN tot""")
     },
@@ -1478,7 +1484,7 @@ object CorpusOps {
              abs(cnt_a * nb - cnt_b * na) AS imbalance,
              (cnt_a = 0) AS is_new,
              (cnt_b = 0) AS is_dropped,
-             (abs(cnt_a * nb - cnt_b * na) * 1000 > $driftPermil * na * nb)
+             (abs(cnt_a * nb - cnt_b * na) > ($driftPermil * na * nb) // 1000)
                AS is_drifted
       FROM p CROSS JOIN tot"""),
     headline = true)

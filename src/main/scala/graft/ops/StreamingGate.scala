@@ -929,17 +929,28 @@ object StreamingGate {
     * occurrence counts into the running (cnt_a, cnt_b) pair and emit ONE
     * row with the updated totals — O(1) state and O(1) memory per group
     * regardless of how often a token occurs in a batch (the iterator is
-    * folded, never buffered). The batch number rides the rows themselves
-    * (parity batches ⇒ uniform snap per invocation). */
+    * folded, never buffered). The batch number rides the rows themselves:
+    * the staging layout (maxFilesPerTrigger=1 over parity-staged files)
+    * makes every micro-batch parity-uniform, and the fold ENFORCES that
+    * invariant rather than assuming it (round-13 advice) — a mixed-parity
+    * batch (config change, file compaction, a different trigger) would
+    * otherwise fold both snapshots into one emission with an arbitrary
+    * bno and silently miscompute the NA/NB alarm post-pass, so it fails
+    * loudly here instead. */
   private[graft] def driftFsm(
       tok: String, rows: Iterator[DriftRow],
       st: org.apache.spark.sql.streaming.GroupState[DriftState])
       : Iterator[DriftOut] = {
-    var a = 0L; var b = 0L; var bno = 0L
+    var a = 0L; var b = 0L; var bno = -1L
     while (rows.hasNext) {
       val r = rows.next()
+      if (bno == -1L) bno = r.snap
+      else if (r.snap != bno)
+        throw new IllegalStateException(
+          s"driftFsm: mixed-parity micro-batch for token '$tok' " +
+            s"(snap ${r.snap} after snap $bno) — the parity-staged " +
+            "maxFilesPerTrigger=1 layout was violated")
       if (r.snap == 0L) a += r.cnt else b += r.cnt
-      bno = r.snap
     }
     val prev = st.getOption.getOrElse(DriftState(0L, 0L))
     val next = DriftState(prev.cnt_a + a, prev.cnt_b + b)
@@ -1005,8 +1016,8 @@ object StreamingGate {
              FROM q71_hits WHERE bno = 1)
       SELECT h.bno, h.tok, h.cnt_a, h.cnt_b,
              CASE WHEN h.bno = 1
-                  THEN abs(h.cnt_a * nb.v - h.cnt_b * na.v) * 1000
-                         > ${CorpusOps.driftPermil} * na.v * nb.v
+                  THEN abs(h.cnt_a * nb.v - h.cnt_b * na.v)
+                         > (${CorpusOps.driftPermil} * na.v * nb.v) div 1000
                   ELSE false END AS is_drifted
       FROM q71_hits h CROSS JOIN na CROSS JOIN nb""")
   }
@@ -1028,8 +1039,8 @@ object StreamingGate {
       FROM ec
       UNION ALL
       SELECT CAST(1 AS BIGINT), o.tok, CAST(coalesce(e.c, 0) AS BIGINT), o.c,
-             abs(coalesce(e.c, 0) * nb.v - o.c * na.v) * 1000
-               > ${CorpusOps.driftPermil} * na.v * nb.v
+             abs(coalesce(e.c, 0) * nb.v - o.c * na.v)
+               > (${CorpusOps.driftPermil} * na.v * nb.v) // 1000
       FROM oc o LEFT JOIN ec e ON o.tok = e.tok
       CROSS JOIN na CROSS JOIN nb"""))
 

@@ -51,10 +51,52 @@ class DriftSpec extends AnyFunSuite {
     for ((tok, a, b, imb, isNew, isDropped, drifted) <- rows) {
       assert(isNew == (a == 0L) && isDropped == (b == 0L), s"flags wrong for $tok")
       assert(imb == math.abs(a * nb - b * na), s"imbalance wrong for $tok")
-      assert(drifted == (imb * 1000 > graft.ops.CorpusOps.driftPermil * na * nb))
+      // gold semantics in BigInt (cannot overflow), not the engine's Long
+      // spelling — this is what pins the div-1000 respelling as correct
+      assert(drifted ==
+        (BigInt(imb) * 1000 > BigInt(graft.ops.CorpusOps.driftPermil) * na * nb))
     }
     val drifted = rows.count(_._7)
     info(s"q70 drift at sf0.001: ${rows.length} tokens, $drifted drifted, NA=$na NB=$nb")
     assert(drifted > 0, "drift alarm never fires on the gate corpus")
+  }
+
+  test("div-1000 alarm spelling == exact rational comparison through the envelope") {
+    // Round-13 advice: the retired `imb·1000 > θ·NA·NB` spelling
+    // overflowed BIGINT at NA≈NB≈9.6×10⁷ tokens (~31× below the blessed
+    // envelope) because of the ×1000 factor. The shipped spelling is
+    // `imb > (θ·NA·NB) div 1000`, whose largest term is NA·NB itself, so
+    // ONE bound (count·N ≤ 2^63 ⇔ ~3×10⁹ tokens/snapshot) governs every
+    // term. This pins the equivalence `1000·A > B ⟺ A > B div 1000`
+    // (non-negative integers; A integral makes the floor harmless) in
+    // exactly the Long arithmetic Spark and DuckDB execute, against a
+    // BigInt gold that cannot overflow — sampled across the full envelope
+    // INCLUDING the region where the old spelling silently flipped.
+    val theta = graft.ops.CorpusOps.driftPermil
+    def engine(ca: Long, cb: Long, na: Long, nb: Long): Boolean =
+      math.abs(ca * nb - cb * na) > theta * na * nb / 1000
+    def gold(ca: Long, cb: Long, na: Long, nb: Long): Boolean =
+      (BigInt(ca) * nb - BigInt(cb) * na).abs * 1000 > BigInt(theta) * na * nb
+    val rng = new scala.util.Random(7)
+    val envelope = 3000000000L // ~3e9 tokens/snapshot: na*nb < 2^63
+    for (_ <- 1 to 20000) {
+      val na = rng.nextLong(envelope) + 1
+      val nb = rng.nextLong(envelope) + 1
+      val ca = rng.nextLong(na + 1) // counts never exceed their total
+      val cb = rng.nextLong(nb + 1)
+      assert(engine(ca, cb, na, nb) == gold(ca, cb, na, nb),
+        s"spelling diverges at ca=$ca cb=$cb na=$na nb=$nb")
+    }
+    // the exact ‰ boundary must NOT alarm (strict >): na=nb=1000,
+    // ca=2 cb=1 → imb·1000 = 10⁶ = θ·na·nb exactly
+    assert(!engine(2, 1, 1000, 1000) && !gold(2, 1, 1000, 1000))
+    // one ulp above the boundary must alarm
+    assert(engine(3, 1, 1000, 1000) && gold(3, 1, 1000, 1000))
+    // the old spelling's first overflow class: na=nb≈9.6e7·100 with a
+    // real imbalance — the ×1000 form wrapped negative here, this one
+    // must agree with gold
+    val big = 2900000000L
+    assert(engine(big, 0, big, big) == gold(big, 0, big, big))
+    assert(engine(big / 2, big / 2, big, big) == gold(big / 2, big / 2, big, big))
   }
 }

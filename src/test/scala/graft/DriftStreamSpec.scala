@@ -63,6 +63,26 @@ class DriftStreamSpec extends AnyFunSuite {
     assert(st.get == DriftState(7L, 5L + 2L * n))
   }
 
+  test("q71 FSM: a mixed-parity micro-batch fails loudly, never miscounts") {
+    // Round-13 advice: bno was taken from the LAST row, silently folding a
+    // mixed batch (config change, compaction, different trigger) into one
+    // emission with an arbitrary bno — and the NA/NB alarm post-pass sums
+    // cnt_a over bno=0 and cnt_b over bno=1, so that miscomputes drift
+    // without any visible failure. The fold now ENFORCES the parity-
+    // staged invariant instead of assuming it.
+    import graft.ops.StreamingGate.{driftFsm, DriftRow, DriftState}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val st = TestGroupState.create[DriftState](
+      org.apache.spark.api.java.Optional.empty[DriftState](),
+      GroupStateTimeout.NoTimeout, 0L,
+      org.apache.spark.api.java.Optional.empty[Long](), false)
+    val mixed = Iterator(DriftRow("t", 0L, 1L), DriftRow("t", 1L, 1L))
+    val e = intercept[IllegalStateException] { driftFsm("t", mixed, st) }
+    assert(e.getMessage.contains("mixed-parity"))
+    // state must be untouched after the loud failure
+    assert(st.getOption.isEmpty)
+  }
+
   test("final state converges to q70's batch pivot; RocksDB agrees") {
     val dir = "/root/testdata/sf0.001"
     val out = run(dir, None)
