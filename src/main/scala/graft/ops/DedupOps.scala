@@ -119,31 +119,168 @@ object DedupOps {
         .distinct()
     }
 
-  val d02 = QueryDef(
-    "d02_minhash_lsh",
-    (s, d) => {
+  /** Verify-stage spelling dial (`-Dgraft.d02.verify`, read once at load
+    * like [[minhashBands]] so the staged frames can never mix spellings
+    * within a run). All three spellings produce the IDENTICAL
+    * (doc_a, doc_b, n_shared, n_union) frame — exact integer set counts —
+    * they differ only in what the verify exchange CARRIES:
+    *
+    *  - `sets`: join the candidate pairs to the shingle-SET frame twice
+    *    and `array_intersect` the two arrays per row. The exchange
+    *    carries candidates × two full shingle arrays — the spelling that
+    *    hit the single-node disk wall at 256× (SCALE.md wave-4: the
+    *    replica-clique corpus drives ~16 M candidate pairs whose
+    *    array payload spills past free /tmp).
+    *  - `classes`: collapse docs with IDENTICAL shingle sets into classes
+    *    first (d21's replication-invariant move — one window over the
+    *    sset-keyed exchange, linear in corpus), verify once per DISTINCT
+    *    class pair (the only array-carrying join, collapse-bounded), then
+    *    map scores back onto doc pairs through two narrow (doc_id, cls)
+    *    joins and one broadcast-sized score join. Under replication the
+    *    class-pair count is invariant in the factor, so the array
+    *    exchange stays GATE-sized while candidates grow quadratically in
+    *    the clique size.
+    *  - `explode`: count shared shingles by equi-join aggregation
+    *    (m10/d21's shape): explode each candidate's A-side set, equi-join
+    *    the B side on (doc, shingle), map-side-combine the per-pair
+    *    count, and recover zero-overlap candidates with a left join; set
+    *    sizes ride a metadata-width (doc_id, |set|) frame. The exchange
+    *    carries Σ|set| NARROW rows per candidate instead of two arrays
+    *    per row — same asymptotic bytes, but spillable row-at-a-time.
+    *
+    * The 64×/256× A/B (SCALE.md "d02 verify exchange A/B") picked
+    * `classes` as the default: it is the only spelling whose array
+    * exchange does not grow with the candidate count at all. */
+  private[graft] val d02VerifySpelling =
+    sys.props.getOrElse("graft.d02.verify", "classes")
+
+  /** The ONE scored verify frame (doc_a, doc_b, n_shared, n_union) — the
+    * exact shingle-overlap counts for every RAW banding candidate —
+    * shared by d02 (filters it to jaccard ≥ 0.8 true near-dups) and d25
+    * (audits its precision). Extracted per round-13 advice: the two
+    * queries previously duplicated the verify join verbatim, so a future
+    * respelling could drift the confirmed filter apart from the audit's
+    * is_confirmed cross-multiplication. Now there is one frame to
+    * respell, and [[d02VerifySpelling]] is where the respelling lives. */
+  private[graft] def d02ScoredCandidates(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    staged("d02_scored", d) { d02ScoredWith(s, d, d02VerifySpelling) }
+
+  /** [[d02ScoredCandidates]] at an explicit spelling — the A/B seam
+    * (LshAuditSpec proves the three spellings row-identical at the gate
+    * corpus; the SCALE.md legs time them at 64×/256×). */
+  private[graft] def d02ScoredWith(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      spelling: String): org.apache.spark.sql.DataFrame = {
       import s.implicits._
-      import org.apache.spark.sql.functions.expr
+      import org.apache.spark.sql.functions.{expr, coalesce, lit}
       val sh = d02Shingles(s, d)
-      d02Candidates(s, d)
-        .join(sh.as("sa"), $"ida" === $"sa.doc_id")
-        .join(sh.as("sb"), $"idb" === $"sb.doc_id")
-        .select($"ida".as("doc_a"), $"idb".as("doc_b"),
-          expr("jaccard_sim(sa.sset, sb.sset)").as("jaccard"))
-        .where($"jaccard" >= 0.8)
-    },
-    Some(s"""
-      WITH $oracleBandsCte,
+      val cand = d02Candidates(s, d)
+      spelling match {
+        case "sets" =>
+          cand
+            .join(sh.as("sa"), $"ida" === $"sa.doc_id")
+            .join(sh.as("sb"), $"idb" === $"sb.doc_id")
+            .select($"ida".as("doc_a"), $"idb".as("doc_b"),
+              expr("CAST(size(array_intersect(sa.sset, sb.sset)) AS BIGINT)")
+                .as("n_shared"),
+              expr("CAST(size(sa.sset) AS BIGINT) + CAST(size(sb.sset) AS BIGINT)")
+                .as("n_total"))
+            .selectExpr("doc_a", "doc_b", "n_shared",
+              "n_total - n_shared AS n_union")
+        case "classes" =>
+          // doc → class (= min doc_id among docs with the identical sset):
+          // one window over the sset-keyed exchange; the frame is the
+          // corpus shingle volume once — the same bytes building d02_sh
+          // already moved — never candidates × arrays
+          val cls = staged("d02_cls", d) {
+            s.sql("""SELECT doc_id, sset,
+                            min(doc_id) OVER (PARTITION BY sset) AS cls
+                     FROM d02_sh""")
+          }
+          val docCls = cls.select($"doc_id", $"cls")
+          val reps = cls.where($"doc_id" === $"cls")
+            .select($"cls".as("rep"), $"sset")
+          val candC = cand
+            .join(docCls.as("ca"), $"ida" === $"ca.doc_id")
+            .join(docCls.as("cb"), $"idb" === $"cb.doc_id")
+            .select($"ida", $"idb",
+              expr("least(ca.cls, cb.cls)").as("clo"),
+              expr("greatest(ca.cls, cb.cls)").as("chi"))
+          // the ONLY array-carrying join: one row per DISTINCT class pair
+          // (replication-invariant — replicas share ssets, hence classes)
+          val scored = candC.select($"clo", $"chi").distinct()
+            .join(reps.as("ra"), $"clo" === $"ra.rep")
+            .join(reps.as("rb"), $"chi" === $"rb.rep")
+            .select($"clo", $"chi",
+              expr("CAST(size(array_intersect(ra.sset, rb.sset)) AS BIGINT)")
+                .as("n_shared"),
+              expr("CAST(size(ra.sset) AS BIGINT) + CAST(size(rb.sset) AS BIGINT)")
+                .as("n_total"))
+            .selectExpr("clo", "chi", "n_shared", "n_total - n_shared AS n_union")
+          // NO broadcast hint: the score table is class-pair-bounded —
+          // tiny under replication/boilerplate collapse, but a corpus of
+          // all-distinct texts degenerates it to candidate-sized, and a
+          // forced broadcast there is a driver OOM. AQE reads the actual
+          // exchange size and broadcasts exactly when collapse happened.
+          candC.join(scored, Seq("clo", "chi"))
+            .select($"ida".as("doc_a"), $"idb".as("doc_b"),
+              $"n_shared", $"n_union")
+        case "explode" =>
+          val shx = staged("d02_shx", d) {
+            sh.selectExpr("doc_id", "explode(sset) AS shg")
+          }
+          val sz = sh.selectExpr("doc_id", "CAST(size(sset) AS BIGINT) AS sz")
+          val shared = cand
+            .join(shx.as("xa"), $"ida" === $"xa.doc_id")
+            .select($"ida", $"idb", $"xa.shg".as("shga"))
+            .join(shx.as("xb"),
+              $"idb" === $"xb.doc_id" && $"shga" === $"xb.shg")
+            .groupBy($"ida", $"idb")
+            .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_shared"))
+          cand
+            .join(shared, Seq("ida", "idb"), "left")
+            .join(sz.as("za"), $"ida" === $"za.doc_id")
+            .join(sz.as("zb"), $"idb" === $"zb.doc_id")
+            .select($"ida".as("doc_a"), $"idb".as("doc_b"),
+              coalesce($"n_shared", lit(0L)).as("n_shared"),
+              (expr("za.sz + zb.sz") - coalesce($"n_shared", lit(0L)))
+                .as("n_union"))
+        case other =>
+          throw new IllegalArgumentException(
+            s"graft.d02.verify: unknown spelling '$other' (sets|classes|explode)")
+      }
+  }
+
+  /** The ONE DuckDB spelling of the scored verify frame, shared by d02's
+    * and d25's oracles for the same no-drift reason as
+    * [[d02ScoredCandidates]]. */
+  private[graft] def oracleScoredCte: String = s"""
+      $oracleBandsCte,
       cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
                FROM bands a JOIN bands b
                  ON a.bj = b.bj AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
       ver AS (SELECT ida, idb,
-                CAST(len(list_filter(sa.sset, x -> list_contains(sb.sset, x))) AS DOUBLE) /
+                CAST(len(list_filter(sa.sset, x -> list_contains(sb.sset, x))) AS BIGINT) AS n_shared,
                 CAST(len(sa.sset) + len(sb.sset)
-                     - len(list_filter(sa.sset, x -> list_contains(sb.sset, x))) AS DOUBLE) AS jaccard
+                     - len(list_filter(sa.sset, x -> list_contains(sb.sset, x))) AS BIGINT) AS n_union
               FROM cand JOIN sh sa ON cand.ida = sa.doc_id
-                        JOIN sh sb ON cand.idb = sb.doc_id)
-      SELECT ida AS doc_a, idb AS doc_b, jaccard FROM ver WHERE jaccard >= 0.8"""),
+                        JOIN sh sb ON cand.idb = sb.doc_id)"""
+
+  val d02 = QueryDef(
+    "d02_minhash_lsh",
+    (s, d) => {
+      d02ScoredCandidates(s, d)
+        .selectExpr("doc_a", "doc_b",
+          "CAST(n_shared AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard")
+        .where("jaccard >= 0.8")
+    },
+    Some(s"""
+      WITH $oracleScoredCte
+      SELECT ida AS doc_a, idb AS doc_b,
+             CAST(n_shared AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
+      FROM ver
+      WHERE CAST(n_shared AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.8"""),
     headline = true)
 
   /** d02's verified near-dup pair list with TRUNCATED lineage (one
@@ -185,33 +322,13 @@ object DedupOps {
   val d25 = QueryDef(
     "d25_lsh_precision_audit",
     (s, d) => {
-      import s.implicits._
-      import org.apache.spark.sql.functions.expr
-      val sh = d02Shingles(s, d)
-      d02Candidates(s, d)
-        .join(sh.as("sa"), $"ida" === $"sa.doc_id")
-        .join(sh.as("sb"), $"idb" === $"sb.doc_id")
-        .select($"ida".as("doc_a"), $"idb".as("doc_b"),
-          expr("CAST(size(array_intersect(sa.sset, sb.sset)) AS BIGINT)")
-            .as("n_shared"),
-          expr("CAST(size(sa.sset) AS BIGINT) + CAST(size(sb.sset) AS BIGINT)")
-            .as("n_total"))
-        .selectExpr("doc_a", "doc_b", "n_shared",
-          "n_total - n_shared AS n_union",
-          "(n_shared * 1000000) div (n_total - n_shared) AS jac6",
-          "n_shared * 10 >= (n_total - n_shared) * 8 AS is_confirmed")
+      d02ScoredCandidates(s, d)
+        .selectExpr("doc_a", "doc_b", "n_shared", "n_union",
+          "(n_shared * 1000000) div n_union AS jac6",
+          "n_shared * 10 >= n_union * 8 AS is_confirmed")
     },
     Some(s"""
-      WITH $oracleBandsCte,
-      cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-               FROM bands a JOIN bands b
-                 ON a.bj = b.bj AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-      ver AS (SELECT ida, idb,
-                CAST(len(list_filter(sa.sset, x -> list_contains(sb.sset, x))) AS BIGINT) AS n_shared,
-                CAST(len(sa.sset) + len(sb.sset)
-                     - len(list_filter(sa.sset, x -> list_contains(sb.sset, x))) AS BIGINT) AS n_union
-              FROM cand JOIN sh sa ON cand.ida = sa.doc_id
-                        JOIN sh sb ON cand.idb = sb.doc_id)
+      WITH $oracleScoredCte
       SELECT ida AS doc_a, idb AS doc_b, n_shared, n_union,
              (n_shared * 1000000) // n_union AS jac6,
              n_shared * 10 >= n_union * 8 AS is_confirmed
@@ -917,16 +1034,61 @@ object DedupOps {
     * hold rn=1 rows (each vector in exactly ONE cluster) and probes hold
     * distinct clusters per source, so (src, nb) pairs are unique by
     * construction. Same candidate set, same cosines, one join. */
+  /** The k-NN graph's K∝N production dial (round-13 verdict item 2):
+    * `-Dgraft.knngraph.trained=K` feeds the probe/member frames from a
+    * TRAINED quantizer (s06's Lloyd loop at an explicit centroid budget,
+    * via [[SimilarityOps.s06CentsWith]]) instead of s03's pinned |C| ≤ 64
+    * sample. At fixed |C| the candidate load is N²·P/|C| — the quadratic
+    * regime the committed 16× curve (4× data → 12.8×/16× time) made
+    * visible; with K∝N the expected cell size N/K is CONSTANT, so
+    * candidates are N·P·E[cell] — linear. The gate rows keep the
+    * unset-dial path bit-for-bit (s03's quantizer), so d24 and s15 hash
+    * exactly as before; the SCALE.md "s15 at K∝N" leg rides the dial. */
+  private[graft] val knnGraphTrainedK: Option[Int] =
+    sys.props.get("graft.knngraph.trained").map(_.toInt)
+
   private[graft] def s15KnnFrame(
-      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    SimilarityOps.s03Statics(s, d)
-    val knn = stagedMaterialized("s15_knn", d) {
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    s15KnnFrameWith(s, d, knnGraphTrainedK)
+
+  /** [[s15KnnFrame]] at an explicit quantizer choice — the spec/A-B seam
+    * (None = s03's sampled statics; Some(k) = trained centroids at K=k).
+    * Staged keys carry the variant so two choices never share a cache. */
+  private[graft] def s15KnnFrameWith(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      trainedK: Option[Int]): org.apache.spark.sql.DataFrame = {
+    val (assignV, nV) = trainedK match {
+      case None =>
+        SimilarityOps.s03Statics(s, d)
+        ("s03_assign", "s03_n")
+      case Some(k) =>
+        // trained coarse quantizer (s17's shape): converged centroids at
+        // an explicit K, one broadcast assignment pass, probe ranking
+        // identical in form to s03's so the graph SQL below is shared
+        SimilarityOps.s06CentsWith(s, d, k, s"s15_tc_$k")
+          .createOrReplaceTempView("s15_tc")
+        stagedMaterialized(s"s15_tassign_$k", d) {
+          roundCheckpoint(s.sql(s"""
+            WITH c AS (SELECT cid, cv, sqrt(dot_product(cv, cv)) AS cn
+                       FROM s15_tc),
+            sc0 AS (SELECT /*+ BROADCAST(c) */ t.vec_id, c.cid AS cluster,
+                      row_number() OVER (PARTITION BY t.vec_id
+                        ORDER BY dot_product(t.v, c.cv) / (t.nrm * c.cn) DESC,
+                                 c.cid) AS rn
+                    FROM s06_n t CROSS JOIN c)
+            SELECT vec_id, cluster, rn FROM sc0
+            WHERE rn <= ${SimilarityOps.ivfProbes}"""))
+        }.createOrReplaceTempView("s15_tassign")
+        ("s15_tassign", "s06_n")
+    }
+    val stageKey = trainedK.fold("s15_knn")(k => s"s15_knn_t$k")
+    val knn = stagedMaterialized(stageKey, d) {
       roundCheckpoint(s.sql(s"""
         WITH qp AS (SELECT a.vec_id AS src, a.cluster, n.v AS qv, n.nrm AS qn
-                    FROM s03_assign a JOIN s03_n n ON n.vec_id = a.vec_id
+                    FROM $assignV a JOIN $nV n ON n.vec_id = a.vec_id
                     WHERE a.rn <= ${SimilarityOps.ivfProbes}),
         mem AS (SELECT a.vec_id AS nb, a.cluster, n.v, n.nrm
-                FROM s03_assign a JOIN s03_n n ON n.vec_id = a.vec_id
+                FROM $assignV a JOIN $nV n ON n.vec_id = a.vec_id
                 WHERE a.rn = 1),
         sc AS (SELECT src, nb, dot_product(qv, v) / (qn * nrm) AS cos
                FROM qp JOIN mem ON mem.cluster = qp.cluster

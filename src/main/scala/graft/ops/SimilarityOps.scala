@@ -550,11 +550,24 @@ object SimilarityOps {
     * rule); the final frame is a LogicalRDD leaf, safe to self-join and
     * view-hop. Registers the `s06_n` normalized view as a side effect. */
   private[graft] def s06Cents(
-      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    s06CentsWith(s, d, 64, "s06_cents")
+
+  /** [[s06Cents]] at an explicit centroid budget K — the K∝N seam the
+    * s15 SCALE note names: the gate rows train at the pinned K=64
+    * (`vec_id < 125·64 = 8000`, bit-identical to the original rule), and
+    * the k-NN graph's `-Dgraft.knngraph.trained=K` dial trains at a K
+    * chosen for CELL SIZE (K∝N ⇒ E[cell] = N/K stays constant as the
+    * corpus grows — the linear-regime leg of the candidate-load law).
+    * Seeds stay the deterministic `vec_id % 125 = 0` ladder so the
+    * training run is oracle-reproducible at any K. */
+  private[graft] def s06CentsWith(
+      s: org.apache.spark.sql.SparkSession, d: String, k: Int,
+      stageKey: String): org.apache.spark.sql.DataFrame = {
     normalized(s, d).createOrReplaceTempView("s06_n")
-    stagedMaterialized("s06_cents", d) {
+    stagedMaterialized(stageKey, d) {
       var cents = s.sql(
-        "SELECT vec_id AS cid, v AS cv FROM s06_n WHERE vec_id % 125 = 0 AND vec_id < 8000")
+        s"SELECT vec_id AS cid, v AS cv FROM s06_n WHERE vec_id % 125 = 0 AND vec_id < ${125L * k}")
       withAdvisoryCoalesce(s) {
         for (_ <- 1 to lloydRounds) {
           cents.createOrReplaceTempView("s06_c")

@@ -72,6 +72,48 @@ class KnnGraphSpec extends AnyFunSuite {
     assert(mean >= 0.55, f"recall regressed: $mean%.3f")
   }
 
+  test("trained K-proportional quantizer path: valid graph, measured recall") {
+    // the `-Dgraft.knngraph.trained=K` dial (round-13 verdict item 2):
+    // same graph SQL, probe/member frames fed from s06's Lloyd loop at an
+    // explicit K instead of s03's pinned sample. At the gate corpus
+    // (500 vectors) K=4 keeps E[cell] = 125 — the constant-cell-size
+    // geometry the 64× leg rides at K=256. The graph-shape invariants
+    // must hold on this path too, and its recall is MEASURED against the
+    // same brute-force truth (printed, floored loosely — the trained
+    // quantizer at tiny K on adversarial embeddings is not the pinned
+    // 0.55 frontier, it is the linear-regime plumbing being proven).
+    val k = graft.ops.DedupOps.knnGraphK
+    val trained = graft.ops.DedupOps.s15KnnFrameWith(spark, dir, Some(4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(trained.nonEmpty)
+    for ((src, es) <- trained.groupBy(_._1)) {
+      assert(es.length <= k, s"node $src has ${es.length} > $k neighbors")
+      assert(es.forall(_._2 != src), s"node $src self-loop")
+      assert(es.map(_._2).distinct.length == es.length, s"node $src dup neighbor")
+    }
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .collect().map { r =>
+        r.getLong(r.fieldIndex("vec_id")) ->
+          r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray
+      }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var d = 0.0; var na = 0.0; var nb = 0.0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth = vecs.map { case (id, v) =>
+      id -> vecs.toSeq.filter(_._1 != id)
+        .map { case (j, w) => (j, cos(v, w)) }
+        .sortBy { case (j, c) => (-c, j) }.take(k).map(_._1).toSet
+    }
+    val approx = trained.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    val recalls = truth.toSeq.map { case (id, t) =>
+      approx.getOrElse(id, Set.empty).intersect(t).size.toDouble / k }
+    val mean = recalls.sum / recalls.size
+    info(f"s15 TRAINED-quantizer recall@$k at K=4 (E[cell]=125): $mean%.3f")
+    assert(mean >= 0.30, f"trained-path recall collapsed: $mean%.3f")
+  }
+
   test("deterministic across runs") {
     val again = SparkEntry.queries("s15_knn_graph")(spark, dir).collect()
       .map(_.toString).sorted
