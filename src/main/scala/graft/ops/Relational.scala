@@ -533,6 +533,20 @@ object Relational {
     * that scales out horizontally: each executor aggregates |orders|/N
     * groups, while the single-process hash table cannot grow past one
     * machine. */
+  /** q18's Bloom semi-join dial (`-Dgraft.q18.bloom=true`, default OFF) —
+    * round-13 verdict item 4: the spelling was implemented, profiled
+    * (881 MB / 38.4 M-row orders exchange → 0 at 256×,
+    * StageProfile-confirmed) and then lived only in git history because
+    * local job constants eat the win (+0.28 s at sf0.1, −5% at 256×).
+    * That is exactly a cluster-vs-local crossover, so it ships as a dial
+    * like `-Dgraft.export.shards`: on a network-bound cluster the orders
+    * exchange is the dominant cost and the flag removes it; on a
+    * single box the plain spelling's fewer jobs win. A `def`, not a
+    * load-time val, so PlanShapeSpec can pin both plan shapes in one
+    * JVM. */
+  private[graft] def q18BloomDial: Boolean =
+    sys.props.get("graft.q18.bloom").exists(_.toBoolean)
+
   val q18 = QueryDef(
     "q18_large_orders",
     (s, d) => {
@@ -545,13 +559,30 @@ object Relational {
       // prefilter on the orders scan (d12's pattern) removes the orders
       // exchange entirely (881 MB → 0 at 256×, profiled) — and LOST at
       // gate scale (+0.28 s of cache/bloom job constants at sf0.1,
-      // −5% at 256×), so the plain spelling stays, q03's precedent: on a
-      // network-bound cluster the Bloom variant is the dial to flip.
+      // −5% at 256×), so the plain spelling is the default, q03's
+      // precedent — and [[q18BloomDial]] flips in the cluster spelling.
       val bigOrders = li(s, d).groupBy($"l_orderkey")
         .agg((sumLong6($"l_quantity").cast("double") / lit(1000000d)).as("sum_qty"))
         .where($"sum_qty" > 300.0)
-      ord(s, d)
-        .join(bigOrders, $"o_orderkey" === $"l_orderkey")
+      val (orders, big) =
+        if (!q18BloomDial) (ord(s, d), bigOrders)
+        else {
+          // d12's pattern on the fact side: stage the post-HAVING
+          // aggregate (tiny by construction — TPC-H Q18's point), build a
+          // driver-side Bloom over its keys, and prefilter the orders
+          // SCAN before any join. The staged frame is also the join's
+          // build side, so AQE broadcasts it and the orders exchange is
+          // gone entirely; the Bloom's false positives are removed by the
+          // exact join, so the result is exact regardless of the filter.
+          val bigC = staged("q18_big", d) { bigOrders }
+          val bloom = bigC.stat.bloomFilter("l_orderkey", 1000000L, 0.01)
+          val bbf = s.sparkContext.broadcast(bloom)
+          val mightContain = org.apache.spark.sql.functions.udf(
+            (k: Long) => bbf.value.mightContainLong(k))
+          (ord(s, d).where(mightContain($"o_orderkey")), bigC)
+        }
+      orders
+        .join(big, $"o_orderkey" === $"l_orderkey")
         .join(cust(s, d), $"o_custkey" === $"c_custkey")
         .select($"c_custkey", $"c_name", $"o_orderkey",
           dateStr($"o_orderdate").as("o_orderdate"), $"o_totalprice", $"sum_qty")

@@ -369,6 +369,39 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q18 bloom dial: zero orders exchange under the flag, rows unchanged") {
+    // Round-13 verdict item 4: the Bloom semi-join spelling (staged
+    // post-HAVING aggregate + driver Bloom prefilter on the orders scan)
+    // removes the 881 MB / 38.4 M-row orders exchange at 256× but loses
+    // to job constants locally, so it ships as `-Dgraft.q18.bloom`
+    // (default off). This pins BOTH halves of the contract: the dialed
+    // plan never shuffles the orders table, and the dial changes no rows.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def rows(): Seq[String] =
+      SparkEntry.queries("q18_large_orders")(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+    def subtree(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(subtree)
+    def shufflesOrders(e: SparkPlan): Boolean = subtree(e).exists {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.contains("orders.parquet"))
+      case _ => false
+    }
+    val plain = rows()
+    assert(plain.nonEmpty)
+    sys.props("graft.q18.bloom") = "true"
+    try {
+      assert(rows() == plain, "the bloom dial changed q18's rows")
+      val ex = nodes("q18_large_orders").collect { case e: ShuffleExchangeExec => e }
+      assert(!ex.exists(shufflesOrders),
+        s"orders still shuffles under -Dgraft.q18.bloom:\n${plan("q18_large_orders")}")
+      // and the prefilter is actually on the scan (the exactness argument
+      // needs the exact join AFTER it, which the row equality just proved)
+      assert(plan("q18_large_orders").contains("UDF"),
+        "bloom prefilter missing from the dialed plan")
+    } finally sys.props.remove("graft.q18.bloom")
+  }
+
   test("t18 detokenize: distinct-word decode broadcasts onto the token explode") {
     // t15's contract: the per-word decode frame is vocabulary-scale and
     // must broadcast — a sort-merge regression would shuffle the full
