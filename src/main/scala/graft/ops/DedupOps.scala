@@ -1114,9 +1114,17 @@ object DedupOps {
         FROM s15_knn k LEFT JOIN s15_knn m
           ON m.src = k.nb AND m.nb = k.src""")
     },
-    Some(s"""
+    Some(s15OracleSql("TRUE")),
+    headline = true)
+
+  /** The ONE DuckDB spelling of s15's k-NN graph, parameterized by a
+    * corpus predicate — `TRUE` is the gate oracle; d27's from-scratch
+    * rebuild leg re-runs it over the tombstone survivors (the predicate
+    * reaches the centroid CTE too, so the rebuild's quantizer is
+    * survivor-only, exactly like the engine's rebuild). */
+  private[graft] def s15OracleSql(pred: String): String = s"""
       WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                 FROM embeddings),
+                 FROM embeddings WHERE $pred),
       n AS (SELECT vec_id, v,
               sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
                 list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
@@ -1152,8 +1160,7 @@ object DedupOps {
             FROM r WHERE rn <= $knnGraphK)
       SELECT k.src AS vec_id, k.nb AS neighbor_id, k.cos, k.rn,
              (m.src IS NOT NULL) AS mutual
-      FROM k LEFT JOIN k m ON m.src = k.nb AND m.nb = k.src"""),
-    headline = true)
+      FROM k LEFT JOIN k m ON m.src = k.nb AND m.nb = k.src"""
 
   /** Mutual-edge cosine floor for d24's semantic graph. Picked from the
     * measured edge structure on the gate embeddings (sf0.01 mutual-edge
@@ -1227,6 +1234,185 @@ object DedupOps {
       FROM embeddings v LEFT JOIN lab ON lab.id = v.vec_id"""),
     headline = true)
 
+  /** d27's tombstone rule — d22/d23's request-batch stand-in on the
+    * vector id space (swap the predicate for a real deletion feed and
+    * nothing else moves). */
+  private[graft] val d27TombPred = "vec_id % 13 = 4"
+
+  /** From-scratch survivor k-NN graph — d27's PROOF leg: s15's exact
+    * pipeline re-run over the tombstone survivors, survivor-only
+    * quantizer included (the predicate reaches the centroid selection,
+    * so the rebuild is what a fresh index build would produce). Gate
+    * economics only: the repair path never builds this; `matches_full`
+    * is the audit column that prices delta-vs-rebuild divergence. */
+  private[graft] def s15SurvivorKnn(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    SimilarityOps.s03Statics(s, d)
+    stagedMaterialized("d27_rknn", d) {
+      roundCheckpoint(s.sql(s"""
+        WITH sn AS (SELECT vec_id, v, nrm FROM s03_n WHERE NOT ($d27TombPred)),
+        c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM sn
+              WHERE vec_id % 50 = 7 AND vec_id < 3200),
+        sc0 AS (SELECT /*+ BROADCAST(c) */ t.vec_id, cid,
+                  row_number() OVER (PARTITION BY t.vec_id
+                    ORDER BY dot_product(t.v, cv) / (t.nrm * cn) DESC,
+                             cid) AS rn
+                FROM sn t CROSS JOIN c),
+        qp AS (SELECT a.vec_id AS src, a.cid AS cluster, n.v AS qv, n.nrm AS qn
+               FROM sc0 a JOIN sn n ON n.vec_id = a.vec_id
+               WHERE a.rn <= ${SimilarityOps.ivfProbes}),
+        mem AS (SELECT a.vec_id AS nb, a.cid AS cluster, n.v, n.nrm
+                FROM sc0 a JOIN sn n ON n.vec_id = a.vec_id
+                WHERE a.rn = 1),
+        sc AS (SELECT src, nb, dot_product(qv, v) / (qn * nrm) AS cos
+               FROM qp JOIN mem ON mem.cluster = qp.cluster
+               WHERE nb <> src),
+        r AS (SELECT src, nb, cos,
+                row_number() OVER (PARTITION BY src
+                                   ORDER BY cos DESC, nb) AS rn
+              FROM sc)
+        SELECT src, nb, cos, CAST(rn AS BIGINT) AS rn
+        FROM r WHERE rn <= $knnGraphK"""))
+    }
+  }
+
+  /** d27 — deletion propagation through the SEMANTIC artifacts (round-13
+    * verdict item 6): d22/d23 repair d06/d13's lexical artifacts, but a
+    * forgotten document previously SURVIVED as a stored neighbor/
+    * representative in s15's k-NN graph and d24's semantic clusters.
+    * Same delta-bound pattern, different edge semantics: tombstones →
+    * affected neighborhoods (stored clusters that lost a member) →
+    * re-elect representatives among survivors over the stored mutual
+    * τ-edge subgraph. Untouched clusters keep their stored rows
+    * byte-for-byte BY CONSTRUCTION (the repair never recomputes them —
+    * the output scopes to affected clusters only, and the planted spec
+    * pins their absence); clusters whose every member is deleted emit a
+    * vanish row (canonical −1, d23's convention).
+    *
+    * The honest part (q67/d22's proof obligation): a deletion can do
+    * MORE than shrink a cluster — removing a node frees top-k slots, so
+    * a from-scratch rebuild's k-NN graph may contain edges the stored
+    * graph never had, and the delta repair cannot see them by scope
+    * (the standard production split: tombstone + re-elect now,
+    * re-index on cadence — exactly d22's membership caveat, one level
+    * deeper). `matches_full` is therefore COMPUTED per surviving member
+    * against a genuine from-scratch rebuild (survivor-only corpus AND
+    * survivor-only quantizer, [[s15SurvivorKnn]]), never asserted: the
+    * gate hash prices how often the shortcut diverges.
+    *
+    * Scale shape: tombstones and the affected-cluster set are
+    * request-batch-sized; the delta relabel runs [[minLabelComponents]]
+    * over ONLY the affected clusters' surviving stored edges (≤ the
+    * affected neighborhoods' N·k rows — metadata-width, never a corpus
+    * or vector pass); the stored graph and labels are the checkpointed
+    * leaves s15/d24 already maintain. The rebuild leg is gate-only. */
+  val d27 = QueryDef(
+    "d27_semantic_delete_propagation",
+    (s, d) => {
+      s15KnnFrame(s, d)
+      staged("d27_lab", d) { d24.run(s, d) }.createOrReplaceTempView("d27_lab")
+      staged("d27_mem", d) {
+        s.sql(s"""
+          WITH tomb AS (SELECT vec_id FROM d27_lab WHERE $d27TombPred),
+          aff AS (SELECT DISTINCT l.sem_cluster_id AS oc
+                  FROM d27_lab l JOIN tomb t ON l.vec_id = t.vec_id)
+          SELECT l.vec_id, l.sem_cluster_id AS oc, ($d27TombPred) AS is_tomb
+          FROM d27_lab l JOIN aff a ON l.sem_cluster_id = a.oc""")
+      }.createOrReplaceTempView("d27_mem")
+      // delta edges: stored mutual τ-edges with BOTH endpoints surviving —
+      // components are cluster-contained, so affected-cluster membership
+      // of one endpoint implies the edge lives inside an affected cluster
+      val sedges = staged("d27_sedges", d) {
+        s.sql(s"""
+          SELECT k.src AS doc_a, k.nb AS doc_b
+          FROM s15_knn k
+          JOIN s15_knn m ON m.src = k.nb AND m.nb = k.src
+          JOIN d27_mem a ON k.src = a.vec_id AND NOT a.is_tomb
+          JOIN d27_mem b ON k.nb = b.vec_id AND NOT b.is_tomb
+          WHERE k.cos >= $semGraphTau""")
+      }
+      withAdvisoryCoalesce(s) { minLabelComponents(s, sedges) }
+        .createOrReplaceTempView("d27_dlab")
+      // proof leg: genuine from-scratch rebuild over the survivors
+      s15SurvivorKnn(s, d).createOrReplaceTempView("d27_rknn")
+      val redges = staged("d27_redges", d) {
+        s.sql(s"""
+          SELECT k.src AS doc_a, k.nb AS doc_b
+          FROM d27_rknn k JOIN d27_rknn m ON m.src = k.nb AND m.nb = k.src
+          WHERE k.cos >= $semGraphTau""")
+      }
+      withAdvisoryCoalesce(s) { minLabelComponents(s, redges) }
+        .createOrReplaceTempView("d27_rlab")
+      s.sql("""
+        WITH surv AS (SELECT vec_id, oc FROM d27_mem WHERE NOT is_tomb),
+        repaired AS (SELECT s.oc AS old_cluster, s.vec_id,
+                       coalesce(dl.cluster, s.vec_id) AS new_cluster,
+                       coalesce(rl.cluster, s.vec_id) AS rebuild_cluster
+                     FROM surv s
+                     LEFT JOIN d27_dlab dl ON dl.id = s.vec_id
+                     LEFT JOIN d27_rlab rl ON rl.id = s.vec_id)
+        SELECT old_cluster, vec_id, new_cluster,
+               (new_cluster <> vec_id) AS is_pruned_new,
+               (new_cluster = rebuild_cluster) AS matches_full
+        FROM repaired
+        UNION ALL
+        SELECT a.oc AS old_cluster, CAST(-1 AS BIGINT) AS vec_id,
+               CAST(-1 AS BIGINT) AS new_cluster,
+               false AS is_pruned_new, true AS matches_full
+        FROM (SELECT DISTINCT oc FROM d27_mem) a
+        LEFT JOIN (SELECT DISTINCT oc FROM d27_mem WHERE NOT is_tomb) sv
+          ON a.oc = sv.oc
+        WHERE sv.oc IS NULL""")
+    },
+    Some(s"""
+      WITH RECURSIVE
+      lab AS (${d24.oracle.get.trim}),
+      knn AS (${s15OracleSql("TRUE").trim}),
+      rknn AS (${s15OracleSql(s"NOT ($d27TombPred)").trim}),
+      tomb AS (SELECT vec_id FROM embeddings WHERE $d27TombPred),
+      aff AS (SELECT DISTINCT l.sem_cluster_id AS oc
+              FROM lab l JOIN tomb t ON l.vec_id = t.vec_id),
+      mem AS (SELECT l.vec_id, l.sem_cluster_id AS oc,
+                (l.$d27TombPred) AS is_tomb
+              FROM lab l JOIN aff a ON l.sem_cluster_id = a.oc),
+      surv AS (SELECT vec_id, oc FROM mem WHERE NOT is_tomb),
+      sedges AS (SELECT k.vec_id AS a, k.neighbor_id AS b
+                 FROM knn k
+                 JOIN surv sa ON k.vec_id = sa.vec_id
+                 JOIN surv sb ON k.neighbor_id = sb.vec_id
+                 WHERE k.mutual AND k.cos >= $semGraphTau),
+      dnodes AS (SELECT DISTINCT a AS id FROM sedges),
+      dreach(id, r) AS (
+        SELECT id, id FROM dnodes
+        UNION
+        SELECT e.a, dreach.r FROM sedges e JOIN dreach ON e.b = dreach.id),
+      dlab AS (SELECT id, min(r) AS c FROM dreach GROUP BY id),
+      redges AS (SELECT vec_id AS a, neighbor_id AS b FROM rknn
+                 WHERE mutual AND cos >= $semGraphTau),
+      rnodes AS (SELECT DISTINCT a AS id FROM redges),
+      rreach(id, r) AS (
+        SELECT id, id FROM rnodes
+        UNION
+        SELECT e.a, rreach.r FROM redges e JOIN rreach ON e.b = rreach.id),
+      rlab AS (SELECT id, min(r) AS c FROM rreach GROUP BY id),
+      repaired AS (SELECT s.oc AS old_cluster, s.vec_id,
+                     COALESCE(dl.c, s.vec_id) AS new_cluster,
+                     COALESCE(rl.c, s.vec_id) AS rebuild_cluster
+                   FROM surv s
+                   LEFT JOIN dlab dl ON dl.id = s.vec_id
+                   LEFT JOIN rlab rl ON rl.id = s.vec_id)
+      SELECT old_cluster, vec_id, new_cluster,
+             (new_cluster <> vec_id) AS is_pruned_new,
+             (new_cluster = rebuild_cluster) AS matches_full
+      FROM repaired
+      UNION ALL
+      SELECT a.oc AS old_cluster, CAST(-1 AS BIGINT) AS vec_id,
+             CAST(-1 AS BIGINT) AS new_cluster,
+             false AS is_pruned_new, true AS matches_full
+      FROM (SELECT DISTINCT oc FROM mem) a
+      LEFT JOIN (SELECT DISTINCT oc FROM surv) sv ON a.oc = sv.oc
+      WHERE sv.oc IS NULL"""))
+
   val all: Seq[QueryDef] =
-    Seq(d02, d25, q72, d03, d04, d05, d06, d07, d16, d17, d21, s15, d24)
+    Seq(d02, d25, q72, d03, d04, d05, d06, d07, d16, d17, d21, s15, d24, d27)
 }
