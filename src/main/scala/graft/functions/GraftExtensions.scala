@@ -34,6 +34,8 @@ object GraftExtensions {
       es => ShingleSet(es.head, lit(es(1), "shingle_set n").toInt)),
     entry("jaccard_sim", classOf[JaccardSim])(
       es => JaccardSim(es.head, es(1))),
+    entry("intersect_count", classOf[IntersectCount])(
+      es => IntersectCount(es.head, es(1))),
     entry("dot_product", classOf[DotProduct])(
       es => DotProduct(es.head, es(1))),
     entry("text_features", classOf[TextFeatures])(
@@ -44,6 +46,8 @@ object GraftExtensions {
       es => SimHash32(es.head)),
     entry("nearest_centroid", classOf[NearestCentroid])(
       es => NearestCentroid(es.head, es(1), es(2))),
+    entry("nearest_centroids", classOf[NearestCentroids])(
+      es => NearestCentroids(es.head, es(1), es(2), es(3))),
     entry("int8_quantize", classOf[Int8Quantize])(
       es => Int8Quantize(es.head)),
     entry("int8_dot", classOf[Int8Dot])(

@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Per-row TOP-P centroid assignment — [[NearestCentroid]] generalized to
+  * the multi-probe case: returns `array<struct<cid, cos>>` of the `p`
+  * highest-cosine centroids in rank order (ties to the smaller cid) —
+  * exactly the rows `row_number() OVER (PARTITION BY vec_id ORDER BY cos
+  * DESC, cid) <= p` selects.
+  *
+  * WHY: the window spelling explodes each vector into K scored rows and
+  * shuffles all N·K of them so one task can sort each vector's
+  * candidates. At the trained-quantizer K∝N operating point that is the
+  * scale-killer made literal: 64× data at K=2560 means an 819 M-row
+  * exchange + sort for what is a row-wise argmax-P. This expression keeps
+  * multi-probe assignment on the scan: one pass, no row explosion, no
+  * shuffle — N·K dot products, O(N) rows out. Dots fold left-to-right
+  * like [[DotProduct]], so selected cosines are bit-identical to the SQL
+  * chain's.
+  *
+  * The cosine scratch buffer is a per-instance field (expression trees
+  * are deserialized per task, single-threaded) — selection over K cached
+  * cosines instead of re-folding K·d flops per probe rank. */
+case class NearestCentroids(
+    vec: Expression, nrm: Expression, cents: Expression, p: Expression)
+    extends QuaternaryExpression with CodegenFallback {
+
+  override def first: Expression = vec
+  override def second: Expression = nrm
+  override def third: Expression = cents
+  override def fourth: Expression = p
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("cid", LongType, nullable = false),
+    StructField("cos", DoubleType, nullable = false))), containsNull = false)
+
+  /** Nullable like [[NearestCentroid]]: empty centroid array → null, and
+    * the guard must survive optimization. */
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val okVec = vec.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val okNrm = nrm.dataType == DoubleType
+    val okCents = cents.dataType match {
+      case ArrayType(StructType(Array(
+            StructField(_, LongType, _, _),
+            StructField(_, ArrayType(DoubleType, _), _, _),
+            StructField(_, DoubleType, _, _))), _) => true
+      case _ => false
+    }
+    val okP = p.dataType == IntegerType && p.foldable
+    if (okVec && okNrm && okCents && okP) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<double>, double, " +
+        "array<struct<cid:bigint,cv:array<double>,cn:double>>, literal int), got " +
+        Seq(vec, nrm, cents, p).map(_.dataType.simpleString).mkString(", "))
+  }
+
+  override def prettyName: String = "nearest_centroids"
+
+  @transient private lazy val probes: Int =
+    p.eval(InternalRow.empty).asInstanceOf[Int]
+
+  // per-task scratch: cosines + cids for the selection pass
+  @transient private var cosBuf: Array[Double] = _
+  @transient private var cidBuf: Array[Long] = _
+
+  override protected def nullSafeEval(v: Any, n: Any, cs: Any, pv: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val vn = n.asInstanceOf[Double]
+    val arr = cs.asInstanceOf[ArrayData]
+    val dims = vec.numElements()
+    val k = arr.numElements()
+    if (k == 0) return null
+    if (cosBuf == null || cosBuf.length < k) {
+      cosBuf = new Array[Double](k)
+      cidBuf = new Array[Long](k)
+    }
+    var c = 0
+    while (c < k) {
+      val row = arr.getStruct(c, 3)
+      val cv = row.getArray(1)
+      val cn = row.getDouble(2)
+      var acc = 0.0
+      var i = 0
+      while (i < dims) {
+        acc += vec.getDouble(i) * cv.getDouble(i)
+        i += 1
+      }
+      cosBuf(c) = acc / (vn * cn)
+      cidBuf(c) = row.getLong(0)
+      c += 1
+    }
+    // selection: p passes over the cached cosines (p ≪ K), each pass
+    // picking the best not-yet-taken entry under (cos DESC, cid ASC) —
+    // NaN sorts greatest, matching Spark's descending sort order
+    val take = math.min(probes, k)
+    val taken = new Array[Boolean](k)
+    val out = new Array[Any](take)
+    var r = 0
+    while (r < take) {
+      var best = -1
+      c = 0
+      while (c < k) {
+        if (!taken(c)) {
+          if (best < 0) best = c
+          else {
+            val a = cosBuf(c); val b = cosBuf(best)
+            val cmp =
+              if (a.isNaN && b.isNaN) 0
+              else if (a.isNaN) 1
+              else if (b.isNaN) -1
+              else java.lang.Double.compare(a, b)
+            if (cmp > 0 || (cmp == 0 && cidBuf(c) < cidBuf(best))) best = c
+          }
+        }
+        c += 1
+      }
+      taken(best) = true
+      out(r) = InternalRow(cidBuf(best), cosBuf(best))
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression,
+      newFourth: Expression): NearestCentroids =
+    copy(vec = newFirst, nrm = newSecond, cents = newThird, p = newFourth)
+}

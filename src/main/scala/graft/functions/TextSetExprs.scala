@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Distinct word n-gram shingle set in one JVM pass — semantically equal to
@@ -72,5 +72,38 @@ case class JaccardSim(left: Expression, right: Expression)
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaccardSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Exact intersection COUNT of two distinct string arrays — the same
+  * hash-set pass as [[JaccardSim]] but returning the raw count, zero
+  * allocation: `size(array_intersect(a, b))` builds the intersection
+  * ARRAY per evaluation, and the d02/d25 verify stage evaluates the
+  * overlap in several expressions of one projection (the optimizer
+  * substitutes the alias through filters and derived columns), so the
+  * allocating spelling was measured at 64× costing d02 ~60% over the
+  * count-only form. */
+case class IntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "intersect_count"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val bs = new java.util.HashSet[UTF8String](b.numElements() * 2)
+    var i = 0
+    while (i < b.numElements()) { bs.add(b.getUTF8String(i)); i += 1 }
+    var inter = 0L
+    i = 0
+    while (i < a.numElements()) {
+      if (bs.contains(a.getUTF8String(i))) inter += 1L
+      i += 1
+    }
+    inter
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): IntersectCount =
     copy(left = newLeft, right = newRight)
 }

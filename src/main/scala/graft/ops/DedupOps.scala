@@ -121,38 +121,40 @@ object DedupOps {
 
   /** Verify-stage spelling dial (`-Dgraft.d02.verify`, read once at load
     * like [[minhashBands]] so the staged frames can never mix spellings
-    * within a run). All three spellings produce the IDENTICAL
-    * (doc_a, doc_b, n_shared, n_union) frame — exact integer set counts —
-    * they differ only in what the verify exchange CARRIES:
+    * within a run). All four spellings produce the IDENTICAL
+    * (doc_a, doc_b, n_shared, n_union) frame — exact integer set counts
+    * (LshAuditSpec pins row-identity) — they differ only in what the
+    * verify stage's exchanges CARRY. Measured at 64× (13.6 M candidates,
+    * SCALE.md "round 14: the d02 verify exchange A/B"):
     *
-    *  - `sets`: join the candidate pairs to the shingle-SET frame twice
-    *    and `array_intersect` the two arrays per row. The exchange
-    *    carries candidates × two full shingle arrays — the spelling that
-    *    hit the single-node disk wall at 256× (SCALE.md wave-4: the
-    *    replica-clique corpus drives ~16 M candidate pairs whose
-    *    array payload spills past free /tmp).
+    *  - `sets` (default): join the candidate pairs to the shingle-SET
+    *    frame twice, count overlap with the allocation-free
+    *    `intersect_count`. d25 17.7 s — the 64× winner. The cost at the
+    *    box's edge: the intermediate BETWEEN the two joins carries
+    *    sa.sset per candidate row, and at 256× (163 M replica-clique
+    *    candidates × ~2 KB arrays ≈ 300 GB of second-join shuffle) that
+    *    spills past free disk — the r13 DNF.
+    *  - `bcast`: `sets` with the dictionary BROADCAST into both joins —
+    *    the array side moves once (corpus-linear), the candidate stream
+    *    stays narrow end to end, no array-carrying exchange exists. The
+    *    256× leg that survives this box. Requires the (doc_id, sset)
+    *    dictionary to fit executor memory, so at true 100 TB the dial
+    *    flips back to `sets` and the exchange spreads over the cluster.
     *  - `classes`: collapse docs with IDENTICAL shingle sets into classes
-    *    first (d21's replication-invariant move — one window over the
-    *    sset-keyed exchange, linear in corpus), verify once per DISTINCT
-    *    class pair (the only array-carrying join, collapse-bounded), then
-    *    map scores back onto doc pairs through two narrow (doc_id, cls)
-    *    joins and one broadcast-sized score join. Under replication the
-    *    class-pair count is invariant in the factor, so the array
-    *    exchange stays GATE-sized while candidates grow quadratically in
-    *    the clique size.
-    *  - `explode`: count shared shingles by equi-join aggregation
-    *    (m10/d21's shape): explode each candidate's A-side set, equi-join
-    *    the B side on (doc, shingle), map-side-combine the per-pair
-    *    count, and recover zero-overlap candidates with a left join; set
-    *    sizes ride a metadata-width (doc_id, |set|) frame. The exchange
-    *    carries Σ|set| NARROW rows per candidate instead of two arrays
-    *    per row — same asymptotic bytes, but spillable row-at-a-time.
-    *
-    * The 64×/256× A/B (SCALE.md "d02 verify exchange A/B") picked
-    * `classes` as the default: it is the only spelling whose array
-    * exchange does not grow with the candidate count at all. */
+    *    first (d21's replication-invariant move), verify once per
+    *    DISTINCT class pair, map scores back over narrow joins. The
+    *    right economics for boilerplate-heavy corpora where exact-dup
+    *    collapse is massive; on the ScaleData corpus the per-replica
+    *    salt makes every sset distinct BY DESIGN, so classes degenerates
+    *    to sets + a window pass (measured 25-29 s at 64× — documented
+    *    rejection for THIS corpus, kept as the dial for corpora where
+    *    collapse is real).
+    *  - `explode`: count shared shingles by (doc, shingle) equi-join
+    *    aggregation — narrow rows only, but Σ|set| of them per candidate
+    *    (measured 90 s at 64×, and ~390 GB of exchange at 256× — worse
+    *    than the wall it was meant to avoid; measured rejection). */
   private[graft] val d02VerifySpelling =
-    sys.props.getOrElse("graft.d02.verify", "classes")
+    sys.props.getOrElse("graft.d02.verify", "sets")
 
   /** The ONE scored verify frame (doc_a, doc_b, n_shared, n_union) — the
     * exact shingle-overlap counts for every RAW banding candidate —
@@ -162,9 +164,15 @@ object DedupOps {
     * respelling could drift the confirmed filter apart from the audit's
     * is_confirmed cross-multiplication. Now there is one frame to
     * respell, and [[d02VerifySpelling]] is where the respelling lives. */
+  /** NOT staged/cached: the frame is consumed once per query (d02 filters
+    * it, d25 projects it) and the expensive stages underneath
+    * ([[d02Shingles]], [[d02Candidates]], the class frame) are already
+    * shared caches — force-caching the scored output itself was measured
+    * at 64× as pure overhead on the verify pass (it materializes
+    * candidate-count rows nobody re-reads). */
   private[graft] def d02ScoredCandidates(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
-    staged("d02_scored", d) { d02ScoredWith(s, d, d02VerifySpelling) }
+    d02ScoredWith(s, d, d02VerifySpelling)
 
   /** [[d02ScoredCandidates]] at an explicit spelling — the A/B seam
     * (LshAuditSpec proves the three spellings row-identical at the gate
@@ -177,13 +185,30 @@ object DedupOps {
       val sh = d02Shingles(s, d)
       val cand = d02Candidates(s, d)
       spelling match {
-        case "sets" =>
+        case "sets" | "bcast" =>
+          // intersect_count, NOT size(array_intersect(...)): the alias is
+          // substituted through d02's filter and d25's derived columns
+          // (CollapseProject/PushDownPredicates), so the overlap evaluates
+          // 2-3x per row — the count-only expression keeps each
+          // evaluation allocation-free (measured: d02 34.4 -> ~22 s at 64x)
+          //
+          // bcast additionally BROADCASTS the shingle dictionary into both
+          // joins: with exchange-based joins the intermediate between them
+          // carries sa.sset per CANDIDATE row (candidates × ~2 KB arrays —
+          // the ~300 GB second-join shuffle that was the 256× disk wall);
+          // broadcast makes the array side move ONCE (corpus-linear) and
+          // the candidate stream stays narrow end to end. The dictionary
+          // must fit executor memory — corpus-linear, so at true 100 TB
+          // this dial flips back to `sets` and the exchange spreads over
+          // the cluster instead.
+          val dict =
+            if (spelling == "bcast") org.apache.spark.sql.functions.broadcast(sh)
+            else sh
           cand
-            .join(sh.as("sa"), $"ida" === $"sa.doc_id")
-            .join(sh.as("sb"), $"idb" === $"sb.doc_id")
+            .join(dict.as("sa"), $"ida" === $"sa.doc_id")
+            .join(dict.as("sb"), $"idb" === $"sb.doc_id")
             .select($"ida".as("doc_a"), $"idb".as("doc_b"),
-              expr("CAST(size(array_intersect(sa.sset, sb.sset)) AS BIGINT)")
-                .as("n_shared"),
+              expr("intersect_count(sa.sset, sb.sset)").as("n_shared"),
               expr("CAST(size(sa.sset) AS BIGINT) + CAST(size(sb.sset) AS BIGINT)")
                 .as("n_total"))
             .selectExpr("doc_a", "doc_b", "n_shared",
@@ -213,8 +238,7 @@ object DedupOps {
             .join(reps.as("ra"), $"clo" === $"ra.rep")
             .join(reps.as("rb"), $"chi" === $"rb.rep")
             .select($"clo", $"chi",
-              expr("CAST(size(array_intersect(ra.sset, rb.sset)) AS BIGINT)")
-                .as("n_shared"),
+              expr("intersect_count(ra.sset, rb.sset)").as("n_shared"),
               expr("CAST(size(ra.sset) AS BIGINT) + CAST(size(rb.sset) AS BIGINT)")
                 .as("n_total"))
             .selectExpr("clo", "chi", "n_shared", "n_total - n_shared AS n_union")
@@ -248,7 +272,7 @@ object DedupOps {
                 .as("n_union"))
         case other =>
           throw new IllegalArgumentException(
-            s"graft.d02.verify: unknown spelling '$other' (sets|classes|explode)")
+            s"graft.d02.verify: unknown spelling '$other' (sets|bcast|classes|explode)")
       }
   }
 
@@ -1062,22 +1086,27 @@ object DedupOps {
         SimilarityOps.s03Statics(s, d)
         ("s03_assign", "s03_n")
       case Some(k) =>
-        // trained coarse quantizer (s17's shape): converged centroids at
-        // an explicit K, one broadcast assignment pass, probe ranking
-        // identical in form to s03's so the graph SQL below is shared
+        // trained coarse quantizer at an explicit K. Assignment is the
+        // ROW-WISE top-P expression, not the CROSS JOIN + window: at the
+        // K∝N operating point the window spelling explodes N·K scored
+        // rows into one exchange+sort (64× at K=2560 = an 819 M-row
+        // shuffle for a per-row argmax-P) — `nearest_centroids` keeps it
+        // a zero-shuffle scan pass over one ~K·dims broadcast row
         SimilarityOps.s06CentsWith(s, d, k, s"s15_tc_$k")
           .createOrReplaceTempView("s15_tc")
         stagedMaterialized(s"s15_tassign_$k", d) {
           roundCheckpoint(s.sql(s"""
-            WITH c AS (SELECT cid, cv, sqrt(dot_product(cv, cv)) AS cn
-                       FROM s15_tc),
-            sc0 AS (SELECT /*+ BROADCAST(c) */ t.vec_id, c.cid AS cluster,
-                      row_number() OVER (PARTITION BY t.vec_id
-                        ORDER BY dot_product(t.v, c.cv) / (t.nrm * c.cn) DESC,
-                                 c.cid) AS rn
-                    FROM s06_n t CROSS JOIN c)
-            SELECT vec_id, cluster, rn FROM sc0
-            WHERE rn <= ${SimilarityOps.ivfProbes}"""))
+            WITH cs AS (SELECT collect_list(named_struct(
+                          'cid', cid, 'cv', cv,
+                          'cn', sqrt(dot_product(cv, cv)))) AS cents
+                        FROM s15_tc),
+            a AS (SELECT /*+ BROADCAST(cs) */ t.vec_id,
+                    nearest_centroids(t.v, t.nrm, cents,
+                      ${SimilarityOps.ivfProbes}) AS nc
+                  FROM s06_n t CROSS JOIN cs)
+            SELECT vec_id, pr.col.cid AS cluster,
+                   CAST(pr.pos + 1 AS INT) AS rn
+            FROM a LATERAL VIEW posexplode(nc) pr"""))
         }.createOrReplaceTempView("s15_tassign")
         ("s15_tassign", "s06_n")
     }
