@@ -284,17 +284,20 @@ object Temporal {
   /** q61's bitmask spelling dial (`-Dgraft.q61.mask`, round-13 verdict
     * item 5). The weak-set decomposition blamed q61's 2.7× marginal on
     * the `collect_set(purchase weeks)` ObjectHashAggregate — a growing
-    * object buffer per user, outside whole-stage codegen. Week offsets
-    * are small bounded integers, so the purchase-week SET packs into ONE
-    * BIGINT: `bit_or(1 << rel_week)` is a codegen'd two-long HashAggregate
-    * buffer, and the retention matrix falls out of bit-tests over the
-    * mask — no object aggregate, no extra exchange (the rejected
-    * two-level spelling's failure mode). Costs one extra column-pruned
-    * events pass for the global week anchor, and carries a LOUD
-    * 64-week-window guard (`assert_true`): retention matrices are
-    * short-horizon by design, and a corpus whose event span exceeds 64
-    * weeks must use the collect_set spelling (or a two-long mask), not
-    * silently drop cohorts. A `def` so the equality spec can pin both
+    * object buffer per user, outside whole-stage codegen. Here the
+    * purchase-week SET packs into ONE BIGINT by MODULAR position:
+    * `bit_or(1 << (week_index % 64))` needs no anchor (the first
+    * spelling's global-min pass + broadcast cross join was measured
+    * LOSING 1.5× at 256× to the two extra scan passes it cost), and the
+    * per-user decode `wk = pmin + ((bit − pmin) mod 64)` is exact
+    * whenever the user's purchase span is < 64 weeks — the natural
+    * retention-matrix horizon, and a much weaker premise than the
+    * anchor spelling's global-span bound. The aggregate is a flat
+    * four-long codegen'd HashAggregate buffer (cohort week, purchase
+    * min/max, mask): ONE scan, ONE user-keyed exchange, no object
+    * aggregate anywhere. A user whose purchase span exceeds 64 weeks
+    * fails LOUDLY (`assert_true` folded into the decode lambda) — never
+    * a silently wrong matrix. A `def` so the equality spec can pin both
     * spellings in one JVM. */
   private[graft] def q61MaskDial: Boolean =
     sys.props.get("graft.q61.mask").exists(_.toBoolean)
@@ -308,32 +311,35 @@ object Temporal {
       .where($"event_type".isin("signup", "purchase"))
       .selectExpr("user_id", "event_type",
         "CAST(datediff(CAST(date_trunc('week', ts) AS DATE), DATE'1970-01-05') div 7 AS BIGINT) AS wk_i")
-    val anchor = e.agg(min($"wk_i").as("base"))
-    val rel = e.crossJoin(anchor)
-      .selectExpr("user_id", "event_type", "base",
-        """CASE WHEN wk_i - base < 64 THEN wk_i - base
-                ELSE CAST(assert_true(false,
-                  'q61 mask spelling: event span exceeds the 64-week window — use the collect_set spelling') AS BIGINT)
-           END AS rel""")
     val u = roundCheckpoint(
-      rel.groupBy($"user_id")
+      e.groupBy($"user_id")
         .agg(
-          min(when($"event_type" === "signup", $"rel")).as("cwrel"),
+          min(when($"event_type" === "signup", $"wk_i")).as("cw"),
+          min(when($"event_type" === "purchase", $"wk_i")).as("pmin"),
+          max(when($"event_type" === "purchase", $"wk_i")).as("pmax"),
           expr("""bit_or(CASE WHEN event_type = 'purchase'
-                              THEN shiftleft(CAST(1 AS BIGINT), CAST(rel AS INT))
-                              ELSE CAST(0 AS BIGINT) END)""").as("mask"),
-          first($"base").as("base"))
-        .where($"cwrel".isNotNull))
-    val cs = u.groupBy($"cwrel").agg(count(lit(1)).as("cohort_size"))
+                              THEN shiftleft(CAST(1 AS BIGINT), CAST(wk_i % 64 AS INT))
+                              ELSE CAST(0 AS BIGINT) END)""").as("mask"))
+        .where($"cw".isNotNull))
+    val cs = u.groupBy($"cw").agg(count(lit(1)).as("cohort_size"))
+    // decode set bits back to absolute week indexes: bits are unique per
+    // user iff the purchase span fits 64 weeks — guarded in the lambda so
+    // a wider corpus fails loudly instead of aliasing cohor cells
     val r = u
-      .selectExpr("cwrel", "base",
-        "explode(filter(sequence(0, 63), b -> ((shiftright(mask, b) & 1) = 1) AND b >= cwrel)) AS pb")
-      .selectExpr("cwrel", "base", "CAST(pb - cwrel AS BIGINT) AS wk_offset")
-      .groupBy($"cwrel", $"wk_offset")
-      .agg(count(lit(1)).as("n_active"), first($"base").as("base"))
-    r.join(cs, "cwrel")
+      .selectExpr("cw",
+        """explode(transform(
+             filter(sequence(0, 63), b -> (shiftright(mask, b) & 1) = 1),
+             b -> CASE WHEN pmax - pmin >= 64
+                       THEN CAST(assert_true(false,
+                         'q61 mask spelling: a user purchase span exceeds the 64-week window — use the collect_set spelling') AS BIGINT)
+                       ELSE pmin + pmod(CAST(b AS BIGINT) - pmin, 64) END)) AS wk""")
+      .where($"wk" >= $"cw")
+      .selectExpr("cw", "CAST(wk - cw AS BIGINT) AS wk_offset")
+      .groupBy($"cw", $"wk_offset")
+      .agg(count(lit(1)).as("n_active"))
+    r.join(cs, "cw")
       .selectExpr(
-        "date_format(date_add(DATE'1970-01-05', CAST((cwrel + base) * 7 AS INT)), 'yyyy-MM-dd') AS cohort_week",
+        "date_format(date_add(DATE'1970-01-05', CAST(cw * 7 AS INT)), 'yyyy-MM-dd') AS cohort_week",
         "wk_offset", "n_active", "cohort_size",
         "CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention")
   }

