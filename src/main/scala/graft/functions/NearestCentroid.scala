@@ -63,28 +63,37 @@ case class NearestCentroid(vec: Expression, nrm: Expression, cents: Expression)
 
   override def prettyName: String = "nearest_centroid"
 
+  // per-task memoized centroid decode + vector scratch (see
+  // [[CentroidTable]]: the centroid argument is the same broadcast
+  // instance on every row of a task, and primitive-array inner loops
+  // halve the interpreted assignment constant the Lloyd rounds pay)
+  @transient private var table: CentroidTable = _
+  @transient private var vecBuf: Array[Double] = _
+
   override protected def nullSafeEval(v: Any, n: Any, cs: Any): Any = {
-    val vec = v.asInstanceOf[ArrayData]
+    val vecA = v.asInstanceOf[ArrayData]
     val vn = n.asInstanceOf[Double]
-    val arr = cs.asInstanceOf[ArrayData]
-    val dims = vec.numElements()
+    if (table == null) table = new CentroidTable
+    table.decode(cs.asInstanceOf[ArrayData])
+    val dims = vecA.numElements()
+    if (vecBuf == null || vecBuf.length < dims) vecBuf = new Array[Double](dims)
+    var i = 0
+    while (i < dims) { vecBuf(i) = vecA.getDouble(i); i += 1 }
     var bestCid = Long.MinValue
     var bestCos = Double.NegativeInfinity
     var first = true
     var c = 0
-    val k = arr.numElements()
+    val k = table.k
     while (c < k) {
-      val row = arr.getStruct(c, 3)
-      val cid = row.getLong(0)
-      val cv = row.getArray(1)
-      val cn = row.getDouble(2)
+      val cid = table.cids(c)
+      val cv = table.cvs(c)
       var acc = 0.0
-      var i = 0
+      i = 0
       while (i < dims) {
-        acc += vec.getDouble(i) * cv.getDouble(i)
+        acc += vecBuf(i) * cv(i)
         i += 1
       }
-      val cos = acc / (vn * cn)
+      val cos = acc / (vn * table.cns(c))
       // ORDER BY cos DESC, cid semantics (NaN sorts greatest, like Spark)
       val cmp =
         if (cos.isNaN && bestCos.isNaN) 0

@@ -6,6 +6,42 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
+/** Per-task memoized decode of the centroid table into primitive arrays.
+  *
+  * The centroid argument reaches the expression as the SAME broadcast
+  * ArrayData instance on every row of a task (it is the one
+  * `collect_list` value of a 1-row frame, cross-joined in), but walking
+  * it per row pays k struct-views + k ArrayData element reads per
+  * evaluation — at the trained-quantizer K∝N operating point that is
+  * the dominant interpreted cost of the whole assignment pass. Decode is
+  * identity-keyed: first row parses into `double[][]`, every subsequent
+  * row reuses it (an `eq` miss just re-decodes — correctness never
+  * depends on the memo). Expression trees are deserialized per task and
+  * evaluated single-threaded, so the mutable fields are task-local. */
+private[functions] final class CentroidTable {
+  private var ref: AnyRef = _
+  var k: Int = 0
+  var cids: Array[Long] = _
+  var cvs: Array[Array[Double]] = _
+  var cns: Array[Double] = _
+  def decode(arr: ArrayData): Unit = {
+    if (arr.asInstanceOf[AnyRef] eq ref) return
+    k = arr.numElements()
+    cids = new Array[Long](k)
+    cvs = new Array[Array[Double]](k)
+    cns = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val row = arr.getStruct(c, 3)
+      cids(c) = row.getLong(0)
+      cvs(c) = row.getArray(1).toDoubleArray()
+      cns(c) = row.getDouble(2)
+      c += 1
+    }
+    ref = arr.asInstanceOf[AnyRef]
+  }
+}
+
 /** Per-row TOP-P centroid assignment — [[NearestCentroid]] generalized to
   * the multi-probe case: returns `array<struct<cid, cos>>` of the `p`
   * highest-cosine centroids in rank order (ties to the smaller cid) —
@@ -69,36 +105,37 @@ case class NearestCentroids(
   @transient private lazy val probes: Int =
     p.eval(InternalRow.empty).asInstanceOf[Int]
 
-  // per-task scratch: cosines + cids for the selection pass
+  // per-task scratch: decoded centroid table + cosines for the selection
+  @transient private var table: CentroidTable = _
   @transient private var cosBuf: Array[Double] = _
-  @transient private var cidBuf: Array[Long] = _
+  @transient private var vecBuf: Array[Double] = _
 
   override protected def nullSafeEval(v: Any, n: Any, cs: Any, pv: Any): Any = {
-    val vec = v.asInstanceOf[ArrayData]
+    val vecA = v.asInstanceOf[ArrayData]
     val vn = n.asInstanceOf[Double]
-    val arr = cs.asInstanceOf[ArrayData]
-    val dims = vec.numElements()
-    val k = arr.numElements()
+    if (table == null) table = new CentroidTable
+    table.decode(cs.asInstanceOf[ArrayData])
+    val k = table.k
     if (k == 0) return null
-    if (cosBuf == null || cosBuf.length < k) {
-      cosBuf = new Array[Double](k)
-      cidBuf = new Array[Long](k)
-    }
+    val cids = table.cids
+    val dims = vecA.numElements()
+    if (cosBuf == null || cosBuf.length < k) cosBuf = new Array[Double](k)
+    if (vecBuf == null || vecBuf.length < dims) vecBuf = new Array[Double](dims)
+    var i = 0
+    while (i < dims) { vecBuf(i) = vecA.getDouble(i); i += 1 }
     var c = 0
     while (c < k) {
-      val row = arr.getStruct(c, 3)
-      val cv = row.getArray(1)
-      val cn = row.getDouble(2)
+      val cv = table.cvs(c)
       var acc = 0.0
-      var i = 0
+      i = 0
       while (i < dims) {
-        acc += vec.getDouble(i) * cv.getDouble(i)
+        acc += vecBuf(i) * cv(i)
         i += 1
       }
-      cosBuf(c) = acc / (vn * cn)
-      cidBuf(c) = row.getLong(0)
+      cosBuf(c) = acc / (vn * table.cns(c))
       c += 1
     }
+    val cidBuf = cids
     // selection: p passes over the cached cosines (p ≪ K), each pass
     // picking the best not-yet-taken entry under (cos DESC, cid ASC) —
     // NaN sorts greatest, matching Spark's descending sort order
