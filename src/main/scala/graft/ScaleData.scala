@@ -19,7 +19,18 @@ import org.apache.spark.sql.functions._
   */
 object ScaleData {
   def main(args: Array[String]): Unit = {
-    val Array(baseDir, outDir, factorS) = args
+    val (baseDir, outDir, factorS) = (args(0), args(1), args(2))
+    // optional 4th arg "saltVecs": perturb replicated embeddings by a
+    // per-replica epsilon on dim 0 (±0.001·i). Round-14 finding: verbatim
+    // vector replication caps the DISTINCT-vector count at the base
+    // corpus size, so a trained quantizer collapses to ≤|base|/stride
+    // distinct seeds NO MATTER K (measured: K=640 at 16× yields 16
+    // effective cells — the K∝N dial cannot be exercised at all). The
+    // salt keeps neighbor structure (epsilon ≪ any cosine gap) while
+    // restoring seed diversity — the embedding-space twin of the text
+    // " rN" salt. Default OFF so every committed scaled dir stays
+    // byte-identical.
+    val saltVecs = args.length > 3 && args(3) == "saltVecs"
     val factor = factorS.toInt
     val spark = Sessions.local()
 
@@ -54,7 +65,10 @@ object ScaleData {
       read("embeddings").agg(max(col("vec_id"))).head().getLong(0) + 1L
     def replicateVecs(df: DataFrame): DataFrame =
       (0 until factor).map { i =>
-        df.withColumn("vec_id", col("vec_id") + lit(i * vecStride))
+        val shifted = df.withColumn("vec_id", col("vec_id") + lit(i * vecStride))
+        if (i == 0 || !saltVecs) shifted
+        else shifted.withColumn("embedding", expr(
+          s"transform(embedding, (x, j) -> IF(j = 0, CAST(x + $i * 0.001 AS FLOAT), x))"))
       }.reduce(_ unionByName _)
 
     val out: Seq[(String, DataFrame)] = Seq(
