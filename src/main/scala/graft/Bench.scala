@@ -105,9 +105,29 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
+    // Calib-drift guard (round-14 verdict item 2): the committed round-14
+    // "final" artifact self-recorded loadavg 6.78 with the calibration job
+    // +69% over the same round's quiet-machine baseline — a loaded run
+    // silently became the round's headline. The bench now defends itself:
+    // any run whose fixed calibration job drifts >25% off the committed
+    // quiet reference is STAMPED "load_suspect":true in the artifact
+    // itself, so a noisy run can never masquerade as a clean baseline.
+    // The reference is the committed quiet-machine value (loadavg 1.09,
+    // r14 commit dfcf157); override with -Dgraft.bench.calibRef when the
+    // hardware itself changes.
+    val calibQuietRef =
+      sys.props.getOrElse("graft.bench.calibRef", "0.43").toDouble
+    val calibDrift = calibSec / calibQuietRef - 1.0
+    val loadSuspect = calibDrift > 0.25
+    if (loadSuspect) System.err.println(String.format(java.util.Locale.ROOT,
+      "[bench] WARNING: calibration %.3f s is %.0f%% over the quiet " +
+        "reference %.2f s (loadavg %.2f) — artifact stamped load_suspect",
+      Double.box(calibSec), Double.box(calibDrift * 100),
+      Double.box(calibQuietRef), Double.box(loadavg1m)))
     val calib = String.format(java.util.Locale.ROOT,
-      """"loadavg1m":%.2f,"calib_sec":%.4f""",
-      Double.box(loadavg1m), Double.box(calibSec))
+      """"loadavg1m":%.2f,"calib_sec":%.4f,"calib_ref":%.4f,"calib_drift":%.3f,"load_suspect":%b""",
+      Double.box(loadavg1m), Double.box(calibSec), Double.box(calibQuietRef),
+      Double.box(calibDrift), Boolean.box(loadSuspect))
     val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$nRuns,$calib,"queries":${fmt(results)},"medians":${fmt(medians)},"spread":${fmt(spread)},"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // Round-11 verdict item 6: the driver's BENCH_r{N}.json captured only

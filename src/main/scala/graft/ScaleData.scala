@@ -20,17 +20,21 @@ import org.apache.spark.sql.functions._
 object ScaleData {
   def main(args: Array[String]): Unit = {
     val (baseDir, outDir, factorS) = (args(0), args(1), args(2))
-    // optional 4th arg "saltVecs": perturb replicated embeddings by a
-    // per-replica epsilon on dim 0 (±0.001·i). Round-14 finding: verbatim
-    // vector replication caps the DISTINCT-vector count at the base
-    // corpus size, so a trained quantizer collapses to ≤|base|/stride
-    // distinct seeds NO MATTER K (measured: K=640 at 16× yields 16
-    // effective cells — the K∝N dial cannot be exercised at all). The
-    // salt keeps neighbor structure (epsilon ≪ any cosine gap) while
-    // restoring seed diversity — the embedding-space twin of the text
-    // " rN" salt. Default OFF so every committed scaled dir stays
-    // byte-identical.
-    val saltVecs = args.length > 3 && args(3) == "saltVecs"
+    // Replicated embeddings are perturbed by a per-replica epsilon on
+    // dim 0 (+0.001·i). Round-14 finding: verbatim vector replication
+    // caps the DISTINCT-vector count at the base corpus size, so a
+    // trained quantizer collapses to ≤|base|/stride distinct seeds NO
+    // MATTER K (measured: K=640 at 16× yields 16 effective cells — the
+    // K∝N dial cannot be exercised at all). The salt keeps neighbor
+    // structure (epsilon ≪ any cosine gap) while restoring seed
+    // diversity — the embedding-space twin of the text " rN" salt.
+    // DEFAULT ON since round 15 (r14 verdict item 1a: the linear-regime
+    // curve must be reproducible from the repo, and the auto-select
+    // trained quantizer is now the default path at scale — an unsalted
+    // dir would exercise the harness artifact, not the engine). Pass
+    // "noSaltVecs" as the 4th arg to reproduce pre-r15 byte-identical
+    // dirs; "saltVecs" is still accepted as an explicit no-op.
+    val saltVecs = !(args.length > 3 && args(3) == "noSaltVecs")
     val factor = factorS.toInt
     val spark = Sessions.local()
 

@@ -1,10 +1,40 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM kernels shared by the interpreted `nullSafeEval` and the generated
+  * code of the set expressions below. A top-level object with no companion
+  * class compiles its methods to static forwarders, so whole-stage-generated
+  * Java calls `graft.functions.TextSetKernels.intersectCount(a, b)`
+  * directly — one shared implementation, two call paths. */
+object TextSetKernels {
+  /** Exact |a ∩ b| of two DISTINCT string arrays, zero allocation beyond
+    * the probe set. */
+  def intersectCount(a: ArrayData, b: ArrayData): Long = {
+    val bs = new java.util.HashSet[UTF8String](b.numElements() * 2)
+    var i = 0
+    while (i < b.numElements()) { bs.add(b.getUTF8String(i)); i += 1 }
+    var inter = 0L
+    i = 0
+    while (i < a.numElements()) {
+      if (bs.contains(a.getUTF8String(i))) inter += 1L
+      i += 1
+    }
+    inter
+  }
+
+  /** Jaccard similarity of two DISTINCT string arrays via one hash-set
+    * pass — O(|a|+|b|). */
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val inter = intersectCount(a, b)
+    val union = a.numElements().toLong + b.numElements().toLong - inter
+    if (union == 0L) 0.0 else inter.toDouble / union.toDouble
+  }
+}
 
 /** Distinct word n-gram shingle set in one JVM pass — semantically equal to
   * `array_distinct(transform(sequence(1, size(w)-n+1), i -> concat_ws(' ',
@@ -48,28 +78,21 @@ case class ShingleSet(child: Expression, n: Int)
 
 /** Jaccard similarity of two distinct string arrays via hash-set lookup —
   * O(|a|+|b|) instead of the O(|a|·|b|) interpreted
-  * `size(filter(a, x -> array_contains(b, x)))` form; same value. */
+  * `size(filter(a, x -> array_contains(b, x)))` form; same value.
+  * Codegen'd (round-15): the kernel call inlines into the enclosing
+  * whole-stage body — no boxed fallback eval in the verify joins. */
 case class JaccardSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaccard_sim"
 
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
-    val bs = new java.util.HashSet[UTF8String](b.numElements() * 2)
-    var i = 0
-    while (i < b.numElements()) { bs.add(b.getUTF8String(i)); i += 1 }
-    var inter = 0
-    i = 0
-    while (i < a.numElements()) {
-      if (bs.contains(a.getUTF8String(i))) inter += 1
-      i += 1
-    }
-    val union = a.numElements() + b.numElements() - inter
-    if (union == 0) 0.0 else inter.toDouble / union.toDouble
-  }
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    TextSetKernels.jaccard(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextSetKernels.jaccard($a, $b)")
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaccardSim =
     copy(left = newLeft, right = newRight)
@@ -82,27 +105,22 @@ case class JaccardSim(left: Expression, right: Expression)
   * overlap in several expressions of one projection (the optimizer
   * substitutes the alias through filters and derived columns), so the
   * allocating spelling was measured at 64× costing d02 ~60% over the
-  * count-only form. */
+  * count-only form. Codegen'd (round-15, verdict item 3): the d02/d25
+  * verify join is the battery's biggest data-dependent cost and this
+  * expression previously evaluated as boxed `CodegenFallback` inside an
+  * otherwise codegen'd stage. */
 case class IntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "intersect_count"
 
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
-    val bs = new java.util.HashSet[UTF8String](b.numElements() * 2)
-    var i = 0
-    while (i < b.numElements()) { bs.add(b.getUTF8String(i)); i += 1 }
-    var inter = 0L
-    i = 0
-    while (i < a.numElements()) {
-      if (bs.contains(a.getUTF8String(i))) inter += 1L
-      i += 1
-    }
-    inter
-  }
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    TextSetKernels.intersectCount(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextSetKernels.intersectCount($a, $b)")
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): IntersectCount =
     copy(left = newLeft, right = newRight)

@@ -1429,9 +1429,12 @@ object CorpusOps {
     * diverge by a ulp. The div spelling replaced `·1000 >` (round-13
     * advice): multiplying the LHS by 1000 overflowed 2^63 at
     * NA≈NB≈9.6×10⁷ tokens — ~31× below the intended envelope — while
-    * this form's largest term is NA·NB itself, so the SAME ~3×10⁹
-    * tokens-per-snapshot headroom (count·N ≤ 2^63) governs every term
-    * uniformly; past that the spelling rides decimal(38,0).
+    * this form's largest term is θ‰·NA·NB (the RHS before its div), so
+    * the envelope is θ-dependent: headroom is √(2^63/θ) tokens per
+    * snapshot — ~3×10⁹ at the shipped θ=1‰, shrinking by √θ if the
+    * threshold is raised (θ=4‰ → ~1.5×10⁹). The LHS terms count·N stay
+    * within 2^63 under the same bound. Past the envelope the spelling
+    * rides decimal(38,0).
     *
     * Scale shape: ONE corpus pass (the shared per-doc token histogram —
     * occurrences never explode, only per-doc DISTINCT tokens), one

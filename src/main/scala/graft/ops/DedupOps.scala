@@ -1058,22 +1058,56 @@ object DedupOps {
     * hold rn=1 rows (each vector in exactly ONE cluster) and probes hold
     * distinct clusters per source, so (src, nb) pairs are unique by
     * construction. Same candidate set, same cosines, one join. */
-  /** The k-NN graph's K∝N production dial (round-13 verdict item 2):
+  /** The k-NN graph's K∝N production dial (round-13 verdict item 2,
+    * promoted to the DEFAULT story in round 15 per r14 verdict item 1):
     * `-Dgraft.knngraph.trained=K` feeds the probe/member frames from a
     * TRAINED quantizer (s06's Lloyd loop at an explicit centroid budget,
     * via [[SimilarityOps.s06CentsWith]]) instead of s03's pinned |C| ≤ 64
     * sample. At fixed |C| the candidate load is N²·P/|C| — the quadratic
     * regime the committed 16× curve (4× data → 12.8×/16× time) made
     * visible; with K∝N the expected cell size N/K is CONSTANT, so
-    * candidates are N·P·E[cell] — linear. The gate rows keep the
-    * unset-dial path bit-for-bit (s03's quantizer), so d24 and s15 hash
-    * exactly as before; the SCALE.md "s15 at K∝N" leg rides the dial. */
-  private[graft] val knnGraphTrainedK: Option[Int] =
-    sys.props.get("graft.knngraph.trained").map(_.toInt)
+    * candidates are N·P·E[cell] — linear (measured: 64× salted 35.4 s
+    * trained vs 191.7 s fixed, growth 1.8× vs 8.8× per 4× data).
+    *
+    * Resolution (the committed auto-select rule a deployment uses):
+    *  - `-Dgraft.knngraph.trained=<K>`: explicit trained K (the A/B seam);
+    *  - `-Dgraft.knngraph.trained=off`: force the fixed sampled quantizer;
+    *  - unset (DEFAULT): AUTO — corpora with
+    *    N ≥ `graft.knngraph.autoThreshold` (50 000) vectors train at
+    *    K = max(64, ⌈N / 125⌉) (E[cell] = 125, the measured operating
+    *    point); smaller corpora keep s03's sampled quantizer. The
+    *    threshold sits above every gate SF (sf0.1 = 5 000 vectors), so
+    *    gate rows stay bit-for-bit hash-identical to the DuckDB oracle —
+    *    the trained path is spec-gated instead (KnnGraphSpec: graph
+    *    validity + measured recall floor), because an oracle cannot run
+    *    Lloyd. Below the threshold the fixed path is also the FASTER one
+    *    (training cost dominates at small N); above it the quadratic
+    *    candidate load dominates everything — 16× salted (80 k vectors)
+    *    already crosses (19.9 s trained vs 21.7 s fixed). */
+  private[graft] def knnGraphAutoThreshold: Long =
+    sys.props.getOrElse("graft.knngraph.autoThreshold", "50000").toLong
+
+  /** E[cell] the auto rule targets — the r14 measured operating point. */
+  private[graft] val knnGraphCellTarget = 125L
+
+  /** Resolve the quantizer choice for the corpus at `d` (None = s03's
+    * fixed sampled statics; Some(k) = trained at K=k). The N probe is one
+    * parquet count — footer-metadata cheap next to the graph build. */
+  private[graft] def resolveKnnQuantizer(
+      s: org.apache.spark.sql.SparkSession, d: String): Option[Int] =
+    sys.props.get("graft.knngraph.trained") match {
+      case Some("off") => None
+      case Some("auto") | None =>
+        val n = table(s, d, "embeddings").count()
+        if (n >= knnGraphAutoThreshold)
+          Some(math.max(64L, (n + knnGraphCellTarget - 1) / knnGraphCellTarget).toInt)
+        else None
+      case Some(k) => Some(k.toInt)
+    }
 
   private[graft] def s15KnnFrame(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
-    s15KnnFrameWith(s, d, knnGraphTrainedK)
+    s15KnnFrameWith(s, d, resolveKnnQuantizer(s, d))
 
   /** [[s15KnnFrame]] at an explicit quantizer choice — the spec/A-B seam
     * (None = s03's sampled statics; Some(k) = trained centroids at K=k).

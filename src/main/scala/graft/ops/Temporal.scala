@@ -300,7 +300,7 @@ object Temporal {
     * a silently wrong matrix. A `def` so the equality spec can pin both
     * spellings in one JVM. */
   private[graft] def q61MaskDial: Boolean =
-    sys.props.get("graft.q61.mask").exists(_.toBoolean)
+    Profile.dial("graft.q61.mask", onUnderCluster = true)
 
   private[graft] def q61Masked(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {

@@ -114,6 +114,37 @@ class KnnGraphSpec extends AnyFunSuite {
     assert(mean >= 0.30, f"trained-path recall collapsed: $mean%.3f")
   }
 
+  test("auto-select rule: gate corpora stay fixed, large corpora train K∝N") {
+    // round-15 (r14 verdict item 1): unset dial = AUTO. Below the
+    // threshold the resolver keeps the fixed sampled quantizer (so every
+    // gate row stays hash-identical to the DuckDB oracle); at or above
+    // it, it trains at K = max(64, ceil(N / 125)). The threshold is
+    // exercised both ways by dialing it around the gate corpus' N=50.
+    assert(graft.ops.DedupOps.resolveKnnQuantizer(spark, dir).isEmpty,
+      "gate corpus must resolve to the fixed sampled quantizer")
+    val saved = sys.props.remove("graft.knngraph.autoThreshold")
+    try {
+      sys.props("graft.knngraph.autoThreshold") = "10"
+      val k = graft.ops.DedupOps.resolveKnnQuantizer(spark, dir)
+      // N=50 at sf0.001 → ceil(50/125)=1, floored to 64
+      assert(k.contains(64), s"expected Some(64) under a 10-vector threshold, got $k")
+    } finally {
+      sys.props.remove("graft.knngraph.autoThreshold")
+      saved.foreach(v => sys.props("graft.knngraph.autoThreshold") = v.toString)
+    }
+    // explicit spellings still win over auto
+    val saved2 = sys.props.remove("graft.knngraph.trained")
+    try {
+      sys.props("graft.knngraph.trained") = "off"
+      assert(graft.ops.DedupOps.resolveKnnQuantizer(spark, dir).isEmpty)
+      sys.props("graft.knngraph.trained") = "640"
+      assert(graft.ops.DedupOps.resolveKnnQuantizer(spark, dir).contains(640))
+    } finally {
+      sys.props.remove("graft.knngraph.trained")
+      saved2.foreach(v => sys.props("graft.knngraph.trained") = v.toString)
+    }
+  }
+
   test("deterministic across runs") {
     val again = SparkEntry.queries("s15_knn_graph")(spark, dir).collect()
       .map(_.toString).sorted

@@ -66,9 +66,16 @@ class RetentionMaskSpec extends AnyFunSuite {
     val tmp = plant(Seq(
       (1L, 1L, "signup", "2024-01-01 10:00:00"),
       (2L, 1L, "purchase", "2026-01-01 10:00:00")))
-    val plain = rows(tmp)
-    assert(plain.exists(_.contains("104")) || plain.nonEmpty)
-    assert(masked(tmp) == plain)
+    // pin the exact offset, not just non-emptiness: 2024-01-01 (a Monday)
+    // to 2026-01-01 is week-trunc'd 2025-12-29, exactly 104 weeks later
+    val offsets = graft.ops.Temporal.q61.run(spark, tmp)
+      .select("wk_offset").collect().map(_.getLong(0)).toSeq
+    assert(offsets == Seq(104L), s"expected the lone 104-week offset, got $offsets")
+    val maskedOffsets = graft.ops.Temporal.q61Masked(spark, tmp)
+      .select("wk_offset").collect().map(_.getLong(0)).toSeq
+    assert(maskedOffsets == Seq(104L),
+      s"mask decode must yield the exact 104-week offset, got $maskedOffsets")
+    assert(masked(tmp) == rows(tmp))
   }
 
   test("the 64-week purchase-span guard fails loudly, never aliases cells") {
