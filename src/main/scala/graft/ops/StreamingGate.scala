@@ -1044,5 +1044,203 @@ object StreamingGate {
       FROM oc o LEFT JOIN ec e ON o.tok = e.tok
       CROSS JOIN na CROSS JOIN nb"""))
 
-  val all: Seq[QueryDef] = Seq(q42, q43, q49, q53, q58, q64, s11, d20, d23, q71)
+  final case class D28Edge(a: Long, b: Long)
+  final case class D28State(members: Seq[Long], edges: Seq[D28Edge])
+  final case class D28Tomb(cluster_id: Long, vec_id: Long, bno: Long)
+  final case class D28Out(bno: Long, old_cluster: Long, vec_id: Long,
+      new_cluster: Long, is_pruned_new: Boolean)
+
+  /** d28's per-cluster FSM (d23's extraction pattern, one level deeper in
+    * the artifact stack): fold the batch's tombstones for this SEMANTIC
+    * cluster into a deletion set, strip them from the surviving member
+    * list AND the surviving intra-cluster mutual-τ edge list, then
+    * re-derive the component labels among survivors — a deletion can
+    * SPLIT a semantic neighborhood (the deleted node may be the
+    * articulation point), so re-election is connectivity, not a max scan
+    * like d23's. Components come from a min-label union-find over the
+    * cluster's surviving stored edges — the in-group twin of
+    * [[DedupOps.minLabelComponents]]'s distributed fixpoint, exact
+    * because the state holds the WHOLE cluster's edges (cluster-bounded:
+    * ≤ members·k rows — d13/d23's per-group bound). Mixed-parity batches
+    * fail loudly (q71's hardened convention, round-14): the parity-staged
+    * maxFilesPerTrigger=1 layout is ENFORCED, not assumed. A key invoked
+    * with no batch rows emits nothing and leaves state untouched — the
+    * delta contract: silence means "stored labels still valid". */
+  private[graft] def semDeleteFsm(key: Long, rows: Iterator[D28Tomb],
+      st: org.apache.spark.sql.streaming.GroupState[D28State])
+      : Iterator[D28Out] =
+    if (!rows.hasNext) Iterator.empty
+    else {
+      var bno = -1L
+      val del = scala.collection.mutable.HashSet.empty[Long]
+      while (rows.hasNext) {
+        val r = rows.next()
+        if (bno == -1L) bno = r.bno
+        else if (r.bno != bno)
+          throw new IllegalStateException(
+            s"semDeleteFsm: mixed-parity micro-batch for cluster $key " +
+              s"(bno ${r.bno} after bno $bno) — the parity-staged " +
+              "maxFilesPerTrigger=1 layout was violated")
+        del += r.vec_id
+      }
+      val cur = st.getOption.getOrElse(D28State(Seq.empty, Seq.empty))
+      val ms = cur.members.filterNot(del.contains)
+      val es = cur.edges.filter(e => !del.contains(e.a) && !del.contains(e.b))
+      st.update(D28State(ms, es))
+      if (ms.isEmpty) Iterator.single(D28Out(bno, key, -1L, -1L, false))
+      else {
+        // min-label connected components over the surviving stored edges:
+        // union-by-min with path compression, O(|members| + |edges|)
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        ms.foreach(m => parent(m) = m)
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        es.foreach { e =>
+          val ra = find(e.a); val rb = find(e.b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        ms.map { m =>
+          val c = find(m)
+          D28Out(bno, key, m, c, c != m)
+        }.iterator
+      }
+    }
+
+  /** STREAMING deletion propagation through the SEMANTIC artifacts —
+    * d27 at the point the requests actually arrive (round-14 verdict
+    * item 5): d23 proves request-arrival-latency repair for d06's
+    * LEXICAL clusters, but a forgotten document also survives as a
+    * stored neighbor/representative in s15's k-NN graph and d24's
+    * semantic clusters, and waiting for d27's batch repair leaves the
+    * semantic artifacts serving the deleted vector until the next run.
+    * Same seam as d23: tombstones arrive as micro-batches, map to their
+    * semantic cluster through the STATIC d24 label artifact
+    * (stream-static join), and a `flatMapGroupsWithState` FSM keyed by
+    * `sem_cluster_id` — initialized from the stored artifact (members +
+    * the cluster's mutual-τ edge subgraph, both cluster-bounded) —
+    * emits the repaired per-member labels for each touched cluster per
+    * batch; an emptied cluster emits the (-1, -1, false) retirement
+    * sentinel. Untouched clusters emit nothing (their stored labels stay
+    * valid — the delta contract).
+    *
+    * The honest scope boundary is d27's, inherited deliberately: the
+    * stream repairs over the STORED edge subgraph, so edges a
+    * from-scratch survivor rebuild would newly reveal (freed top-k
+    * slots) are out of scope by construction. That divergence CANNOT be
+    * priced in-stream — pricing it IS a full survivor re-index, a batch
+    * job by definition — so the `matches_full` audit lives on d27's
+    * batch row (tombstone-now / re-index-on-cadence, with the stream as
+    * the "now" leg and d27's rebuild leg pricing the cadence gap).
+    *
+    * Scale: state per cluster = surviving members + surviving stored
+    * intra-cluster edges (≤ members·k — the τ-cut's percolation analysis
+    * is exactly the dial keeping neighborhoods small at 100 TB); per
+    * batch only the REQUESTS shuffle; the corpus and its vectors never
+    * move (the label artifact joins in once as the static side; RocksDB
+    * provider parity via the q49 seam, StreamingSpec). */
+  private[graft] def semanticDeleteStream(
+      s: SparkSession, d: String, provider: Option[String]): DataFrame = {
+    import s.implicits._
+    DedupOps.s15KnnFrame(s, d)
+    val lab = Q.staged("d28_lab", d) { DedupOps.d24.run(s, d) }
+    lab.createOrReplaceTempView("d28_lab")
+    // the stored cluster-contained mutual-τ edge list, keyed by cluster
+    // (both endpoints share the label BY CONSTRUCTION — labels are the
+    // components of exactly this edge set)
+    val edges = Q.staged("d28_edges", d) {
+      s.sql(s"""
+        SELECT la.sem_cluster_id AS cluster_id, k.src AS a, k.nb AS b
+        FROM s15_knn k
+        JOIN s15_knn m ON m.src = k.nb AND m.nb = k.src
+        JOIN d28_lab la ON la.vec_id = k.src
+        WHERE k.cos >= ${DedupOps.semGraphTau}""")
+    }
+    val init = lab.selectExpr("sem_cluster_id AS cluster_id", "vec_id")
+      .groupBy($"cluster_id")
+      .agg(collect_list($"vec_id").as("members"))
+      .join(edges.groupBy($"cluster_id")
+        .agg(collect_list(struct($"a", $"b")).as("edges")),
+        Seq("cluster_id"), "left")
+      .as[(Long, Seq[Long], Option[Seq[D28Edge]])]
+      .map { case (cid, ms, es) => (cid, D28State(ms, es.getOrElse(Seq.empty))) }
+      .groupByKey(_._1).mapValues(_._2)
+    val sch = Q.table(s, d, "embeddings").schema
+    val inDir = stageParityBatches(s, d, "embeddings",
+      parity = "CASE WHEN vec_id % 13 = 4 THEN CAST(vec_id % 2 AS INT) ELSE -1 END")
+    val outDir = tempDir("graft-d28-out").toString
+    val ckpt = tempDir("graft-d28-ckpt").toString
+    val labKey = lab.selectExpr("vec_id", "sem_cluster_id AS cluster_id")
+    val out = s.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      .select($"vec_id")
+      .join(labKey, "vec_id")
+      .selectExpr("cluster_id", "vec_id", "CAST(vec_id % 2 AS BIGINT) AS bno")
+      .as[D28Tomb]
+      .groupByKey(_.cluster_id)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+        initialState = init)(semDeleteFsm _)
+    graft.streaming.StateStores.withProvider(s, provider) {
+      val q = out.toDF().writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.schema(org.apache.spark.sql.Encoders.product[D28Out].schema)
+      .parquet(outDir)
+  }
+
+  val d28 = QueryDef(
+    "d28_streaming_semantic_delete",
+    (s, d) => semanticDeleteStream(s, d, None),
+    Some(s"""
+      WITH RECURSIVE
+      lab AS (${DedupOps.d24.oracle.get.trim}),
+      knn AS (${DedupOps.s15OracleSql("TRUE").trim}),
+      tomb AS (SELECT vec_id, CAST(vec_id % 2 AS BIGINT) AS bno
+               FROM embeddings WHERE ${DedupOps.d27TombPred}),
+      aff AS (SELECT DISTINCT l.sem_cluster_id AS oc, t.bno
+              FROM lab l JOIN tomb t ON l.vec_id = t.vec_id),
+      mem AS (SELECT l.vec_id, l.sem_cluster_id AS oc FROM lab l),
+      surv AS (SELECT a.bno, a.oc, m.vec_id
+               FROM aff a JOIN mem m ON m.oc = a.oc
+               LEFT JOIN tomb t ON t.vec_id = m.vec_id AND t.bno <= a.bno
+               WHERE t.vec_id IS NULL),
+      sedges AS (SELECT sa.bno, k.vec_id AS a, k.neighbor_id AS b
+                 FROM knn k
+                 JOIN surv sa ON k.vec_id = sa.vec_id
+                 JOIN surv sb ON k.neighbor_id = sb.vec_id AND sb.bno = sa.bno
+                 WHERE k.mutual AND k.cos >= ${DedupOps.semGraphTau}),
+      wnodes AS (SELECT DISTINCT bno, a AS id FROM sedges),
+      -- wreach/wnodes, NOT reach/nodes: the embedded d24 oracle defines
+      -- its own recursive `reach`/`nodes`, and a same-named outer
+      -- recursive CTE makes the inner self-reference bind ambiguously
+      -- (d27's dreach/rreach naming, same reason)
+      wreach(bno, id, r) AS (
+        SELECT bno, id, id FROM wnodes
+        UNION
+        SELECT e.bno, e.a, wreach.r FROM sedges e
+        JOIN wreach ON e.b = wreach.id AND e.bno = wreach.bno),
+      dlab AS (SELECT bno, id, min(r) AS c FROM wreach GROUP BY bno, id)
+      SELECT s.bno, s.oc AS old_cluster, s.vec_id,
+             COALESCE(dl.c, s.vec_id) AS new_cluster,
+             (COALESCE(dl.c, s.vec_id) <> s.vec_id) AS is_pruned_new
+      FROM surv s LEFT JOIN dlab dl ON dl.bno = s.bno AND dl.id = s.vec_id
+      UNION ALL
+      SELECT a.bno, a.oc AS old_cluster, CAST(-1 AS BIGINT) AS vec_id,
+             CAST(-1 AS BIGINT) AS new_cluster, false AS is_pruned_new
+      FROM aff a LEFT JOIN (SELECT DISTINCT bno, oc FROM surv) sv
+        ON a.bno = sv.bno AND a.oc = sv.oc
+      WHERE sv.oc IS NULL"""))
+
+  val all: Seq[QueryDef] =
+    Seq(q42, q43, q49, q53, q58, q64, s11, d20, d23, q71, d28)
 }

@@ -369,6 +369,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(fresh.get == BucketOwner(1000L)) // min doc_id across the batch
   }
 
+  test("d28 streaming semantic deletes: per-batch repair, converges to d27, RocksDB agrees") {
+    val dir = "/root/testdata/sf0.001"
+    def runWith(p: Option[String]): Seq[(Long, Long, Long, Long, Boolean)] =
+      graft.ops.StreamingGate.semanticDeleteStream(spark, dir, p)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4))).sorted.toSeq
+    val out = runWith(None)
+    assert(out.nonEmpty, "tombstone batches touched no semantic cluster")
+    // no emitted member row is itself a tombstoned vector; sentinels are
+    // exactly the (-1, -1, false) shape; labels are min-ids (label <= member)
+    out.foreach { case (bno, oc, vid, nc, pruned) =>
+      if (vid == -1L) assert(nc == -1L && !pruned, s"bad sentinel for $oc")
+      else {
+        // a member deleted in a LATER batch is legitimately still a
+        // survivor now — only vectors whose tombstone batch has already
+        // fired must be gone
+        assert(!(vid % 13 == 4 && vid % 2 <= bno),
+          s"cluster $oc batch $bno emitted already-deleted vector $vid")
+        assert(nc <= vid, s"cluster $oc: label $nc > member $vid (not a min-label)")
+        assert(pruned == (nc != vid))
+      }
+    }
+    // a cluster touched in BOTH batches emits twice with shrinking or
+    // equal surviving membership (strictly fewer members than batch 0
+    // only if batch 1 deleted one — batch 1 always deletes >= 1 member
+    // of a touched cluster, so strict shrink or vanish)
+    val byCluster = out.groupBy(_._2)
+    byCluster.values.filter(_.map(_._1).distinct.size == 2).foreach { rows =>
+      val b0 = rows.filter(_._1 == 0L).count(_._3 != -1L)
+      val b1 = rows.filter(_._1 == 1L).count(_._3 != -1L)
+      assert(b1 < b0 || (b1 == 0 && rows.exists(r => r._1 == 1L && r._3 == -1L)),
+        s"cluster ${rows.head._2}: batch-1 membership did not shrink ($b0 -> $b1)")
+    }
+    // the FINAL emitted repair per cluster equals d27's batch delta
+    // relabel for that cluster (the streaming path converges to the
+    // batch truth — same stored edges, same min-label semantics)
+    val d27 = SparkEntry.queries("d27_semantic_delete_propagation")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    byCluster.foreach { case (oc, rows) =>
+      val lastB = rows.map(_._1).max
+      rows.filter(_._1 == lastB).foreach { case (_, _, vid, nc, _) =>
+        if (vid != -1L)
+          assert(d27.get((oc, vid)).contains(nc),
+            s"cluster $oc member $vid: streaming label $nc != d27 ${d27.get((oc, vid))}")
+        else
+          assert(d27.get((oc, -1L)).contains(-1L),
+            s"cluster $oc retired in-stream but has no d27 vanish row")
+      }
+    }
+    // same pipeline with state in RocksDB: identical emission set
+    assert(runWith(Some(graft.streaming.StateStores.RocksDB)) == out)
+  }
+
   test("m07 streaming perceptual near-dup: cross-batch, Hamming-verified; RocksDB agrees") {
     // q58's bucket-registry contract on the image key: owners claim in
     // batch 0 (even doc_ids), hits are later-batch collisions only, and
