@@ -5,9 +5,20 @@ import org.apache.spark.sql.SparkSession
 /** One place for engine session defaults so Verify, Bench, and tests agree. */
 object Sessions {
 
-  def builder(cpus: String): SparkSession.Builder =
-    SparkSession.builder()
-      .master(s"local[$cpus]")
+  /** Master override for multi-JVM validation (round-14 verdict item 4):
+    * `SPARK_GRAFT_MASTER=local-cluster[2,16,8192]` runs the SAME entry
+    * points against a 2-worker standalone mini-cluster — executors are
+    * SEPARATE JVMs, so broadcast serialization (the `bcast` dictionary,
+    * Bloom-filter udfs, the `CentroidTable` per-task decode), native
+    * expression registration on executors, and state-store paths all
+    * cross a real process boundary instead of being trivially shared by
+    * local[32]. Engine classes reach the executor JVMs via
+    * extraClassPath (local-cluster workers launch from SPARK_HOME and
+    * know nothing of the sbt classpath). */
+  def builder(cpus: String): SparkSession.Builder = {
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val b = SparkSession.builder()
+      .master(master)
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -31,6 +42,18 @@ object Sessions {
       .config("spark.sql.warehouse.dir",
         s"${sys.props("java.io.tmpdir")}/graft-warehouse")
       .config("spark.ui.enabled", "false")
+    if (master.startsWith("local-cluster")) {
+      val classes = Seq("target/scala-2.13/classes", "target/scala-2.13/test-classes")
+        .map(p => new java.io.File(p).getAbsolutePath)
+        .filter(p => new java.io.File(p).isDirectory)
+        .mkString(java.io.File.pathSeparator)
+      b.config("spark.executor.extraClassPath", classes)
+        // executor JVMs are launched by the worker from SPARK_HOME and
+        // need the same JDK-17 module opens the driver gets from sbt
+        .config("spark.executor.extraJavaOptions",
+          org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions())
+    } else b
+  }
 
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
     val spark = builder(cpus).getOrCreate()

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -79,20 +79,17 @@ case class ShingleSet(child: Expression, n: Int)
 /** Jaccard similarity of two distinct string arrays via hash-set lookup —
   * O(|a|+|b|) instead of the O(|a|·|b|) interpreted
   * `size(filter(a, x -> array_contains(b, x)))` form; same value.
-  * Codegen'd (round-15): the kernel call inlines into the enclosing
-  * whole-stage body — no boxed fallback eval in the verify joins. */
+  * Stays `CodegenFallback` — [[IntersectCount]]'s measured round-15
+  * codegen rejection (see there) applies to the same kernel in the same
+  * join shapes. */
 case class JaccardSim(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with CodegenFallback {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaccard_sim"
 
   override protected def nullSafeEval(l: Any, r: Any): Any =
     TextSetKernels.jaccard(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.TextSetKernels.jaccard($a, $b)")
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaccardSim =
     copy(left = newLeft, right = newRight)
@@ -105,22 +102,32 @@ case class JaccardSim(left: Expression, right: Expression)
   * overlap in several expressions of one projection (the optimizer
   * substitutes the alias through filters and derived columns), so the
   * allocating spelling was measured at 64× costing d02 ~60% over the
-  * count-only form. Codegen'd (round-15, verdict item 3): the d02/d25
-  * verify join is the battery's biggest data-dependent cost and this
-  * expression previously evaluated as boxed `CodegenFallback` inside an
-  * otherwise codegen'd stage. */
+  * count-only form.
+  *
+  * MEASURED CODEGEN REJECTION (round 15, r14 verdict item 3): a
+  * `doGenCode` spelling (static-kernel call inlined via
+  * `defineCodeGen`) was implemented and A/B'd against this fallback at
+  * 64× with interleaved same-day legs (min-of-5, calib recorded):
+  * d02 19.42/21.32 s fallback vs 22.25/23.92 s codegen — codegen LOSES
+  * 12-15% consistently. The kernel does identical work on both paths,
+  * so the delta is structural, not eval cost: a `CodegenFallback` in
+  * the verify projection excludes that operator from whole-stage
+  * codegen (`CollapseCodegenStages.supportCodegen`), and the resulting
+  * standalone projection evaluates the alias-substituted overlap
+  * through one subexpression-eliminated `UnsafeProjection`, while the
+  * codegen'd spelling fuses filter+project into one stage where the
+  * substituted copies evaluate independently. The boxed-eval saving
+  * cannot repay re-running a hash-set build per copy. Contrast
+  * [[NearestCentroids]], where codegen WINS ~10% — its kernel sits in
+  * exactly one projection with no substituted copies. */
 case class IntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with CodegenFallback {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "intersect_count"
 
   override protected def nullSafeEval(l: Any, r: Any): Any =
     TextSetKernels.intersectCount(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.TextSetKernels.intersectCount($a, $b)")
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): IntersectCount =
     copy(left = newLeft, right = newRight)
