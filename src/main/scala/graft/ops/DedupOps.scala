@@ -1109,6 +1109,72 @@ object DedupOps {
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
     s15KnnFrameWith(s, d, resolveKnnQuantizer(s, d))
 
+  /** Driver-side mini-Lloyd over the K-row centroid frame: groups the
+    * trained centroids into `g` supercells by cosine (3 rounds, seeds =
+    * every ⌈K/g⌉-th centroid in cid order, means accumulated in cid
+    * order — fully deterministic). This is a MODEL ARTIFACT computation
+    * (K·dims doubles — t19's ≤4096-row weight-table class, here K rows),
+    * never a corpus pass: the corpus-side cost it buys down is the N·K
+    * assignment fold. Returns (supercentroids, per-centroid group index).
+    * Empty groups keep their seed supercentroid and simply attract no
+    * members; callers drop them from the probe list. */
+  private[graft] def groupCentroids(
+      cents: Array[(Long, Array[Double])], g: Int, rounds: Int = 3)
+      : (Array[Array[Double]], Array[Int]) = {
+    val k = cents.length
+    val dims = cents(0)._2.length
+    val sorted = cents.sortBy(_._1)
+    val step = math.max(1, k / g)
+    val sups = Array.tabulate(g)(i => sorted(math.min(i * step, k - 1))._2.clone())
+    val asg = new Array[Int](k)
+    def norm(v: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < v.length) { acc += v(i) * v(i); i += 1 }
+      math.sqrt(acc)
+    }
+    for (_ <- 1 to rounds) {
+      val sn = sups.map(norm)
+      var c = 0
+      while (c < k) {
+        val v = sorted(c)._2; val vn = norm(v)
+        var best = 0; var bestCos = Double.NegativeInfinity
+        var gi = 0
+        while (gi < g) {
+          var acc = 0.0; var i = 0
+          while (i < dims) { acc += v(i) * sups(gi)(i); i += 1 }
+          val cos = acc / (vn * sn(gi))
+          if (cos > bestCos) { bestCos = cos; best = gi } // NaN never wins
+          gi += 1
+        }
+        asg(c) = best
+        c += 1
+      }
+      val sum = Array.fill(g)(new Array[Double](dims))
+      val cnt = new Array[Int](g)
+      c = 0
+      while (c < k) {
+        val v = sorted(c)._2; val a = asg(c); cnt(a) += 1
+        var i = 0
+        while (i < dims) { sum(a)(i) += v(i); i += 1 }
+        c += 1
+      }
+      var gi = 0
+      while (gi < g) {
+        if (cnt(gi) > 0) {
+          var i = 0
+          while (i < dims) { sups(gi)(i) = sum(gi)(i) / cnt(gi); i += 1 }
+        }
+        gi += 1
+      }
+    }
+    // asg is in SORTED-cid order; re-map to the caller's input order
+    val posByCid = sorted.map(_._1).zipWithIndex.toMap
+    val out = new Array[Int](k)
+    var c = 0
+    while (c < k) { out(c) = asg(posByCid(cents(c)._1)); c += 1 }
+    (sups, out)
+  }
+
   /** [[s15KnnFrame]] at an explicit quantizer choice — the spec/A-B seam
     * (None = s03's sampled statics; Some(k) = trained centroids at K=k).
     * Staged keys carry the variant so two choices never share a cache. */
@@ -1125,33 +1191,115 @@ object DedupOps {
         // K∝N operating point the window spelling explodes N·K scored
         // rows into one exchange+sort (64× at K=2560 = an 819 M-row
         // shuffle for a per-row argmax-P) — `nearest_centroids` keeps it
-        // a zero-shuffle scan pass over one ~K·dims broadcast row
-        SimilarityOps.s06CentsWith(s, d, k, s"s15_tc_$k")
-          .createOrReplaceTempView("s15_tc")
-        stagedMaterialized(s"s15_tassign_$k", d) {
-          roundCheckpoint(s.sql(s"""
-            WITH cs AS (SELECT collect_list(named_struct(
-                          'cid', cid, 'cv', cv,
-                          'cn', sqrt(dot_product(cv, cv)))) AS cents
-                        FROM s15_tc),
-            a AS (SELECT /*+ BROADCAST(cs) */ t.vec_id,
-                    nearest_centroids(t.v, t.nrm, cents,
-                      ${SimilarityOps.ivfProbes}) AS nc
-                  FROM s06_n t CROSS JOIN cs)
-            SELECT vec_id, pr.col.cid AS cluster,
-                   CAST(pr.pos + 1 AS INT) AS rn
-            FROM a LATERAL VIEW posexplode(nc) pr"""))
+        // a zero-shuffle scan pass over one ~K·dims broadcast row.
+        //
+        // Round 15 (the 256× leg's named constant): training rides the
+        // vec_id%stride SAMPLE (~20 points per expected cell — the two
+        // Lloyd passes drop from N·K to (N/6)·K at E[cell]=125), and at
+        // K ≥ `graft.knngraph.twoLevelK` assignment goes TWO-LEVEL:
+        // nearest supercell over G≈√K driver-trained supercentroids,
+        // then nearest centroid within the top-2 probed supercells —
+        // per-row cost falls from K·d to ~(G + 2·K/G)·d ≈ 3√K·d (~30×
+        // at K=10240), composed ENTIRELY from the existing expressions
+        // and two broadcast joins (zero new shuffles). The supercell
+        // model is a driver-side mini-Lloyd over the K-row centroid
+        // frame (a model artifact, t19's ≤4096-row class — K·d doubles;
+        // the 100 TB bound is K ≤ ~1M before the grouping itself needs
+        // to distribute). Cell assignment becomes approximate at the
+        // supercell level (a vector's true nearest centroid can sit in
+        // an unprobed group) — the standard IVF trade, spec-gated like
+        // the rest of the trained path; KnnGraphSpec measures it.
+        val n = table(s, d, "embeddings").count()
+        val stride = math.max(1L, n / (20L * k)).toInt
+        val cents = SimilarityOps.s06CentsWith(s, d, k, s"s15_tc_${k}_s$stride", stride)
+        cents.createOrReplaceTempView("s15_tc")
+        val twoLevelK =
+          sys.props.getOrElse("graft.knngraph.twoLevelK", "1024").toInt
+        val P = SimilarityOps.ivfProbes
+        val twoLevel = k >= twoLevelK && {
+          import s.implicits._
+          val local = cents.select($"cid", $"cv").collect()
+            .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          val g = math.ceil(math.sqrt(local.length.toDouble)).toInt
+          if (g < 2 || local.length < 4) false
+          else {
+            val (sups, asg) = groupCentroids(local, g)
+            val used = asg.distinct.sorted
+            if (used.length < 2) false
+            else {
+              val grpRows = local.zip(asg).map { case ((cid, cv), gi) =>
+                (gi.toLong, cid, cv.toSeq)
+              }.toSeq
+              grpRows.toDF("gid", "cid", "cv").createOrReplaceTempView("s15_grpraw")
+              used.map(gi => (gi.toLong, sups(gi).toSeq)).toSeq
+                .toDF("gid", "gcv").createOrReplaceTempView("s15_supraw")
+              true
+            }
+          }
+        }
+        val assignKey =
+          if (twoLevel) s"s15_tassign2_${k}_s$stride" else s"s15_tassign_${k}_s$stride"
+        stagedMaterialized(assignKey, d) {
+          roundCheckpoint(
+            if (twoLevel) s.sql(s"""
+              WITH sup AS (SELECT collect_list(named_struct(
+                             'cid', gid, 'cv', gcv,
+                             'cn', sqrt(dot_product(gcv, gcv)))) AS sups
+                           FROM s15_supraw),
+              grp AS (SELECT gid, collect_list(named_struct(
+                        'cid', cid, 'cv', cv,
+                        'cn', sqrt(dot_product(cv, cv)))) AS mem
+                      FROM s15_grpraw GROUP BY gid),
+              a AS (SELECT /*+ BROADCAST(sup) */ t.vec_id, t.v, t.nrm,
+                      nearest_centroids(t.v, t.nrm, sups, 2) AS gs
+                    FROM s06_n t CROSS JOIN sup),
+              j AS (SELECT /*+ BROADCAST(m1), BROADCAST(m2) */
+                      a.vec_id, a.v, a.nrm, m1.mem AS mem1, m2.mem AS mem2
+                    FROM a JOIN grp m1 ON m1.gid = a.gs[0].cid
+                           JOIN grp m2 ON m2.gid = a.gs[1].cid),
+              sc AS (SELECT vec_id,
+                       slice(array_sort(
+                         concat(nearest_centroids(v, nrm, mem1, $P),
+                                nearest_centroids(v, nrm, mem2, $P)),
+                         (l, r) -> CASE
+                           WHEN isnan(l.cos) AND NOT isnan(r.cos) THEN -1
+                           WHEN isnan(r.cos) AND NOT isnan(l.cos) THEN 1
+                           WHEN l.cos > r.cos THEN -1
+                           WHEN l.cos < r.cos THEN 1
+                           WHEN l.cid < r.cid THEN -1
+                           WHEN l.cid > r.cid THEN 1 ELSE 0 END),
+                         1, $P) AS nc
+                     FROM j)
+              SELECT vec_id, pr.col.cid AS cluster,
+                     CAST(pr.pos + 1 AS INT) AS rn
+              FROM sc LATERAL VIEW posexplode(nc) pr""")
+            else s.sql(s"""
+              WITH cs AS (SELECT collect_list(named_struct(
+                            'cid', cid, 'cv', cv,
+                            'cn', sqrt(dot_product(cv, cv)))) AS cents
+                          FROM s15_tc),
+              a AS (SELECT /*+ BROADCAST(cs) */ t.vec_id,
+                      nearest_centroids(t.v, t.nrm, cents, $P) AS nc
+                    FROM s06_n t CROSS JOIN cs)
+              SELECT vec_id, pr.col.cid AS cluster,
+                     CAST(pr.pos + 1 AS INT) AS rn
+              FROM a LATERAL VIEW posexplode(nc) pr"""))
         }.createOrReplaceTempView("s15_tassign")
-        ("s15_tassign", "s06_n")
+        ("s15_tassign", if (twoLevel) s"s06_n@2l$stride" else s"s06_n@fl$stride")
     }
-    val stageKey = trainedK.fold("s15_knn")(k => s"s15_knn_t$k")
+    // the variant marker rides nV only for the STAGE KEY (flat vs
+    // two-level produce different graphs — they must never share a
+    // cache within a JVM); strip it before SQL use
+    val variant = if (nV.contains('@')) nV.substring(nV.indexOf('@') + 1) else ""
+    val nView = if (nV.contains('@')) nV.substring(0, nV.indexOf('@')) else nV
+    val stageKey = trainedK.fold("s15_knn")(k => s"s15_knn_t$k$variant")
     val knn = stagedMaterialized(stageKey, d) {
       roundCheckpoint(s.sql(s"""
         WITH qp AS (SELECT a.vec_id AS src, a.cluster, n.v AS qv, n.nrm AS qn
-                    FROM $assignV a JOIN $nV n ON n.vec_id = a.vec_id
+                    FROM $assignV a JOIN $nView n ON n.vec_id = a.vec_id
                     WHERE a.rn <= ${SimilarityOps.ivfProbes}),
         mem AS (SELECT a.vec_id AS nb, a.cluster, n.v, n.nrm
-                FROM $assignV a JOIN $nV n ON n.vec_id = a.vec_id
+                FROM $assignV a JOIN $nView n ON n.vec_id = a.vec_id
                 WHERE a.rn = 1),
         sc AS (SELECT src, nb, dot_product(qv, v) / (qn * nrm) AS cos
                FROM qp JOIN mem ON mem.cluster = qp.cluster

@@ -504,14 +504,15 @@ object SimilarityOps {
     * centroid frame). `sort_array(collect_list(struct(dim, mc)))` is the
     * deterministic array reassembly: dim is unique per group, so the
     * struct sort IS the dim sort on both engines. */
-  private def sRound(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
-    s.sql("""
+  private def sRound(s: org.apache.spark.sql.SparkSession,
+      src: String = "s06_n"): org.apache.spark.sql.DataFrame =
+    s.sql(s"""
       WITH c AS (SELECT cid, cv, sqrt(dot_product(cv, cv)) AS cn FROM s06_c),
       cs AS (SELECT collect_list(named_struct('cid', cid, 'cv', cv,
                       'cn', cn)) AS cents FROM c),
       asg AS (SELECT /*+ BROADCAST(cs) */ t.vec_id, t.v,
                 nearest_centroid(t.v, t.nrm, cents).cid AS cid
-              FROM s06_n t CROSS JOIN cs),
+              FROM $src t CROSS JOIN cs),
       e AS (SELECT cid, CAST(dim AS BIGINT) AS dim,
               CAST(floor(xv * CAST(1000000000000 AS DOUBLE)) AS BIGINT) AS xi
             FROM asg LATERAL VIEW posexplode(v) t AS dim, xv),
@@ -561,17 +562,32 @@ object SimilarityOps {
     * corpus grows — the linear-regime leg of the candidate-load law).
     * Seeds stay the deterministic `vec_id % 125 = 0` ladder so the
     * training run is oracle-reproducible at any K. */
+  /** `trainStride` (round 15, default 1 = every gate path bit-identical):
+    * run the Lloyd UPDATE passes over the `vec_id % stride = 0` sample
+    * instead of the whole corpus. Centroid quality needs tens of points
+    * per cell, not the corpus — at the K∝N operating point (E[cell]=125)
+    * a stride of 6 keeps ~20 sample points per expected cell while
+    * cutting both training passes 6×. Seeds are unchanged (the
+    * deterministic ladder is an id rule, not a sample member rule), so
+    * stride 1 reproduces the original training bit-for-bit. */
   private[graft] def s06CentsWith(
       s: org.apache.spark.sql.SparkSession, d: String, k: Int,
-      stageKey: String): org.apache.spark.sql.DataFrame = {
+      stageKey: String, trainStride: Int = 1): org.apache.spark.sql.DataFrame = {
     normalized(s, d).createOrReplaceTempView("s06_n")
+    val trainView =
+      if (trainStride <= 1) "s06_n"
+      else {
+        s.sql(s"SELECT * FROM s06_n WHERE vec_id % $trainStride = 0")
+          .createOrReplaceTempView("s06_train")
+        "s06_train"
+      }
     stagedMaterialized(stageKey, d) {
       var cents = s.sql(
         s"SELECT vec_id AS cid, v AS cv FROM s06_n WHERE vec_id % 125 = 0 AND vec_id < ${125L * k}")
       withAdvisoryCoalesce(s) {
         for (_ <- 1 to lloydRounds) {
           cents.createOrReplaceTempView("s06_c")
-          val next = roundCheckpoint(sRound(s))
+          val next = roundCheckpoint(sRound(s, trainView))
           org.apache.spark.sql.GraftSqlBridge.releaseCheckpointBlocks(cents)
           cents = next
         }

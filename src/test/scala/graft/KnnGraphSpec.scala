@@ -145,6 +145,33 @@ class KnnGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("two-level assignment: valid graph, equals flat when all groups probed") {
+    // round-15: at K >= twoLevelK the trained path assigns via G≈√K
+    // driver-grouped supercells (top-2 probed) instead of the flat K
+    // fold. At sf0.01 the seed ladder yields 4 centroids → G=2, and
+    // top-2 probing covers EVERY group, so the two-level graph must
+    // EQUAL the flat trained graph — the plumbing (grouping, broadcast
+    // joins, row-wise merge comparator) is exercised with an exact
+    // expected answer. Partial-probe quality at scale is measured in
+    // SCALE.md (64× two-level vs flat edge overlap).
+    val dir01 = "/root/testdata/sf0.01"
+    val saved = sys.props.remove("graft.knngraph.twoLevelK")
+    try {
+      sys.props("graft.knngraph.twoLevelK") = "1000000" // force flat
+      val flat = graft.ops.DedupOps.s15KnnFrameWith(spark, dir01, Some(4))
+        .collect().map(_.toString).sorted.toSeq
+      sys.props("graft.knngraph.twoLevelK") = "2" // force two-level
+      val two = graft.ops.DedupOps.s15KnnFrameWith(spark, dir01, Some(4))
+        .collect().map(_.toString).sorted.toSeq
+      assert(two.nonEmpty, "two-level path produced no edges")
+      assert(two == flat,
+        s"two-level (all groups probed) must equal flat: ${two.size} vs ${flat.size} rows")
+    } finally {
+      sys.props.remove("graft.knngraph.twoLevelK")
+      saved.foreach(v => sys.props("graft.knngraph.twoLevelK") = v.toString)
+    }
+  }
+
   test("deterministic across runs") {
     val again = SparkEntry.queries("s15_knn_graph")(spark, dir).collect()
       .map(_.toString).sorted
