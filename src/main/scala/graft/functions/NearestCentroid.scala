@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -69,16 +69,23 @@ final class NearestCentroidKernel {
   * Dots fold left-to-right like [[DotProduct]], so the selected cosine
   * is bit-identical to the SQL chain's.
   *
-  * Codegen'd (round-15, verdict item 3): the kernel is held as generated-
-  * class mutable state, so every assignment pass (d12/d16/d17/s06 Lloyd
-  * rounds, the trained-quantizer probe frames) folds its N·k dot products
-  * inside the whole-stage body instead of a boxed `CodegenFallback` eval.
-  * Measured at 64×: d16 6.15/6.35 s fallback vs 5.81/6.31 s codegen
-  * (small win), and the plural [[NearestCentroids]] twin −9-10% on the
-  * trained s15 build — one projection, no substituted copies, so fusion
-  * has no multiplicity downside (contrast [[IntersectCount]]). */
+  * MEASURED CODEGEN REJECTION (round 15 — the same mechanism as
+  * [[graft.functions.IntersectCount]]'s, caught by the quiet-bench
+  * per-query diff): most consumers reference the struct result MORE
+  * THAN ONCE (`nc.cid` + `nc.cos`, d17 adds `nc IS NOT NULL` — three
+  * references), and CollapseProject substitutes the alias into every
+  * field access, so a codegen'd spelling runs the N·k kernel fold 2-3×
+  * per row inside the fused stage, while the `CodegenFallback` form
+  * excludes the operator from whole-stage codegen and its standalone
+  * projection evaluates the expression ONCE under subexpression
+  * elimination. Quiet-bench sf0.1 deltas under the codegen'd spelling:
+  * d24 +25%, s15 +24%, t19-class noise elsewhere; a targeted A/B
+  * confirmed recovery on revert. The single-reference d16 shape
+  * measured −5% under codegen — not worth the multi-reference tax.
+  * Contrast [[NearestCentroids]] (plural): array result consumed once
+  * via posexplode — its codegen ships (measured −9-10%). */
 case class NearestCentroid(vec: Expression, nrm: Expression, cents: Expression)
-    extends TernaryExpression {
+    extends TernaryExpression with CodegenFallback {
 
   override def first: Expression = vec
   override def second: Expression = nrm
@@ -124,15 +131,6 @@ case class NearestCentroid(vec: Expression, nrm: Expression, cents: Expression)
     kernel.eval(v.asInstanceOf[ArrayData], n.asInstanceOf[Double],
       cs.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val kcls = classOf[NearestCentroidKernel].getName
-    val kern = ctx.addMutableState(kcls, "ncKernel", v => s"$v = new $kcls();")
-    nullSafeCodeGen(ctx, ev, (v, n, cs) =>
-      s"""
-         |${ev.value} = $kern.eval($v, $n, $cs);
-         |${ev.isNull} = ${ev.value} == null;
-       """.stripMargin)
-  }
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): NearestCentroid =
