@@ -112,22 +112,48 @@ object Bench {
     // any run whose fixed calibration job drifts >25% off the committed
     // quiet reference is STAMPED "load_suspect":true in the artifact
     // itself, so a noisy run can never masquerade as a clean baseline.
-    // The reference is the committed quiet-machine value (loadavg 1.09,
-    // r14 commit dfcf157); override with -Dgraft.bench.calibRef when the
-    // hardware itself changes.
-    val calibQuietRef =
-      sys.props.getOrElse("graft.bench.calibRef", "0.43").toDouble
+    // The reference resolves from (in order): -Dgraft.bench.calibRef, a
+    // committed per-host calibration file (tools/bench_calib.json — keyed
+    // so a new host gets a loud "uncalibrated" stamp instead of silently
+    // inheriting another machine's constant, round-15 advice), then the
+    // historical in-code constant as a last resort. The artifact stamps
+    // WHERE the reference came from so a reader can tell a calibrated
+    // verdict from an inherited one.
+    val (calibQuietRef, calibRefSource) =
+      sys.props.get("graft.bench.calibRef")
+        .map(v => (v.toDouble, "prop")) getOrElse {
+        val f = java.nio.file.Paths.get(
+          sys.props.get("graft.repo.root")
+            .orElse(sys.env.get("GRAFT_REPO_ROOT"))
+            .getOrElse(sys.props.getOrElse("user.dir", ".")),
+          "tools", "bench_calib.json")
+        val fromFile = try {
+          val txt = new String(java.nio.file.Files.readAllBytes(f),
+            java.nio.charset.StandardCharsets.UTF_8)
+          // single-purpose parse: {"calib_ref": <double>, ...}
+          val m = java.util.regex.Pattern
+            .compile(""""calib_ref"\s*:\s*([0-9.]+)""").matcher(txt)
+          if (m.find()) Some(m.group(1).toDouble) else None
+        } catch { case _: Throwable => None }
+        fromFile.map(v => (v, "file"))
+          .getOrElse((0.43, "default_unverified"))
+      }
     val calibDrift = calibSec / calibQuietRef - 1.0
-    val loadSuspect = calibDrift > 0.25
+    // Suspect when EITHER signal fires: calib drift >25% of the quiet
+    // reference, OR the machine was demonstrably busy at start (r15's
+    // committed pin carried loadavg 8.29 with an in-guard calib — exactly
+    // the ambiguity the stamp exists to kill; loadavg > 4 on this 32-core
+    // box means several concurrent JVMs, not background hum).
+    val loadSuspect = calibDrift > 0.25 || loadavg1m > 4.0
     if (loadSuspect) System.err.println(String.format(java.util.Locale.ROOT,
-      "[bench] WARNING: calibration %.3f s is %.0f%% over the quiet " +
-        "reference %.2f s (loadavg %.2f) — artifact stamped load_suspect",
+      "[bench] WARNING: calibration %.3f s (%.0f%% over the quiet " +
+        "reference %.2f s) at loadavg %.2f — artifact stamped load_suspect",
       Double.box(calibSec), Double.box(calibDrift * 100),
       Double.box(calibQuietRef), Double.box(loadavg1m)))
     val calib = String.format(java.util.Locale.ROOT,
-      """"loadavg1m":%.2f,"calib_sec":%.4f,"calib_ref":%.4f,"calib_drift":%.3f,"load_suspect":%b""",
+      """"loadavg1m":%.2f,"calib_sec":%.4f,"calib_ref":%.4f,"calib_ref_source":"%s","calib_drift":%.3f,"load_suspect":%b""",
       Double.box(loadavg1m), Double.box(calibSec), Double.box(calibQuietRef),
-      Double.box(calibDrift), Boolean.box(loadSuspect))
+      calibRefSource, Double.box(calibDrift), Boolean.box(loadSuspect))
     val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$nRuns,$calib,"queries":${fmt(results)},"medians":${fmt(medians)},"spread":${fmt(spread)},"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // Round-11 verdict item 6: the driver's BENCH_r{N}.json captured only

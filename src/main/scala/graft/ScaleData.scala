@@ -33,8 +33,20 @@ object ScaleData {
     // trained quantizer is now the default path at scale — an unsalted
     // dir would exercise the harness artifact, not the engine). Pass
     // "noSaltVecs" as the 4th arg to reproduce pre-r15 byte-identical
-    // dirs; "saltVecs" is still accepted as an explicit no-op.
-    val saltVecs = !(args.length > 3 && args(3) == "noSaltVecs")
+    // dirs; "saltVecs" is still accepted as an explicit no-op. Any OTHER
+    // 4th arg fails loudly: the old permissive parse treated a typo
+    // ("nosaltvecs", "noSalt") as salt-ON, silently producing a
+    // non-byte-identical dir while the operator believed they reproduced
+    // the pre-r15 layout.
+    val saltVecs = args.length match {
+      case n if n <= 3 => true
+      case _ => args(3) match {
+        case "saltVecs"   => true
+        case "noSaltVecs" => false
+        case other => sys.error(
+          s"ScaleData: unknown 4th arg '$other' — expected 'saltVecs' or 'noSaltVecs'")
+      }
+    }
     val factor = factorS.toInt
     val spark = Sessions.local()
 

@@ -115,6 +115,15 @@ object Verify {
     val errJson = errors
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    // _run.json: which MASTER this dump ran under (round-15 verdict item
+    // 5 — the local-cluster leg must be diffable, not remembered).
+    // tools/verify_local.py copies it into its artifact so a
+    // VERIFY_LC.json reader can tell a multi-JVM leg from a local[32] one.
+    Files.writeString(Paths.get(s"$outDir/_run.json"),
+      s"""{"master": ${q(spark.sparkContext.master)}, "sf_dir": ${q(sfDir)}, """ +
+        s""""queries_attempted": ${SparkEntry.queries.count {
+          case (n, _) => names.isEmpty || names(n) }}, """ +
+        s""""queries_failed": ${errors.size}}""")
     // deliberately still exit 0: the driver must keep comparing the queries
     // that DID run — _errors.json is the loud in-repo signal
     if (errors.nonEmpty)

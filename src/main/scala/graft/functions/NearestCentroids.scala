@@ -14,10 +14,17 @@ import org.apache.spark.sql.types._
   * it per row pays k struct-views + k ArrayData element reads per
   * evaluation — at the trained-quantizer K∝N operating point that is
   * the dominant interpreted cost of the whole assignment pass. Decode is
-  * identity-keyed with a cheap sanity key (length + first cid): first row
-  * parses into `double[][]`, every subsequent row reuses it; an identity
-  * hit whose sanity key disagrees (a container reused-and-repointed by
-  * the runtime) re-decodes — correctness never depends on the memo.
+  * identity-keyed with a cheap sanity key (length + first AND last cid):
+  * first row parses into `double[][]`, every subsequent row reuses it; an
+  * identity hit whose sanity key disagrees (a container
+  * reused-and-repointed by the runtime) re-decodes — correctness never
+  * depends on the memo. The two-endpoint key means a repointed
+  * same-length container is only silently reused if its first AND last
+  * cids both match the cached table — callers that broadcast several
+  * same-length tables through one reader (the two-level per-group member
+  * lists) satisfy this trivially because their cid sets are globally
+  * disjoint (centroid cids are seed vec_ids), but the memo no longer
+  * RELIES on that invariant alone.
   * Kernel instances live one-per-generated-class-instance (codegen) or
   * one-per-deserialized-expression-tree (interpreted), both task-local
   * and single-threaded. */
@@ -29,7 +36,8 @@ private[functions] final class CentroidTable {
   var cns: Array[Double] = _
   def decode(arr: ArrayData): Unit = {
     if ((arr.asInstanceOf[AnyRef] eq ref) && arr.numElements() == k &&
-        (k == 0 || arr.getStruct(0, 3).getLong(0) == cids(0))) return
+        (k == 0 || (arr.getStruct(0, 3).getLong(0) == cids(0) &&
+          arr.getStruct(k - 1, 3).getLong(0) == cids(k - 1)))) return
     k = arr.numElements()
     cids = new Array[Long](k)
     cvs = new Array[Array[Double]](k)

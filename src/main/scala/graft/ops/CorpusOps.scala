@@ -1411,6 +1411,21 @@ object CorpusOps {
     * without being trivially-total. */
   private[graft] val driftPermil = 1
 
+  /** The drift predicate's exact-integer RHS in its θ-envelope-safe
+    * spelling (round-15 verdict item 8): when θ | 1000,
+    * `(NA·NB) div (1000/θ)` equals `(θ·NA·NB) div 1000` EXACTLY
+    * (floor(X·θ/(m·θ)) = floor(X/m) for integers X ≥ 0, m = 1000/θ ≥ 1)
+    * but its largest intermediate is NA·NB itself — headroom stays
+    * √2^63 ≈ 3.0×10⁹ tokens per snapshot NO MATTER θ, instead of
+    * shrinking by √θ as the threshold is raised. A θ that does not
+    * divide 1000 falls back to the θ-dependent spelling (and its
+    * documented √(2^63/θ) envelope). `idiv` is the caller's integer
+    * division token ("div" Spark SQL, "//" DuckDB); DriftSpec pins the
+    * two spellings equal over adversarial (θ, NA, NB) grids. */
+  private[graft] def driftRhs(na: String, nb: String, idiv: String): String =
+    if (1000 % driftPermil == 0) s"($na * $nb) $idiv ${1000 / driftPermil}"
+    else s"($driftPermil * $na * $nb) $idiv 1000"
+
   /** Release-over-release token-distribution drift — the data-card
     * monitoring stage a recurring corpus pipeline runs before shipping
     * snapshot N+1: per token, the exact occurrence counts in each
@@ -1428,13 +1443,13 @@ object CorpusOps {
     * is an integer and B div 1000 floors), so engine and oracle can never
     * diverge by a ulp. The div spelling replaced `·1000 >` (round-13
     * advice): multiplying the LHS by 1000 overflowed 2^63 at
-    * NA≈NB≈9.6×10⁷ tokens — ~31× below the intended envelope — while
-    * this form's largest term is θ‰·NA·NB (the RHS before its div), so
-    * the envelope is θ-dependent: headroom is √(2^63/θ) tokens per
-    * snapshot — ~3×10⁹ at the shipped θ=1‰, shrinking by √θ if the
-    * threshold is raised (θ=4‰ → ~1.5×10⁹). The LHS terms count·N stay
-    * within 2^63 under the same bound. Past the envelope the spelling
-    * rides decimal(38,0).
+    * NA≈NB≈9.6×10⁷ tokens — ~31× below the intended envelope. Since
+    * round 16 the RHS comes from [[driftRhs]], which for θ | 1000
+    * divides by 1000/θ instead of multiplying by θ — the largest term
+    * is NA·NB itself, so headroom is √2^63 ≈ 3×10⁹ tokens per snapshot
+    * independent of θ (raising the threshold no longer silently shrinks
+    * the envelope). The LHS terms count·N stay within 2^63 under the
+    * same bound. Past the envelope the spelling rides decimal(38,0).
     *
     * Scale shape: ONE corpus pass (the shared per-doc token histogram —
     * occurrences never explode, only per-doc DISTINCT tokens), one
@@ -1469,7 +1484,7 @@ object CorpusOps {
                abs(cnt_a * nb - cnt_b * na) AS imbalance,
                (cnt_a = 0) AS is_new,
                (cnt_b = 0) AS is_dropped,
-               (abs(cnt_a * nb - cnt_b * na) > ($driftPermil * na * nb) div 1000)
+               (abs(cnt_a * nb - cnt_b * na) > ${driftRhs("na", "nb", "div")})
                  AS is_drifted
         FROM q70_p CROSS JOIN tot""")
     },
@@ -1487,7 +1502,7 @@ object CorpusOps {
              abs(cnt_a * nb - cnt_b * na) AS imbalance,
              (cnt_a = 0) AS is_new,
              (cnt_b = 0) AS is_dropped,
-             (abs(cnt_a * nb - cnt_b * na) > ($driftPermil * na * nb) // 1000)
+             (abs(cnt_a * nb - cnt_b * na) > ${driftRhs("na", "nb", "//")})
                AS is_drifted
       FROM p CROSS JOIN tot"""),
     headline = true)

@@ -1090,20 +1090,50 @@ object DedupOps {
   /** E[cell] the auto rule targets — the r14 measured operating point. */
   private[graft] val knnGraphCellTarget = 125L
 
+  /** Per-dir memoized embeddings row count (round-15 advice: the
+    * resolve + trained-assignment pair counted the corpus twice per
+    * invocation, and s15/d24/d27/d28 all re-enter the trained path).
+    * Data dirs are immutable within a JVM run — test fixtures and
+    * scaled dirs are written before any session touches them. */
+  private val embCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[graft] def embeddingsCount(
+      s: org.apache.spark.sql.SparkSession, d: String): Long =
+    embCountMemo.computeIfAbsent(d,
+      _ => java.lang.Long.valueOf(table(s, d, "embeddings").count())).longValue()
+
   /** Resolve the quantizer choice for the corpus at `d` (None = s03's
     * fixed sampled statics; Some(k) = trained at K=k). The N probe is one
-    * parquet count — footer-metadata cheap next to the graph build. */
+    * memoized parquet count — footer-metadata cheap next to the graph
+    * build, and paid once per (JVM, dir). */
   private[graft] def resolveKnnQuantizer(
       s: org.apache.spark.sql.SparkSession, d: String): Option[Int] =
     sys.props.get("graft.knngraph.trained") match {
       case Some("off") => None
       case Some("auto") | None =>
-        val n = table(s, d, "embeddings").count()
+        val n = embeddingsCount(s, d)
         if (n >= knnGraphAutoThreshold)
           Some(math.max(64L, (n + knnGraphCellTarget - 1) / knnGraphCellTarget).toInt)
         else None
       case Some(k) => Some(k.toInt)
     }
+
+  /** Test-visible diagnostic: which assignment stage the most recent
+    * [[s15KnnFrameWith]] invocation CHOSE — `s15_hassign_*` hierarchical
+    * two-level, `s15_hassignf_*` hierarchical-trained/flat-assigned (the
+    * spec seam), `s15_tassign2_*` legacy driver-grouped two-level,
+    * `s15_tassign_*` flat trained, `s03` fixed sampled. KnnGraphSpec
+    * asserts the path it believes it exercises actually ENGAGED
+    * (round-15 advice: the two-level equality test could pass vacuously
+    * through the silent flat fallback). Diagnostic only — no engine
+    * behavior reads it. */
+  private[graft] object KnnDiag { @volatile var lastAssignKey: String = "" }
+
+  /** `-Dgraft.knngraph.hierTrain=off` keeps round-15's flat sampled
+    * training at every K (the A/B seam); default ON = corpora at
+    * K ≥ twoLevelK train HIERARCHICALLY via [[hierCents]]. */
+  private[graft] def hierTrainEnabled: Boolean =
+    sys.props.getOrElse("graft.knngraph.hierTrain", "on") != "off"
 
   private[graft] def s15KnnFrame(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
@@ -1175,6 +1205,122 @@ object DedupOps {
     (sups, out)
   }
 
+  /** Hierarchical two-stage Lloyd training — the N^1.5 respelling of the
+    * K∝N quantizer (round-15 verdict item 1, the residual constant behind
+    * s15's 6.6×/4× growth at 256×). Round 15's SAMPLED flat training cut
+    * the two Lloyd passes from N·K to (N/stride)·K folds, but with
+    * stride = N/20K that is still (20K)·K — quadratic in K, and under
+    * the auto rule K ∝ N. This trains in two stages, both distributed:
+    *
+    *  1. G ≈ ⌈√K⌉ SUPERCENTROIDS via the existing [[SimilarityOps
+    *     .s06CentsWith]] sampled Lloyd (strideG = N/20G — ~20 sample
+    *     points per supercell; cost ~20G·G·d = 20K·d per round, trivial).
+    *  2. The stride sample (~20K rows) is assigned once to its nearest
+    *     supercell (broadcast, row-wise, zero shuffle), then each
+    *     supercell trains its OWN sub-centroids on its OWN members —
+    *     all supercells in one distributed job per Lloyd round: the
+    *     current per-group centroid lists broadcast as G member arrays
+    *     (K structs total, ~K·d doubles), each sample row folds only its
+    *     group's K/G entries. Per round: (20K)·(K/G)·d ≈ 20K^1.5·d —
+    *     the quadratic is gone.
+    *
+    * Seeds are PROPORTIONAL and deterministic: supercell g with c_g
+    * sample members gets max(1, round(K·c_g/Σc)) seeds, chosen as the
+    * first quota members in xxhash64(vec_id) order (a deterministic
+    * pseudo-random spread through the member list); cid = seed vec_id,
+    * globally unique. Sub-cell sizes therefore track data density the
+    * same way flat K∝N training does. Mean updates are the exact
+    * integer-scaled spelling sRound uses, so training is bit-reproducible
+    * across runs (spec-pinned); it is NOT bit-equal to flat training —
+    * the trained path has been spec-gated (not oracle-gated) since
+    * round 13, and KnnGraphSpec measures its recall.
+    *
+    * This also retires the driver-side mini-Lloyd ([[groupCentroids]],
+    * round-15's named 100 TB seam): the supercell model is now a
+    * DISTRIBUTED training output (G rows) and the grouping artifact
+    * (gid per cid) falls out of stage 2 — nothing K-sized ever lands on
+    * the driver. [[groupCentroids]] remains only under the
+    * `-Dgraft.knngraph.hierTrain=off` A/B seam.
+    *
+    * Returns (supercentroids (gid, gcv), sub-centroids (gid, cid, cv)) —
+    * both staged; the second is checkpointed per Lloyd round exactly
+    * like s06CentsWith. */
+  private[graft] def hierCents(
+      s: org.apache.spark.sql.SparkSession, d: String, k: Int, stride: Int)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val g = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val n = embeddingsCount(s, d)
+    val strideG = math.max(1L, n / (20L * g)).toInt
+    val sup = SimilarityOps
+      .s06CentsWith(s, d, g, s"s15_hsup_${k}_g${g}_s$strideG", strideG)
+      .selectExpr("cid AS gid", "cv AS gcv")
+    val cents = stagedMaterialized(s"s15_hc_${k}_s$stride", d) {
+      sup.createOrReplaceTempView("s15_hsup")
+      s.sql(s"SELECT vec_id, v, nrm FROM s06_n WHERE vec_id % $stride = 0")
+        .createOrReplaceTempView("s15_htrain")
+      // one broadcast pass: sample row → nearest supercell. Checkpointed:
+      // the seeding window and both Lloyd rounds re-read it.
+      val asg = roundCheckpoint(s.sql("""
+        WITH sup AS (SELECT collect_list(named_struct('cid', gid, 'cv', gcv,
+                       'cn', sqrt(dot_product(gcv, gcv)))) AS sups
+                     FROM s15_hsup)
+        SELECT /*+ BROADCAST(sup) */ t.vec_id, t.v, t.nrm,
+               nearest_centroid(t.v, t.nrm, sups).cid AS gid
+        FROM s15_htrain t CROSS JOIN sup"""))
+      asg.createOrReplaceTempView("s15_hasg")
+      // proportional deterministic seeds (sample-sized window, one
+      // sample-row shuffle — ~20K rows at any corpus size)
+      var cur = roundCheckpoint(s.sql(s"""
+        WITH cnt AS (SELECT gid, count(*) AS c FROM s15_hasg GROUP BY gid),
+        tot AS (SELECT sum(c) AS t FROM cnt),
+        quota AS (SELECT gid, greatest(CAST(1 AS BIGINT),
+                    CAST(round(CAST($k AS DOUBLE) * c / t) AS BIGINT)) AS q
+                  FROM cnt CROSS JOIN tot),
+        rk AS (SELECT gid, vec_id, v,
+                 row_number() OVER (PARTITION BY gid
+                   ORDER BY xxhash64(vec_id), vec_id) AS rn
+               FROM s15_hasg)
+        SELECT rk.gid, rk.vec_id AS cid, rk.v AS cv
+        FROM rk JOIN quota ON quota.gid = rk.gid WHERE rk.rn <= quota.q"""))
+      for (_ <- 1 to 2) {
+        cur.createOrReplaceTempView("s15_hc")
+        val next = roundCheckpoint(s.sql("""
+          WITH grp AS (SELECT gid, collect_list(named_struct('cid', cid,
+                         'cv', cv, 'cn', sqrt(dot_product(cv, cv)))) AS mem
+                       FROM s15_hc GROUP BY gid),
+          a AS (SELECT /*+ BROADCAST(grp) */ t.gid, t.vec_id,
+                  nearest_centroid(t.v, t.nrm, mem).cid AS cid, t.v
+                FROM s15_hasg t JOIN grp ON grp.gid = t.gid),
+          e AS (SELECT gid, cid, CAST(dim AS BIGINT) AS dim,
+                  CAST(floor(xv * CAST(1000000000000 AS DOUBLE)) AS BIGINT) AS xi
+                FROM a LATERAL VIEW posexplode(v) t AS dim, xv),
+          m AS (SELECT gid, cid, dim,
+                  CAST(sum(xi) AS DOUBLE)
+                    / CAST(count(*) * 1000000000000 AS DOUBLE) AS mc
+                FROM e GROUP BY gid, cid, dim)
+          SELECT gid, cid,
+                 transform(sort_array(collect_list(struct(dim, mc))), x -> x.mc) AS cv
+          FROM m GROUP BY gid, cid"""))
+        org.apache.spark.sql.GraftSqlBridge.releaseCheckpointBlocks(cur)
+        cur = next
+      }
+      org.apache.spark.sql.GraftSqlBridge.releaseCheckpointBlocks(asg)
+      cur
+    }
+    (sup, cents)
+  }
+
+  /** Memoized driver-side supercell grouping for the LEGACY
+    * (`hierTrain=off` A/B) two-level path, keyed (dir, K, stride):
+    * re-invocations within a JVM re-register the K-row views from the
+    * memo instead of re-collecting the centroid frame and re-running the
+    * mini-Lloyd (round-15 advice — s15/d24/d27/d28 all re-enter this
+    * path even when the assignment stage itself is cache-hit). None =
+    * grouping degenerate (fewer than 2 usable groups) → flat. */
+  private val legacyGroupMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int),
+    Option[(Seq[(Long, Seq[Double])], Seq[(Long, Long, Seq[Double])])]]()
+
   /** [[s15KnnFrame]] at an explicit quantizer choice — the spec/A-B seam
     * (None = s03's sampled statics; Some(k) = trained centroids at K=k).
     * Staged keys carry the variant so two choices never share a cache. */
@@ -1184,6 +1330,7 @@ object DedupOps {
     val (assignV, nV) = trainedK match {
       case None =>
         SimilarityOps.s03Statics(s, d)
+        KnnDiag.lastAssignKey = "s03"
         ("s03_assign", "s03_n")
       case Some(k) =>
         // trained coarse quantizer at an explicit K. Assignment is the
@@ -1197,51 +1344,87 @@ object DedupOps {
         // vec_id%stride SAMPLE (~20 points per expected cell — the two
         // Lloyd passes drop from N·K to (N/6)·K at E[cell]=125), and at
         // K ≥ `graft.knngraph.twoLevelK` assignment goes TWO-LEVEL:
-        // nearest supercell over G≈√K driver-trained supercentroids,
-        // then nearest centroid within the top-2 probed supercells —
-        // per-row cost falls from K·d to ~(G + 2·K/G)·d ≈ 3√K·d (~30×
-        // at K=10240), composed ENTIRELY from the existing expressions
-        // and two broadcast joins (zero new shuffles). The supercell
-        // model is a driver-side mini-Lloyd over the K-row centroid
-        // frame (a model artifact, t19's ≤4096-row class — K·d doubles;
-        // the 100 TB bound is K ≤ ~1M before the grouping itself needs
-        // to distribute). Cell assignment becomes approximate at the
-        // supercell level (a vector's true nearest centroid can sit in
-        // an unprobed group) — the standard IVF trade, spec-gated like
-        // the rest of the trained path; KnnGraphSpec measures it.
-        val n = table(s, d, "embeddings").count()
+        // nearest supercell over G≈√K supercentroids, then nearest
+        // centroid within the top-2 probed supercells — per-row cost
+        // falls from K·d to ~(G + 2·K/G)·d ≈ 3√K·d (~30× at K=10240),
+        // composed ENTIRELY from the existing expressions and two
+        // broadcast joins (zero new shuffles). Cell assignment becomes
+        // approximate at the supercell level (a vector's true nearest
+        // centroid can sit in an unprobed group) — the standard IVF
+        // trade, spec-gated like the rest of the trained path;
+        // KnnGraphSpec measures it.
+        //
+        // Round 16 (verdict item 1): at K ≥ twoLevelK TRAINING is
+        // hierarchical too ([[hierCents]] — G supercells first, then
+        // per-supercell sub-centroids, N^1.5 total, fully distributed),
+        // which also retires round-15's driver-side mini-Lloyd: the
+        // supercell model and grouping artifact are distributed training
+        // outputs now. `-Dgraft.knngraph.hierTrain=off` restores the
+        // round-15 flat sampled training + driver grouping (the A/B
+        // seam); `-Dgraft.knngraph.hierAssignFlat=true` keeps hier
+        // training but assigns FLAT over all K sub-centroids — the spec
+        // seam that proves two-level assignment exact when top-2 probing
+        // covers every group.
+        val n = embeddingsCount(s, d)
         val stride = math.max(1L, n / (20L * k)).toInt
-        val cents = SimilarityOps.s06CentsWith(s, d, k, s"s15_tc_${k}_s$stride", stride)
-        cents.createOrReplaceTempView("s15_tc")
         val twoLevelK =
           sys.props.getOrElse("graft.knngraph.twoLevelK", "1024").toInt
         val P = SimilarityOps.ivfProbes
-        val twoLevel = k >= twoLevelK && {
-          import s.implicits._
-          val local = cents.select($"cid", $"cv").collect()
-            .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-          val g = math.ceil(math.sqrt(local.length.toDouble)).toInt
-          if (g < 2 || local.length < 4) false
-          else {
-            val (sups, asg) = groupCentroids(local, g)
-            val used = asg.distinct.sorted
-            if (used.length < 2) false
-            else {
-              val grpRows = local.zip(asg).map { case ((cid, cv), gi) =>
-                (gi.toLong, cid, cv.toSeq)
-              }.toSeq
-              grpRows.toDF("gid", "cid", "cv").createOrReplaceTempView("s15_grpraw")
-              used.map(gi => (gi.toLong, sups(gi).toSeq)).toSeq
-                .toDF("gid", "gcv").createOrReplaceTempView("s15_supraw")
-              true
+        val (assignKey, variantTag) =
+          if (k >= twoLevelK && hierTrainEnabled) {
+            val (sup, cents) = hierCents(s, d, k, stride)
+            val usedG = cents.select("gid").distinct().count()
+            val hierFlat =
+              sys.props.get("graft.knngraph.hierAssignFlat").contains("true")
+            if (usedG < 2 || hierFlat) {
+              cents.selectExpr("cid", "cv").createOrReplaceTempView("s15_tc")
+              (s"s15_hassignf_${k}_s$stride", s"hf$stride")
+            } else {
+              cents.createOrReplaceTempView("s15_grpraw")
+              sup.join(cents.select("gid").distinct(), "gid")
+                .selectExpr("gid", "gcv").createOrReplaceTempView("s15_supraw")
+              (s"s15_hassign_${k}_s$stride", s"h$stride")
+            }
+          } else {
+            val cents = SimilarityOps
+              .s06CentsWith(s, d, k, s"s15_tc_${k}_s$stride", stride)
+            cents.createOrReplaceTempView("s15_tc")
+            val grouping =
+              if (k < twoLevelK) None
+              else legacyGroupMemo.computeIfAbsent((d, k, stride), _ => {
+                import s.implicits._
+                val local = cents.select($"cid", $"cv").collect()
+                  .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+                val g = math.ceil(math.sqrt(local.length.toDouble)).toInt
+                if (g < 2 || local.length < 4) None
+                else {
+                  val (sups, asg) = groupCentroids(local, g)
+                  val used = asg.distinct.sorted
+                  if (used.length < 2) None
+                  else Some((
+                    used.map(gi => (gi.toLong, sups(gi).toSeq)).toSeq,
+                    local.zip(asg).map { case ((cid, cv), gi) =>
+                      (gi.toLong, cid, cv.toSeq)
+                    }.toSeq))
+                }
+              })
+            grouping match {
+              case Some((supRows, grpRows)) =>
+                import s.implicits._
+                grpRows.toDF("gid", "cid", "cv")
+                  .createOrReplaceTempView("s15_grpraw")
+                supRows.toDF("gid", "gcv").createOrReplaceTempView("s15_supraw")
+                (s"s15_tassign2_${k}_s$stride", s"2l$stride")
+              case None =>
+                (s"s15_tassign_${k}_s$stride", s"fl$stride")
             }
           }
-        }
-        val assignKey =
-          if (twoLevel) s"s15_tassign2_${k}_s$stride" else s"s15_tassign_${k}_s$stride"
+        KnnDiag.lastAssignKey = assignKey
+        val twoLevelAssign = assignKey.startsWith("s15_hassign_") ||
+          assignKey.startsWith("s15_tassign2")
         stagedMaterialized(assignKey, d) {
           roundCheckpoint(
-            if (twoLevel) s.sql(s"""
+            if (twoLevelAssign) s.sql(s"""
               WITH sup AS (SELECT collect_list(named_struct(
                              'cid', gid, 'cv', gcv,
                              'cn', sqrt(dot_product(gcv, gcv)))) AS sups
@@ -1285,7 +1468,7 @@ object DedupOps {
                      CAST(pr.pos + 1 AS INT) AS rn
               FROM a LATERAL VIEW posexplode(nc) pr"""))
         }.createOrReplaceTempView("s15_tassign")
-        ("s15_tassign", if (twoLevel) s"s06_n@2l$stride" else s"s06_n@fl$stride")
+        ("s15_tassign", s"s06_n@$variantTag")
     }
     // the variant marker rides nV only for the STAGE KEY (flat vs
     // two-level produce different graphs — they must never share a

@@ -1017,7 +1017,7 @@ object StreamingGate {
       SELECT h.bno, h.tok, h.cnt_a, h.cnt_b,
              CASE WHEN h.bno = 1
                   THEN abs(h.cnt_a * nb.v - h.cnt_b * na.v)
-                         > (${CorpusOps.driftPermil} * na.v * nb.v) div 1000
+                         > ${CorpusOps.driftRhs("na.v", "nb.v", "div")}
                   ELSE false END AS is_drifted
       FROM q71_hits h CROSS JOIN na CROSS JOIN nb""")
   }
@@ -1040,7 +1040,7 @@ object StreamingGate {
       UNION ALL
       SELECT CAST(1 AS BIGINT), o.tok, CAST(coalesce(e.c, 0) AS BIGINT), o.c,
              abs(coalesce(e.c, 0) * nb.v - o.c * na.v)
-               > (${CorpusOps.driftPermil} * na.v * nb.v) // 1000
+               > ${CorpusOps.driftRhs("na.v", "nb.v", "//")}
       FROM oc o LEFT JOIN ec e ON o.tok = e.tok
       CROSS JOIN na CROSS JOIN nb"""))
 

@@ -73,8 +73,12 @@ class DriftSpec extends AnyFunSuite {
     // BigInt gold that cannot overflow — sampled across the full envelope
     // INCLUDING the region where the old spelling silently flipped.
     val theta = graft.ops.CorpusOps.driftPermil
+    // the Long model of the SHIPPED spelling (CorpusOps.driftRhs): for
+    // θ | 1000 the RHS is (NA·NB) div (1000/θ) — θ-independent envelope
     def engine(ca: Long, cb: Long, na: Long, nb: Long): Boolean =
-      math.abs(ca * nb - cb * na) > theta * na * nb / 1000
+      math.abs(ca * nb - cb * na) > (
+        if (1000 % theta == 0) na * nb / (1000 / theta)
+        else theta * na * nb / 1000)
     def gold(ca: Long, cb: Long, na: Long, nb: Long): Boolean =
       (BigInt(ca) * nb - BigInt(cb) * na).abs * 1000 > BigInt(theta) * na * nb
     val rng = new scala.util.Random(7)
@@ -98,5 +102,32 @@ class DriftSpec extends AnyFunSuite {
     val big = 2900000000L
     assert(engine(big, 0, big, big) == gold(big, 0, big, big))
     assert(engine(big / 2, big / 2, big, big) == gold(big / 2, big / 2, big, big))
+  }
+
+  test("driftRhs: div-(1000/θ) respelling is exact for every θ | 1000") {
+    // Round-15 verdict item 8: `(θ·NA·NB) div 1000` shrinks the Long
+    // envelope by √θ as the threshold rises (its largest term is
+    // θ·NA·NB). The shipped respelling divides by m = 1000/θ instead:
+    // floor(X·θ / (m·θ)) = floor(X / m) for integers X ≥ 0 — EXACT
+    // equivalence, largest term NA·NB, θ-independent envelope. Pinned
+    // over a (θ, NA, NB, counts) grid in BigInt (no-overflow gold) AND
+    // the spelling-string emitted by driftRhs itself.
+    assert(graft.ops.CorpusOps.driftRhs("na", "nb", "div") == "(na * nb) div 1000",
+      "shipped θ=1 must emit the divide-by-1000/θ form")
+    val rng = new scala.util.Random(11)
+    for (theta <- Seq(1, 2, 4, 5, 8, 10, 25, 100, 500, 1000); _ <- 1 to 2000) {
+      val m = 1000 / theta
+      val na = rng.nextLong(3000000000L) + 1
+      val nb = rng.nextLong(3000000000L) + 1
+      val imb = rng.nextLong(na * math.min(nb, (Long.MaxValue / na)) max 1)
+      val respelled = imb > na * nb / m
+      val goldT = BigInt(imb) * 1000 > BigInt(theta) * na * nb
+      assert(respelled == goldT,
+        s"respelling diverges at θ=$theta imb=$imb na=$na nb=$nb")
+    }
+    // θ ∤ 1000 falls back to the θ-dependent spelling (documented, not
+    // silently wrong): 3‰ emits the multiply form
+    // (guarded via the formula, since driftPermil is a fixed val)
+    assert(1000 % 3 != 0)
   }
 }

@@ -145,7 +145,7 @@ class KnnGraphSpec extends AnyFunSuite {
     }
   }
 
-  test("two-level assignment: valid graph, equals flat when all groups probed") {
+  test("legacy two-level assignment: ENGAGES, equals flat when all groups probed") {
     // round-15: at K >= twoLevelK the trained path assigns via G≈√K
     // driver-grouped supercells (top-2 probed) instead of the flat K
     // fold. At sf0.01 the seed ladder yields 4 centroids → G=2, and
@@ -154,18 +154,125 @@ class KnnGraphSpec extends AnyFunSuite {
     // joins, row-wise merge comparator) is exercised with an exact
     // expected answer. Partial-probe quality at scale is measured in
     // SCALE.md (64× two-level vs flat edge overlap).
+    // Round-16 (r15 advice item 1): the fallback conditions (g < 2,
+    // degenerate grouping) make output equality alone VACUOUS — the
+    // engaged-path diagnostic is asserted so the test fails loudly if
+    // the two-level plumbing silently falls back to flat. hierTrain=off
+    // pins the round-15 legacy path; the hierarchical path has its own
+    // tests below.
     val dir01 = "/root/testdata/sf0.01"
     val saved = sys.props.remove("graft.knngraph.twoLevelK")
+    val savedH = sys.props.remove("graft.knngraph.hierTrain")
     try {
+      sys.props("graft.knngraph.hierTrain") = "off"
       sys.props("graft.knngraph.twoLevelK") = "1000000" // force flat
       val flat = graft.ops.DedupOps.s15KnnFrameWith(spark, dir01, Some(4))
         .collect().map(_.toString).sorted.toSeq
+      assert(graft.ops.DedupOps.KnnDiag.lastAssignKey.startsWith("s15_tassign_"),
+        s"expected flat assignment, engaged ${graft.ops.DedupOps.KnnDiag.lastAssignKey}")
       sys.props("graft.knngraph.twoLevelK") = "2" // force two-level
       val two = graft.ops.DedupOps.s15KnnFrameWith(spark, dir01, Some(4))
         .collect().map(_.toString).sorted.toSeq
+      assert(graft.ops.DedupOps.KnnDiag.lastAssignKey.startsWith("s15_tassign2_"),
+        "two-level plumbing did NOT engage — the equality below would be vacuous " +
+          s"(engaged: ${graft.ops.DedupOps.KnnDiag.lastAssignKey})")
       assert(two.nonEmpty, "two-level path produced no edges")
       assert(two == flat,
         s"two-level (all groups probed) must equal flat: ${two.size} vs ${flat.size} rows")
+    } finally {
+      sys.props.remove("graft.knngraph.twoLevelK")
+      sys.props.remove("graft.knngraph.hierTrain")
+      saved.foreach(v => sys.props("graft.knngraph.twoLevelK") = v.toString)
+      savedH.foreach(v => sys.props("graft.knngraph.hierTrain") = v.toString)
+    }
+  }
+
+  test("hierarchical training: engages, two-level assignment exact vs flat-assigned") {
+    // round-16 (r15 verdict item 1): at K >= twoLevelK training itself is
+    // hierarchical (G supercells → per-supercell sub-centroids, N^1.5,
+    // fully distributed — no driver mini-Lloyd). Two pins:
+    //  (a) the hierarchical two-level path ENGAGES (engaged-key
+    //      diagnostic, not output shape — the r15 advice rule);
+    //  (b) with G=2 used supercells, top-2 probing covers every group,
+    //      so two-level assignment over the hier-trained centroids must
+    //      EQUAL flat assignment over the SAME centroids (the
+    //      hierAssignFlat seam) — assignment exactness is proven
+    //      separately from training quality.
+    val dir01 = "/root/testdata/sf0.01"
+    val saved = sys.props.remove("graft.knngraph.twoLevelK")
+    val savedF = sys.props.remove("graft.knngraph.hierAssignFlat")
+    try {
+      sys.props("graft.knngraph.twoLevelK") = "2"
+      sys.props("graft.knngraph.hierAssignFlat") = "true"
+      val flat = graft.ops.DedupOps.s15KnnFrameWith(spark, dir01, Some(4))
+        .collect().map(_.toString).sorted.toSeq
+      assert(graft.ops.DedupOps.KnnDiag.lastAssignKey.startsWith("s15_hassignf_"),
+        s"expected hier-flat seam, engaged ${graft.ops.DedupOps.KnnDiag.lastAssignKey}")
+      sys.props.remove("graft.knngraph.hierAssignFlat")
+      val two = graft.ops.DedupOps.s15KnnFrameWith(spark, dir01, Some(4))
+        .collect().map(_.toString).sorted.toSeq
+      assert(graft.ops.DedupOps.KnnDiag.lastAssignKey.startsWith("s15_hassign_"),
+        "hierarchical two-level did NOT engage — equality would be vacuous " +
+          s"(engaged: ${graft.ops.DedupOps.KnnDiag.lastAssignKey})")
+      assert(two.nonEmpty, "hierarchical path produced no edges")
+      assert(two == flat,
+        s"hier two-level (all groups probed) must equal hier flat-assigned: " +
+          s"${two.size} vs ${flat.size} rows")
+      // graph-shape invariants hold on the hier path too
+      val parsed = graft.ops.DedupOps.s15KnnFrameWith(spark, dir01, Some(4))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      for ((src, es) <- parsed.groupBy(_._1)) {
+        assert(es.length <= graft.ops.DedupOps.knnGraphK)
+        assert(es.forall(_._2 != src), s"node $src self-loop")
+        assert(es.map(_._2).distinct.length == es.length, s"node $src dup neighbor")
+      }
+    } finally {
+      sys.props.remove("graft.knngraph.twoLevelK")
+      sys.props.remove("graft.knngraph.hierAssignFlat")
+      saved.foreach(v => sys.props("graft.knngraph.twoLevelK") = v.toString)
+      savedF.foreach(v => sys.props("graft.knngraph.hierAssignFlat") = v.toString)
+    }
+  }
+
+  test("hierarchical training: measured recall vs brute force, deterministic") {
+    // training quality (as opposed to assignment exactness, pinned above):
+    // the hier-trained graph's recall against the same brute-force truth
+    // the other paths measure, plus bit-reproducibility across runs
+    // (deterministic seeds, xxhash64 spread, fixed integer-scaled means).
+    val dir01 = "/root/testdata/sf0.01"
+    val saved = sys.props.remove("graft.knngraph.twoLevelK")
+    try {
+      sys.props("graft.knngraph.twoLevelK") = "2"
+      val run1 = graft.ops.DedupOps.s15KnnFrameWith(spark, dir01, Some(4))
+        .collect().map(_.toString).sorted.toSeq
+      graft.ops.Q.releaseAllPersisted(spark)
+      val run2 = graft.ops.DedupOps.s15KnnFrameWith(spark, dir01, Some(4))
+        .collect().map(_.toString).sorted.toSeq
+      assert(run1 == run2, "hier training not deterministic across cold runs")
+      val edges2 = graft.ops.DedupOps.s15KnnFrameWith(spark, dir01, Some(4))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val vecs = spark.read.parquet(s"$dir01/embeddings.parquet")
+        .collect().map { r =>
+          r.getLong(r.fieldIndex("vec_id")) ->
+            r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray
+        }.toMap
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var i = 0; var d = 0.0; var na = 0.0; var nb = 0.0
+        while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val k = graft.ops.DedupOps.knnGraphK
+      val truth = vecs.map { case (id, v) =>
+        id -> vecs.toSeq.filter(_._1 != id)
+          .map { case (j, w) => (j, cos(v, w)) }
+          .sortBy { case (j, c) => (-c, j) }.take(k).map(_._1).toSet
+      }
+      val approx = edges2.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+      val recalls = truth.toSeq.map { case (id, t) =>
+        approx.getOrElse(id, Set.empty).intersect(t).size.toDouble / k }
+      val mean = recalls.sum / recalls.size
+      info(f"s15 HIERARCHICAL recall@$k at K=4/G=2 (sf0.01): $mean%.3f")
+      assert(mean >= 0.25, f"hier-path recall collapsed: $mean%.3f")
     } finally {
       sys.props.remove("graft.knngraph.twoLevelK")
       saved.foreach(v => sys.props("graft.knngraph.twoLevelK") = v.toString)
