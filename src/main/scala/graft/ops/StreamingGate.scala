@@ -481,7 +481,20 @@ object StreamingGate {
             q.exception.foreach(throw _)
             require(consumed >= awaitRows,
               s"stream consumed $consumed of $awaitRows rows before deadline")
-            if (settleMs > 0) Thread.sleep(settleMs)
+            // settle window for evictions: sleep the requested window,
+            // then — if the caller is watching the bucket registry —
+            // keep polling (30 s cap) until every TTL-expired bucket has
+            // actually been evicted. A fixed sleep raced RocksDB snapshot
+            // maintenance under full-suite load (one aborted eviction
+            // micro-batch = a retry landing after the window), observed
+            // r16 as a 1-in-N StreamingSpec flake.
+            if (settleMs > 0) {
+              Thread.sleep(settleMs)
+              val cap = System.nanoTime() + 30L * 1000000000L
+              while (buckets.exists(_.value > 0) && q.exception.isEmpty &&
+                  System.nanoTime() < cap)
+                Thread.sleep(200)
+            }
           } finally q.stop()
         }
       }
