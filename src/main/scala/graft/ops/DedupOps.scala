@@ -838,21 +838,31 @@ object DedupOps {
       // Convergence detection rides the label-update job itself: the
       // old label is folded through the aggregation (every id has
       // exactly one self=true row, so min-over-when recovers it) and an
-      // accumulator counts changed rows while the round materializes —
-      // ONE job per round, no separate join+count. Task retries can
-      // only over-count (a harmless extra round of an idempotent
-      // fixpoint); a genuine fixpoint adds 0 on every attempt.
-      val acc = s.sparkContext.longAccumulator("cc_changed")
+      // observed metric counts changed rows while the round
+      // materializes — ONE job per round, no separate join+count.
+      // Observation (round 16, guide §1.5/§4) replaces the accumulator
+      // + typed mapPartitions spelling: the typed map deserialized
+      // every (id, cluster, old) row to a Scala tuple and broke
+      // whole-stage codegen across the round's tail; CollectMetrics is
+      // a streaming-agg side-car on the codegen'd plan, and its count
+      // is exact (computed once per successful query, immune to the
+      // task-retry over-count the accumulator comment had to excuse).
+      val obs = org.apache.spark.sql.Observation()
       val merged = cur.select($"id", $"cluster", lit(true).as("self"))
         .unionByName(viaNeighbors)
         .groupBy($"id")
         .agg(min($"cluster").as("cluster"),
           min(when($"self", $"cluster")).as("old"))
-      val counted = merged.as[(Long, Long, Long)].mapPartitions { it =>
-        it.map { case (id, c, old) => if (c != old) acc.add(1L); (id, c) }
-      }.toDF("id", "cluster")
+      val counted = merged
+        .observe(obs, org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.sum(
+            ($"cluster" =!= $"old").cast("long")), lit(0L)).as("changed"))
+        .select($"id", $"cluster")
       val next = roundCheckpoint(counted)
-      changed = acc.value
+      changed = obs.get("changed") match {
+        case l: java.lang.Long => l.longValue
+        case other => other.toString.toLong
+      }
       // the superseded round's blocks are dead the moment `next` is
       // materialized — free them now instead of waiting for the
       // ContextCleaner's GC-driven sweep (at bench/cluster scale the
@@ -1595,12 +1605,17 @@ object DedupOps {
         val edges = staged("d24_edges", d) {
           // mutual ⇒ the reversed row exists with the bit-identical cos
           // (the dot fold multiplies the same term pairs in the same
-          // order), so the filtered list is already symmetric
+          // order), so the filtered list is already symmetric — and for
+          // the same reason the τ cut applies to BOTH join inputs
+          // (round 16, guide §2.3): filtering m pre-join shrinks the
+          // mutual join's build side by the τ selectivity without
+          // changing a single surviving edge (k.cos = m.cos bit-for-bit
+          // on every mutual pair).
           s.sql(s"""
             SELECT k.src AS doc_a, k.nb AS doc_b
             FROM s15_knn k JOIN s15_knn m
               ON m.src = k.nb AND m.nb = k.src
-            WHERE k.cos >= $semGraphTau""")
+            WHERE k.cos >= $semGraphTau AND m.cos >= $semGraphTau""")
         }
         minLabelComponents(s, edges)
       } }
@@ -1723,7 +1738,7 @@ object DedupOps {
           JOIN s15_knn m ON m.src = k.nb AND m.nb = k.src
           JOIN d27_mem a ON k.src = a.vec_id AND NOT a.is_tomb
           JOIN d27_mem b ON k.nb = b.vec_id AND NOT b.is_tomb
-          WHERE k.cos >= $semGraphTau""")
+          WHERE k.cos >= $semGraphTau AND m.cos >= $semGraphTau""")
       }
       withAdvisoryCoalesce(s) { minLabelComponents(s, sedges) }
         .createOrReplaceTempView("d27_dlab")
@@ -1733,7 +1748,7 @@ object DedupOps {
         s.sql(s"""
           SELECT k.src AS doc_a, k.nb AS doc_b
           FROM d27_rknn k JOIN d27_rknn m ON m.src = k.nb AND m.nb = k.src
-          WHERE k.cos >= $semGraphTau""")
+          WHERE k.cos >= $semGraphTau AND m.cos >= $semGraphTau""")
       }
       withAdvisoryCoalesce(s) { minLabelComponents(s, redges) }
         .createOrReplaceTempView("d27_rlab")

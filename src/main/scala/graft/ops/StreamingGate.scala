@@ -1171,7 +1171,8 @@ object StreamingGate {
         FROM s15_knn k
         JOIN s15_knn m ON m.src = k.nb AND m.nb = k.src
         JOIN d28_lab la ON la.vec_id = k.src
-        WHERE k.cos >= ${DedupOps.semGraphTau}""")
+        WHERE k.cos >= ${DedupOps.semGraphTau}
+          AND m.cos >= ${DedupOps.semGraphTau}""")
     }
     val init = lab.selectExpr("sem_cluster_id AS cluster_id", "vec_id")
       .groupBy($"cluster_id")

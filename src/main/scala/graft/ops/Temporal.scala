@@ -526,8 +526,19 @@ object Temporal {
       val key = "spark.sql.adaptive.enabled"
       val prev = s.conf.get(key)
       s.conf.set(key, "false")
+      // project BEFORE the exchange (guide §2.3): the four branch
+      // statements (q60Sql..q63Sql) read only (user_id, ts, event_id,
+      // event_type) — `value`/`props` rode the user_id shuffle AND the
+      // checkpoint for nothing. Catalyst cannot prune them itself: the
+      // checkpoint is an eager materialization boundary, so every
+      // column present at the barrier is paid in full (this is the
+      // round-15-named q65 constant — 807 MB materialized + re-read at
+      // 256× — shrunk at the source).
       try roundCheckpoint(
-        Q.events(s, d).repartition(col("user_id"))
+        Q.events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"))
+          .repartition(col("user_id"))
           .sortWithinPartitions(col("user_id"), col("ts"), col("event_id")))
       finally s.conf.set(key, prev)
     }
