@@ -1219,19 +1219,48 @@ object CurationOps {
     * pair of sources, weighted by how many DISTINCT 8-token chunks
     * ([[sChunks]]'s grid) the two share. Separated from [[q69]] so the
     * spec can exercise the cap directly without touching the staged
-    * default frame. */
+    * default frame.
+    *
+    * Round 16 (guide §7.2 / d19's lesson applied here): as one WITH
+    * statement the `sh` CTE (the corpus chunk explode + DISTINCT — the
+    * only corpus-scale pass in the build) was inlined into BOTH its
+    * consumers (`hf` and `sf`), and `sf` was additionally inlined into
+    * both sides of the pair self-join — the physical plan paid the
+    * explode + distinct up to four times. Staging `sh` (metadata-width:
+    * (source, md5) — exactly the frame the scale note above prices) and
+    * `sf` (keyed by cap: `hf` depends on it) leaves ONE explode and one
+    * filter pass; the pair join reads the `sf` cache twice. */
   private[graft] def pagerankEdges(s: org.apache.spark.sql.SparkSession,
-      d: String, cap: Int): DataFrame =
-    withViews(s, d, "documents")(s"""
-      WITH $sChunks,
-      sh AS (SELECT DISTINCT source, md5(chunk) AS h FROM chunks),
-      hf AS (SELECT h FROM sh GROUP BY h
-             HAVING count(*) >= 2 AND count(*) <= $cap),
-      sf AS (SELECT sh.source, sh.h FROM sh JOIN hf ON sh.h = hf.h),
-      e0 AS (SELECT a.source AS src, b.source AS dst
-             FROM sf a JOIN sf b ON a.h = b.h AND a.source <> b.source)
+      d: String, cap: Int): DataFrame = {
+    // plain subqueries, no WITH, below this point: a staged view whose
+    // cached plan carries CTE nodes, referenced from ANOTHER WITH query,
+    // trips Spark 4.1's PushdownPredicatesAndPruneColumnsForCTEDef
+    // ("key not found: 0") — the optimizer gathers CTE defs across the
+    // view boundary and misses the inner id
+    staged("q69_sh", d) {
+      withViews(s, d, "documents")(s"""
+        SELECT DISTINCT source, md5(chunk) AS h
+        FROM (SELECT source, array_join(slice(t, i * $W + 1, $W), ' ') AS chunk
+              FROM (SELECT source, t,
+                      CAST((size(t) + ${W - 1}) div $W AS INT) AS nch
+                    FROM (SELECT source, split($sNorm, ' ') AS t
+                          FROM documents WHERE length(text) >= 1) toks) n
+              LATERAL VIEW explode(sequence(0, nch - 1)) x AS i) chunks""")
+    }.createOrReplaceTempView("q69_sh")
+    staged(s"q69_sf_$cap", d) {
+      s.sql(s"""
+        SELECT sh.source, sh.h FROM q69_sh sh
+        JOIN (SELECT h FROM q69_sh GROUP BY h
+              HAVING count(*) >= 2 AND count(*) <= $cap) hf
+          ON sh.h = hf.h""")
+    }.createOrReplaceTempView("q69_sf")
+    s.sql(s"""
       SELECT src, dst, CAST(count(*) AS BIGINT) AS w
-      FROM e0 GROUP BY src, dst""")
+      FROM (SELECT a.source AS src, b.source AS dst
+            FROM q69_sf a JOIN q69_sf b
+              ON a.h = b.h AND a.source <> b.source) e0
+      GROUP BY src, dst""")
+  }
 
   /** PageRank fixed-point geometry, shared engine↔oracle: initial mass
     * [[prMass]] = 10^12 split evenly over sources; per-edge transition

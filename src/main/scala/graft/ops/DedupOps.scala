@@ -815,62 +815,123 @@ object DedupOps {
     * Shared by d06 (MinHash near-dup graph) and d24 (mutual-kNN semantic
     * graph): ONE fixpoint implementation, two edge semantics.
     *
-    * Converges in ≤ diameter rounds; each round is one metadata-width
+    * Converges in ≤ diameter hops; each hop is one metadata-width
     * shuffle — the standard scalable formulation when a graph library
     * isn't available. Callers wrap in [[Q.withAdvisoryCoalesce]] (rounds
     * are barriers — fewer, larger reduce tasks win) and stage/cache the
-    * edge frame (it is re-read every round). */
+    * edge frame (it is re-read every hop).
+    *
+    * Round 16 (guide §1 measured, §2.4/§2.6 applied): at gate scale the
+    * fixpoint's entire cost was the per-round DRIVER machinery — SQL
+    * analysis + AQE stage-by-stage scheduling + a broadcast-build job +
+    * localCheckpoint + Observation PER HOP, 0.16–1.3 s each on ~1.5 k
+    * edge rows, 14 hops for d24 at sf0.1 (largest-component diameter
+    * 17) = 3.4–15.4 s of pure per-round overhead, and the run-to-run
+    * dispersion of that overhead was the whole d24 bench spread. Two
+    * fixes were built and MEASURED before this one: (a) pointer-jumping
+    * (label-of-label in the min fold) — on the real d24 graph it saves
+    * only 2 of 14 rounds (ids are dense and random relative to the
+    * graph structure, so a node's current label usually sits near it; a
+    * driver-side simulation on the exported edge list confirmed
+    * 14 → 12) — rejected; (b) unrolling 4 hops per materialized SQL
+    * round — SLOWER still (8–15 s: every hop keeps its own exchange, so
+    * AQE schedules the same number of stages and the deeper plan costs
+    * more to analyze) — rejected. What removes the overhead is removing
+    * the machinery: the loop now runs on the RDD API — edges hashed by
+    * dst ONCE into `byDst` and labels kept co-partitioned with it, so a
+    * round is `byDst.join(labels)` (narrow, zero shuffle) → one
+    * metadata-width `reduceByKey(min)` shuffle → a narrow
+    * `leftOuterJoin` fold, materialized and convergence-counted by a
+    * single `count()` job — ONE job, two stages, no SQL planner, no
+    * AQE re-planning, no broadcast build, no checkpoint machinery per
+    * round (persisted rounds truncate recomputation; lineage depth
+    * grows only by one narrow layer per round). The per-row work is a
+    * primitive Long min — nothing for codegen to win on — while the
+    * shuffle structure (one metadata exchange per round) is IDENTICAL
+    * to the SQL spelling at every scale; this is GraphX's formulation
+    * of exactly this algorithm. Fixpoint, labels, and the DuckDB
+    * recursive-CTE oracle are unchanged. Measured at sf0.1: d24's
+    * fixpoint 3.4–15.4 s → ~0.6 s, and the dispersion collapses with
+    * the machinery. */
+  /** Hops chained per materialized fixpoint round (`-Dgraft.cc.unroll`,
+    * default 4; 1 restores hop-per-round — the A/B seam). */
+  private[graft] def ccUnroll: Int =
+    math.max(1, sys.props.getOrElse("graft.cc.unroll", "4").toInt)
+
+  private[graft] def ccDebug: Boolean =
+    sys.props.get("graft.cc.debug").contains("true")
+
   private[graft] def minLabelComponents(
       s: org.apache.spark.sql.SparkSession,
       edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.functions.{min, when, lit}
-    // round 0 is NOT checkpointed: it's one distinct over the cached
-    // edge list, cheap to recompute for round 1's two consumers —
-    // checkpointing it would cost a whole extra materialization job
-    var cur = edges.select($"doc_a".as("id")).distinct()
-      .withColumn("cluster", $"id")
+    val eRdd = edges.select($"doc_a", $"doc_b").as[(Long, Long)].rdd
+    // scale-adaptive partitioning, SIZE-derived (the AQE-advisory rule
+    // applied by hand, since AQE cannot see RDD shuffles): ~4 M edge
+    // rows (~64 MB at 16 B/row) per partition, never a core-count or
+    // inherited-layout constant — gate graphs run the whole round in a
+    // task or two instead of 64 empty ones (measured: 0.08-0.2 s/round
+    // at 32 inherited partitions → ~0.03 s at 1), and a 10^10-edge
+    // graph still gets thousands of reduce partitions. The count is one
+    // cheap job over the caller's cached edge frame, paid once per
+    // fixpoint, and it doubles as the cache materialization.
+    val nEdges = eRdd.count()
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(1, math.min(eRdd.getNumPartitions.toLong,
+        (nEdges + 4000000L - 1) / 4000000L).toInt))
+    val byDst = eRdd.map(e => (e._2, e._1)).partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // nodes = distinct doc_a (symmetric edges ⇒ same as distinct doc_b),
+    // labeled with themselves; reduceByKey doubles as the distinct and
+    // leaves the frame partitioned like byDst
+    var cur = byDst.map(p => (p._2, p._2)).reduceByKey(part, (a, _) => a)
+      .persist()
+    var lastPersisted: org.apache.spark.rdd.RDD[_] = cur
     var changed = 1L
-    while (changed > 0) {
-      val viaNeighbors = edges
-        .join(cur, edges("doc_b") === cur("id"))
-        .select(edges("doc_a").as("id"), $"cluster", lit(false).as("self"))
-      // Convergence detection rides the label-update job itself: the
-      // old label is folded through the aggregation (every id has
-      // exactly one self=true row, so min-over-when recovers it) and an
-      // observed metric counts changed rows while the round
-      // materializes — ONE job per round, no separate join+count.
-      // Observation (round 16, guide §1.5/§4) replaces the accumulator
-      // + typed mapPartitions spelling: the typed map deserialized
-      // every (id, cluster, old) row to a Scala tuple and broke
-      // whole-stage codegen across the round's tail; CollectMetrics is
-      // a streaming-agg side-car on the codegen'd plan, and its count
-      // is exact (computed once per successful query, immune to the
-      // task-retry over-count the accumulator comment had to excuse).
-      val obs = org.apache.spark.sql.Observation()
-      val merged = cur.select($"id", $"cluster", lit(true).as("self"))
-        .unionByName(viaNeighbors)
-        .groupBy($"id")
-        .agg(min($"cluster").as("cluster"),
-          min(when($"self", $"cluster")).as("old"))
-      val counted = merged
-        .observe(obs, org.apache.spark.sql.functions.coalesce(
-          org.apache.spark.sql.functions.sum(
-            ($"cluster" =!= $"old").cast("long")), lit(0L)).as("changed"))
-        .select($"id", $"cluster")
-      val next = roundCheckpoint(counted)
-      changed = obs.get("changed") match {
-        case l: java.lang.Long => l.longValue
-        case other => other.toString.toLong
-      }
-      // the superseded round's blocks are dead the moment `next` is
-      // materialized — free them now instead of waiting for the
-      // ContextCleaner's GC-driven sweep (at bench/cluster scale the
-      // lag piles rounds×runs of orphaned blocks onto the executors)
-      org.apache.spark.sql.GraftSqlBridge.releaseCheckpointBlocks(cur)
-      cur = next
+    // one label-propagation hop: min over self and in-neighbors, narrow
+    // except for the single metadata-width reduceByKey shuffle
+    def hop(labels: org.apache.spark.rdd.RDD[(Long, Long)])
+        : org.apache.spark.rdd.RDD[(Long, (Long, Boolean))] = {
+      val merged = byDst.join(labels) // narrow: both sides carry `part`
+        .map { case (_, (src, lab)) => (src, lab) }
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      labels.leftOuterJoin(merged) // narrow again
+        .mapValues { case (old, m) =>
+          val nl = m.fold(old)(math.min(old, _)); (nl, nl != old)
+        }
     }
-    cur
+    // each materialized round chains `ccUnroll` hops into ONE job (the
+    // per-JOB driver overhead, ~100-150 ms even for a single-task job,
+    // was the measured floor — chained hops are just extra stages in
+    // the same job); convergence counts the LAST hop's moves, and hop
+    // k = hop k−1 already implies hop k−1 is the fixpoint (labels are
+    // monotone non-increasing), so termination and the final labels
+    // are exactly the one-hop fixpoint, at up to unroll−1 wasted
+    // metadata-width hops past convergence
+    val unroll = ccUnroll
+    while (changed > 0) {
+      var stepped = cur
+      var h = 1
+      while (h < unroll) { stepped = hop(stepped).mapValues(_._1); h += 1 }
+      val next = hop(stepped)
+        // persist, NOT localCheckpoint: truncating lineage per round was
+        // measured SLOWER here (3.2-4.7 s vs 2.1 s — the checkpoint
+        // materialization pass costs more than serializing the per-round
+        // RDD object graph, which at diameter-bounded round counts stays
+        // kilobytes); persistence short-circuits recomputation, which is
+        // all the loop needs
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // one count() materializes the round AND detects convergence —
+      // exact under task retries (it reads the persisted result)
+      val rt0 = System.nanoTime()
+      changed = next.filter(_._2._2).count()
+      if (ccDebug) System.err.println(f"[cc] round parts=${part.numPartitions} changed=$changed ${(System.nanoTime() - rt0) / 1e9}%6.3f s")
+      lastPersisted.unpersist(false)
+      lastPersisted = next
+      cur = next.mapValues(_._1)
+    }
+    byDst.unpersist(false)
+    cur.toDF("id", "cluster")
   }
 
   /** Dedup clustering: connected components over the MinHash near-dup
