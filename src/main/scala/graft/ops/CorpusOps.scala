@@ -1108,39 +1108,43 @@ object CorpusOps {
     (s, d) => {
       def sFold(e: String, seed: Int) = s"char_fold($e, $seed)"
       val hashes = (0 until cmDepth).map { j =>
-        s"named_struct('j', $j, 'h', ${cmHash("w", j, sFold)})"
+        s"named_struct('j', $j, 'h', ${cmHash("word", j, sFold)})"
       }.mkString(",\n               ")
       val candHashes = (0 until cmDepth).map { j =>
         s"named_struct('j', $j, 'h', ${cmHash("word", j, sFold)})"
       }.mkString(",\n               ")
-      // ONE corpus pass: the `toks` occurrence CTE fed both the sketch
-      // build and the exact top-K and ran the corpus tokenize twice
-      // (PlanAudit round 12). Both derive from the shared per-doc token
-      // histogram instead — hash rows and exact counts weight each
-      // DISTINCT word by its count (identical integers; the histogram's
-      // byte-level tokenizer is regexp_extract_all('[a-z]+')-exact,
-      // property-pinned in TokenHistogramSpec).
-      docHist(s, d).createOrReplaceTempView("q59_dh")
-      withViews(s, d, "documents")(s"""
-        WITH dw AS (SELECT w, cnt
-                    FROM (SELECT explode(h) AS (w, cnt) FROM q59_dh)),
-        cm AS (SELECT pr.j AS j, pr.h AS h, CAST(sum(cnt) AS BIGINT) AS cnt
-               FROM (SELECT cnt, explode(array(
-               $hashes)) AS pr
-                     FROM dw)
-               GROUP BY pr.j, pr.h),
-        top AS (SELECT w AS word, CAST(sum(cnt) AS BIGINT) AS exact_cnt
-                FROM dw GROUP BY w ORDER BY exact_cnt DESC, word LIMIT 25),
-        ch AS (SELECT word, exact_cnt, pr.j AS j, pr.h AS h
-               FROM top LATERAL VIEW explode(array(
-               $candHashes)) x AS pr),
-        est AS (SELECT /*+ BROADCAST(ch) */ ch.word, ch.exact_cnt,
-                  min(cm.cnt) AS est_cnt
-                FROM cm JOIN ch ON cm.j = ch.j AND cm.h = ch.h
-                GROUP BY ch.word, ch.exact_cnt)
-        SELECT word, exact_cnt, est_cnt, est_cnt - exact_cnt AS overcount,
-               est_cnt >= exact_cnt AS never_undercounts
-        FROM est""")
+      // ONE fused corpus pass, vocabulary-width (r17, guide §2.3/§7.2):
+      // every consumer here — the sketch rows AND the exact top-K —
+      // depends only on the GLOBAL per-word count, so both derive from
+      // the staged [[wordCounts]] frame (scan → native histogram →
+      // explode → vocab-width shuffle, built once). The previous
+      // spelling exploded the cached PER-DOC histogram twice (PlanAudit
+      // r17: 2x live Generate) and computed the 4 sketch hashes per
+      // (doc, word) pair; now hashes are computed once per DISTINCT
+      // word, weighted by its global count — identical integers
+      // (char_fold depends only on the word; TokenHistogramSpec pins
+      // the histogram tokenizer == regexp_extract_all('[a-z]+')).
+      // DataFrame composition, not a view hop: the staged frame's plan
+      // carries the explode Generate, and a view wrap defeats the cache
+      // fragment match on Spark 4.1 (coverageTail's documented lesson).
+      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
+      import org.apache.spark.sql.functions.{broadcast, expr, min}
+      val wt = wordCounts(s, d)
+      val cm = wt.selectExpr("freq AS cnt", s"explode(array($hashes)) AS pr")
+        .groupBy($"pr.j".as("j"), $"pr.h".as("h"))
+        .agg(expr("CAST(sum(cnt) AS BIGINT)").as("cnt"))
+      val top = wt.selectExpr("word", "freq AS exact_cnt")
+        .orderBy($"exact_cnt".desc, $"word").limit(25)
+      val ch = top.selectExpr("word", "exact_cnt",
+          s"explode(array($candHashes)) AS pr")
+        .select($"word", $"exact_cnt", $"pr.j".as("j"), $"pr.h".as("h"))
+      cm.join(broadcast(ch), Seq("j", "h"))
+        .groupBy($"word", $"exact_cnt")
+        .agg(min($"cnt").as("est_cnt"))
+        .select($"word", $"exact_cnt", $"est_cnt",
+          ($"est_cnt" - $"exact_cnt").as("overcount"),
+          ($"est_cnt" >= $"exact_cnt").as("never_undercounts"))
     },
     Some {
       def oFold(e: String, seed: Int) = s"(${Q.oCharFold(e, seed)})"

@@ -141,20 +141,34 @@ object CurationOps {
     * full-width shuffle is the doc_id regroup of kept spans. */
   val d11 = QueryDef(
     "d11_span_dedup",
-    (s, d) => withViews(s, d, "documents")(s"""
-      WITH $sChunks,
-      b AS (SELECT md5(chunk) AS h FROM chunks
-            GROUP BY md5(chunk) HAVING count(DISTINCT doc_id) >= 2),
-      j AS (SELECT /*+ BROADCAST(b) */ c.doc_id, c.i, c.chunk,
-              (b.h IS NOT NULL) AS bad
-            FROM chunks c LEFT JOIN b ON md5(c.chunk) = b.h)
-      SELECT doc_id,
-             array_join(transform(array_sort(collect_list(
-               CASE WHEN NOT bad THEN struct(i, chunk) END)),
-               x -> x.chunk), ' ') AS kept_text,
-             CAST(count(*) AS BIGINT) AS n_chunks,
-             CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
-      FROM j GROUP BY doc_id"""),
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{broadcast, countDistinct, expr}
+      // `chunks` feeds BOTH the boilerplate-frequency aggregate and the
+      // join-back; as one WITH statement Catalyst inlined it into each
+      // consumer and the corpus paid the tokenize + chunk explode TWICE
+      // (PlanAudit r17: 2x live scan + 2x live Generate; StageProfile:
+      // two ~300-400 ms corpus passes at sf0.1). Staged once — d19's
+      // DataFrame-composition pattern, NOT a temp-view hop, which
+      // defeats the cache fragment match on a Generate-bearing plan.
+      val ch = staged("d11_chunks", d) {
+        withViews(s, d, "documents")(s"""
+          WITH $sChunks
+          SELECT doc_id, i, chunk FROM chunks""")
+      }
+      val b = ch.selectExpr("doc_id", "md5(chunk) AS h")
+        .groupBy($"h").agg(countDistinct($"doc_id").as("nd"))
+        .where($"nd" >= 2).select($"h")
+      val j = ch.join(broadcast(b), expr("md5(chunk) = h"), "left")
+        .select($"doc_id", $"i", $"chunk", $"h".isNotNull.as("bad"))
+      j.groupBy($"doc_id").agg(
+        expr("""array_join(transform(array_sort(collect_list(
+              CASE WHEN NOT bad THEN struct(i, chunk) END)),
+              x -> x.chunk), ' ')""").as("kept_text"),
+        expr("CAST(count(*) AS BIGINT)").as("n_chunks"),
+        expr("CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)")
+          .as("n_removed"))
+    },
     Some(s"""
       WITH $oChunks,
       b AS (SELECT md5(chunk) AS h FROM chunks

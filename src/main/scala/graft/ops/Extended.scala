@@ -159,32 +159,44 @@ object Extended {
     * multiply+divide, bit-identical across engines. */
   val q66 = QueryDef(
     "q66_quantile_histogram",
-    (s, d) => withViews(s, d, "lineitem")("""
-      WITH h AS (SELECT l_returnflag AS g,
-                   CAST(floor(l_extendedprice / 100) AS BIGINT) AS b,
-                   CAST(count(*) AS BIGINT) AS n
-                 FROM lineitem GROUP BY l_returnflag,
-                   CAST(floor(l_extendedprice / 100) AS BIGINT)),
-      c AS (SELECT g, b, n,
-              sum(n) OVER (PARTITION BY g ORDER BY b) AS cum,
-              sum(n) OVER (PARTITION BY g) AS total
-            FROM h),
-      qs AS (SELECT * FROM VALUES (0.5), (0.9), (0.99) AS t(p)),
-      sel AS (SELECT c.g, qs.p, min(c.b) AS qb
-              FROM c JOIN qs
-                ON c.cum >= CAST(ceil(qs.p * CAST(c.total AS DOUBLE)) AS BIGINT)
-              GROUP BY c.g, qs.p),
-      est AS (SELECT s.g, s.p, s.qb, c.total,
-                CAST(s.qb * 100 AS DOUBLE)
-                  + CAST(100 AS DOUBLE)
-                    * CAST(CAST(ceil(s.p * CAST(c.total AS DOUBLE)) AS BIGINT)
-                           - (c.cum - c.n) AS DOUBLE)
-                    / CAST(c.n AS DOUBLE) AS v
-              FROM sel s JOIN c ON c.g = s.g AND c.b = s.qb)
-      SELECT g AS l_returnflag, CAST(p AS DOUBLE) AS p,
-             CAST(qb AS BIGINT) AS bucket,
-             v AS estimate, CAST(total AS BIGINT) AS n
-      FROM est"""),
+    (s, d) => {
+      // The histogram+cumulative frame `c` feeds BOTH the bucket
+      // selector and the estimate join; as one WITH statement Catalyst
+      // inlined it into each consumer and the physical plan scanned +
+      // aggregated lineitem TWICE (r16 PlanDump: two `Scan parquet`
+      // leaves, no ReusedExchange — two full corpus passes at scale).
+      // Staged once (d19's DataFrame-composition pattern — NOT a
+      // temp-view hop, which can defeat the cache fragment match), the
+      // second consumer reads the (group, bucket)-width cache.
+      val c = staged("q66_c", d) {
+        withViews(s, d, "lineitem")("""
+          WITH h AS (SELECT l_returnflag AS g,
+                       CAST(floor(l_extendedprice / 100) AS BIGINT) AS b,
+                       CAST(count(*) AS BIGINT) AS n
+                     FROM lineitem GROUP BY l_returnflag,
+                       CAST(floor(l_extendedprice / 100) AS BIGINT))
+          SELECT g, b, n,
+                 sum(n) OVER (PARTITION BY g ORDER BY b) AS cum,
+                 sum(n) OVER (PARTITION BY g) AS total
+          FROM h""")
+      }
+      val qs = s.sql("SELECT * FROM VALUES (0.5), (0.9), (0.99) AS t(p)")
+      val sel = c.as("c").join(qs.as("qs"),
+          expr("c.cum >= CAST(ceil(qs.p * CAST(c.total AS DOUBLE)) AS BIGINT)"))
+        .groupBy(col("g"), col("p"))
+        .agg(min(col("b")).as("qb"))
+      sel.as("s").join(c.as("c2"), expr("c2.g = s.g AND c2.b = s.qb"))
+        .selectExpr(
+          "s.g AS l_returnflag",
+          "CAST(s.p AS DOUBLE) AS p",
+          "CAST(s.qb AS BIGINT) AS bucket",
+          """CAST(s.qb * 100 AS DOUBLE)
+             + CAST(100 AS DOUBLE)
+               * CAST(CAST(ceil(s.p * CAST(c2.total AS DOUBLE)) AS BIGINT)
+                      - (c2.cum - c2.n) AS DOUBLE)
+               / CAST(c2.n AS DOUBLE) AS estimate""",
+          "CAST(c2.total AS BIGINT) AS n")
+    },
     Some("""
       WITH h AS (SELECT l_returnflag AS g,
                    CAST(floor(l_extendedprice / 100) AS BIGINT) AS b,

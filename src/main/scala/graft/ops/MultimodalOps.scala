@@ -933,12 +933,21 @@ object MultimodalOps {
       val media = table(s, d, "documents")
         .select($"doc_id", $"text".cast("binary").as("payload"), $"source")
       // class collapse BEFORE the key join (m06's rule): one row per
-      // distinct decoded content, metadata-width, checkpointed so the
-      // three consumers below never re-run the scan+granulate pass
-      val cls = roundCheckpoint(audioGranules(s, media)
-        .groupBy($"dg")
-        .agg(min($"doc_id").as("canonical_doc"),
-          count(lit(1)).as("n_docs"), first($"gkeys").as("gkeys")))
+      // distinct decoded content, metadata-width, staged (cached) so the
+      // three consumers below never re-run the scan+granulate pass.
+      // r17: staged cache instead of an eager localCheckpoint — same
+      // build-once guarantee (direct DataFrame reuse, so the fragment
+      // match is exact), but materialization folds into the first
+      // consuming job instead of a separate barrier job, and the cache
+      // PRESERVES output partitioning where the checkpoint leaf
+      // surfaced UnknownPartitioning (StageProfile r17: the two
+      // checkpoint barriers alone were ~0.9 s of m10's 3.8 s at sf0.1)
+      val cls = staged("m10_cls", d) {
+        audioGranules(s, media)
+          .groupBy($"dg")
+          .agg(min($"doc_id").as("canonical_doc"),
+            count(lit(1)).as("n_docs"), first($"gkeys").as("gkeys"))
+      }
       // pin the exchange key + count: the key frame is tiny but the join
       // OUTPUT is the candidate explosion (m08's AQE coalesce trap)
       val ck0 = cls.select($"dg", explode($"gkeys").as("gkey"))
@@ -947,9 +956,12 @@ object MultimodalOps {
       // classes are non-identifying; dropping them bounds the worst
       // bucket's quadratic pair cost (metadata-width window count —
       // ck0 is already partitioned by gkey, so no extra exchange)
-      // checkpointed: ck feeds the denominators and BOTH self-join
-      // sides; left lazy, the explode + pinned exchange + skew-cap
-      // window re-ran per reference (PlanAudit: 9 live Generates)
+      // staged: ck feeds the denominators and BOTH self-join sides;
+      // left lazy, the explode + pinned exchange + skew-cap window
+      // re-ran per reference (PlanAudit: 9 live Generates). The cached
+      // frame keeps ck0's gkey hash-partitioning, so the self-join
+      // below needs NO further exchange (the r16 checkpoint leaf lost
+      // it and the join re-shuffled both sides at scale)
       val ck = roundCheckpoint(ck0.withColumn("kc",
           count(lit(1)).over(org.apache.spark.sql.expressions.Window
             .partitionBy($"gkey")))
